@@ -1,0 +1,401 @@
+"""Feature-based OoD postprocessors: DDU, KNN, Mahalanobis, ViM, ASH, DICE,
+ReAct, DICE+ReAct.
+
+TPU-native equivalents of reference runia_core/inference/postprocessors.py:
+694-1621. Differences from the reference that are deliberate fixes:
+
+* the reference's per-row faiss loops (postprocessors.py:872-883) become one
+  batched matmul+top-k program;
+* RouteDICE's hard-coded ``.cuda()`` (funcs.py:180,185 — broke CPU runs) is
+  replaced by a pure (masked weight, bias) pytree;
+* constructors work as ``cls(cfg=cfg)`` with defaults (SURVEY.md section 7.4).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from runia_core_tpu.detectors.base import OodPostprocessor, register_postprocessor
+from runia_core_tpu.detectors.funcs import (
+    ash_s_linear_layer,
+    dice_masked_weight,
+    gmm_fit,
+    mahalanobis_postprocess,
+    mahalanobis_preprocess,
+    normalizer,
+    react_clip_logits,
+    route_dice_logits,
+)
+from runia_core_tpu.detectors.logits import energy_score
+from runia_core_tpu.ops.knn import squared_l2_kth_neighbor
+from runia_core_tpu.ops.linalg import empirical_covariance
+
+__all__ = ["DDU", "KNN", "Mahalanobis", "ViM", "ASH", "DICE", "ReAct", "DICEReAct"]
+
+ndarray = np.ndarray
+
+
+def _cfg_get(cfg, key, default):
+    try:
+        return getattr(cfg, key)
+    except AttributeError:
+        return default
+
+
+def _as_np(x):
+    return np.asarray(x) if not isinstance(x, np.ndarray) else x
+
+
+@register_postprocessor("ddu", postprocessor_input=["features"])
+class DDU(OodPostprocessor):
+    """Deep Deterministic Uncertainty: per-class MVN mixture density
+    (postprocessors.py:694-786)."""
+
+    def __init__(self, flip_sign: bool = False, num_classes: int = 10, cfg=None):
+        super().__init__(flip_sign, cfg)
+        if cfg is not None:
+            num_classes = _cfg_get(cfg, "num_classes", num_classes)
+        self.num_classes = num_classes
+        self.gmm = None
+
+    def setup(self, ind_train_data: ndarray, **kwargs) -> None:
+        assert "valid_feats" in kwargs, "valid_feats must be provided for DDU"
+        assert "train_labels" in kwargs, "train_labels must be provided for DDU"
+        self.gmm, _ = gmm_fit(
+            embeddings=_as_np(ind_train_data),
+            labels=_as_np(kwargs["train_labels"]),
+            num_classes=self.num_classes,
+        )
+        self._state = {"means": self.gmm.means, "chols": self.gmm.chols}
+        ind_scores = self._score(kwargs["valid_feats"])
+        ind_scores = self.flip_sign_fn(ind_scores)
+        self.set_threshold(ind_scores)
+
+    def _score(self, feats: ndarray) -> ndarray:
+        log_probs = self.gmm.log_prob(jnp.asarray(_as_np(feats)))
+        return np.asarray(jax.scipy.special.logsumexp(log_probs, axis=1))
+
+    def postprocess(self, test_data: ndarray, **kwargs) -> ndarray:
+        assert self._setup_flag, "setup() must be called before postprocess()"
+        return self.flip_sign_fn(self._score(test_data))
+
+
+@register_postprocessor("knn", postprocessor_input=["features"])
+class KNN(OodPostprocessor):
+    """k-th-NN squared distance in normalized feature space
+    (postprocessors.py:789-883); faiss semantics (squared L2) preserved."""
+
+    def __init__(self, flip_sign: bool = False, k_neighbors: int = 50, cfg=None):
+        super().__init__(flip_sign, cfg)
+        if cfg is not None:
+            k_neighbors = _cfg_get(cfg, "k_neighbors", k_neighbors)
+        self.k_neighbors = k_neighbors
+        self.index: Optional[jnp.ndarray] = None
+
+    def setup(self, ind_train_data: ndarray, **kwargs) -> None:
+        assert "valid_feats" in kwargs, "valid_feats must be provided for KNN setup"
+        train_activations = normalizer(_as_np(ind_train_data)).astype(np.float32)
+        self.index = jnp.asarray(train_activations)
+        self._state = {"index": self.index, "k_neighbors": self.k_neighbors}
+        ind_scores = self.postprocess(kwargs["valid_feats"], _skip_setup_check=True)
+        ind_scores = self.flip_sign_fn(ind_scores)
+        self.set_threshold(ind_scores)
+
+    def postprocess(self, test_data: ndarray, **kwargs) -> ndarray:
+        if not kwargs.get("_skip_setup_check", False):
+            assert self._setup_flag, "setup() must be called before postprocess()"
+        test = jnp.asarray(normalizer(_as_np(test_data)).astype(np.float32))
+        kth = squared_l2_kth_neighbor(test, self.index, self.k_neighbors)
+        scores = np.asarray(-kth)
+        return self.flip_sign_fn(scores)
+
+
+@register_postprocessor("mahalanobis", postprocessor_input=["features"])
+class Mahalanobis(OodPostprocessor):
+    """Class-conditional Mahalanobis with shared precision
+    (postprocessors.py:886-980, funcs.py:33-102)."""
+
+    def __init__(self, flip_sign: bool = False, num_classes: int = 10, cfg=None):
+        super().__init__(flip_sign, cfg)
+        if cfg is not None:
+            num_classes = _cfg_get(cfg, "num_classes", num_classes)
+        self.num_classes = num_classes
+        self.class_mean = None
+        self.precision = None
+
+    def setup(self, ind_train_data: ndarray, **kwargs) -> None:
+        assert "train_labels" in kwargs, "train_labels must be provided for Mahalanobis"
+        assert "valid_feats" in kwargs, "valid_feats must be provided for Mahalanobis"
+        ind_data_dict = {
+            "train features": _as_np(ind_train_data),
+            "train labels": _as_np(kwargs["train_labels"]),
+        }
+        self.class_mean, self.precision = mahalanobis_preprocess(
+            ind_data=ind_data_dict, num_classes=self.num_classes
+        )
+        self._state = {"class_mean": self.class_mean, "precision": self.precision}
+        ind_scores = mahalanobis_postprocess(
+            feats=_as_np(kwargs["valid_feats"]),
+            class_mean=self.class_mean,
+            precision=self.precision,
+            num_classes=self.num_classes,
+        )
+        ind_scores = self.flip_sign_fn(ind_scores)
+        self.set_threshold(ind_scores)
+
+    def postprocess(self, test_data: ndarray, **kwargs) -> ndarray:
+        assert self._setup_flag, "setup() must be called before postprocess()"
+        test_scores = mahalanobis_postprocess(
+            feats=_as_np(test_data),
+            class_mean=self.class_mean,
+            precision=self.precision,
+            num_classes=self.num_classes,
+        )
+        return self.flip_sign_fn(test_scores)
+
+
+@register_postprocessor("vim", postprocessor_input=["features", "logits"])
+class ViM(OodPostprocessor):
+    """Virtual-logit Matching (postprocessors.py:983-1112).
+
+    Null space from the eigendecomposition of the u-centered covariance
+    (``assume_centered=True``); DIM rule 1000 / 512 / d//2 preserved
+    (postprocessors.py:1058-1063). Uses symmetric ``eigh`` instead of the
+    reference's general ``np.linalg.eig`` — the covariance is symmetric, so
+    the span of the selected eigenvectors is identical.
+    """
+
+    def __init__(self, flip_sign: bool = False, cfg=None):
+        super().__init__(flip_sign, cfg)
+        self.u = None
+        self.DIM = None
+        self.NS = None
+        self.alpha = None
+
+    def setup(self, ind_train_data: ndarray, **kwargs) -> None:
+        assert (
+            "final_linear_layer_params" in kwargs
+        ), "final_linear_layer_params must be provided for ViM"
+        assert "train_logits" in kwargs, "train_logits must be provided for ViM"
+        assert "valid_feats" in kwargs, "valid_feats must be provided for ViM"
+        assert "valid_logits" in kwargs, "valid_logits must be provided for ViM"
+        w = jnp.asarray(_as_np(kwargs["final_linear_layer_params"]["weight"]))
+        b = jnp.asarray(_as_np(kwargs["final_linear_layer_params"]["bias"]))
+        x = jnp.asarray(_as_np(ind_train_data))
+
+        self.u = -jnp.matmul(jnp.linalg.pinv(w), b)
+        d = x.shape[-1]
+        if d >= 2048:
+            self.DIM = 1000
+        elif d >= 768:
+            self.DIM = 512
+        else:
+            self.DIM = d // 2
+
+        cov = empirical_covariance(x - self.u, assume_centered=True)
+        eig_vals, eig_vecs = jnp.linalg.eigh(cov)  # ascending
+        # Reference takes eigenvectors ranked DIM.. by descending eigenvalue,
+        # i.e. the (d - DIM) smallest: with eigh those are the first columns.
+        self.NS = eig_vecs[:, : d - self.DIM]
+        vlogit_id_train = jnp.linalg.norm(jnp.matmul(x - self.u, self.NS), axis=-1)
+        train_logits = jnp.asarray(_as_np(kwargs["train_logits"]))
+        self.alpha = jnp.max(train_logits, axis=-1).mean() / vlogit_id_train.mean()
+        self._state = {"u": self.u, "NS": self.NS, "alpha": self.alpha, "DIM": self.DIM}
+
+        valid_feats = jnp.asarray(_as_np(kwargs["valid_feats"]))
+        valid_logits = jnp.asarray(_as_np(kwargs["valid_logits"]))
+        vlogit_val = jnp.linalg.norm(jnp.matmul(valid_feats - self.u, self.NS), axis=-1) * self.alpha
+        ind_scores = np.asarray(-vlogit_val + energy_score(valid_logits))
+        ind_scores = self.flip_sign_fn(ind_scores)
+        self.set_threshold(ind_scores)
+
+    def postprocess(self, test_data: ndarray, **kwargs) -> ndarray:
+        assert self._setup_flag, "setup() must be called before postprocess()"
+        feats = jnp.asarray(_as_np(test_data))
+        logits = jnp.asarray(_as_np(kwargs["logits"]))
+        vlogit = jnp.linalg.norm(jnp.matmul(feats - self.u, self.NS), axis=-1) * self.alpha
+        score = np.asarray(-vlogit + energy_score(logits))
+        return score
+
+
+@register_postprocessor("ash", postprocessor_input=["features"])
+class ASH(OodPostprocessor):
+    """Activation Shaping (ASH-S) + energy (postprocessors.py:1115-1222)."""
+
+    def __init__(self, flip_sign: bool = False, ash_percentile: int = 85, cfg=None):
+        super().__init__(flip_sign, cfg)
+        if cfg is not None:
+            ash_percentile = _cfg_get(cfg, "ash_percentile", ash_percentile)
+        self.ash_percentile = ash_percentile
+        self.w = None
+        self.b = None
+
+    def setup(self, ind_train_data: ndarray, **kwargs) -> None:
+        assert (
+            "final_linear_layer_params" in kwargs
+        ), "final_linear_layer_params must be provided for ASH"
+        assert "valid_feats" in kwargs, "valid_feats must be provided for ASH"
+        self.w = jnp.asarray(_as_np(kwargs["final_linear_layer_params"]["weight"]))
+        self.b = jnp.asarray(_as_np(kwargs["final_linear_layer_params"]["bias"]))
+        self._state = {"w": self.w, "b": self.b, "ash_percentile": self.ash_percentile}
+        # Reference applies ASH to the *train* features for threshold setup
+        # (postprocessors.py:1185-1190) — kept verbatim.
+        ind_scores = self._score(ind_train_data)
+        ind_scores = self.flip_sign_fn(ind_scores)
+        self.set_threshold(ind_scores)
+
+    def _score(self, feats: ndarray) -> ndarray:
+        shaped = ash_s_linear_layer(jnp.asarray(_as_np(feats)), self.ash_percentile)
+        logits = jnp.matmul(shaped, self.w.T, precision=jax.lax.Precision.HIGHEST) + self.b
+        return np.asarray(energy_score(logits))
+
+    def postprocess(self, test_data: ndarray, **kwargs) -> ndarray:
+        assert self._setup_flag, "setup() must be called before postprocess()"
+        return self.flip_sign_fn(self._score(test_data))
+
+
+@register_postprocessor("dice", postprocessor_input=["features"])
+class DICE(OodPostprocessor):
+    """Directed Sparsification + energy (postprocessors.py:1225-1354)."""
+
+    def __init__(
+        self,
+        flip_sign: bool = False,
+        dice_percentile: int = 90,
+        num_classes: int = 10,
+        cfg=None,
+    ):
+        super().__init__(flip_sign, cfg)
+        if cfg is not None:
+            dice_percentile = _cfg_get(cfg, "dice_percentile", dice_percentile)
+            num_classes = _cfg_get(cfg, "num_classes", num_classes)
+        self.dice_percentile = dice_percentile
+        self.num_classes = num_classes
+        self.masked_w = None
+        self.b = None
+
+    def setup(self, ind_train_data: ndarray, **kwargs) -> None:
+        assert (
+            "final_linear_layer_params" in kwargs
+        ), "final_linear_layer_params must be provided for DICE"
+        assert "valid_feats" in kwargs, "valid_feats must be provided for DICE"
+        w = jnp.asarray(_as_np(kwargs["final_linear_layer_params"]["weight"]))
+        self.b = jnp.asarray(_as_np(kwargs["final_linear_layer_params"]["bias"]))
+        dice_info = jnp.mean(jnp.asarray(_as_np(ind_train_data)), axis=0)
+        self.masked_w = dice_masked_weight(w, dice_info, self.dice_percentile)
+        self._state = {"masked_w": self.masked_w, "b": self.b}
+        ind_scores = self._score(kwargs["valid_feats"])
+        ind_scores = self.flip_sign_fn(ind_scores)
+        self.set_threshold(ind_scores)
+
+    def _score(self, feats: ndarray) -> ndarray:
+        logits = route_dice_logits(jnp.asarray(_as_np(feats)), self.masked_w, self.b)
+        return np.asarray(energy_score(logits))
+
+    def postprocess(self, test_data: ndarray, **kwargs) -> ndarray:
+        assert self._setup_flag, "setup() must be called before postprocess()"
+        return self.flip_sign_fn(self._score(test_data))
+
+
+@register_postprocessor("react", postprocessor_input=["features"])
+class ReAct(OodPostprocessor):
+    """Rectified Activations: percentile clipping + energy
+    (postprocessors.py:1357-1474)."""
+
+    def __init__(self, flip_sign: bool = False, react_percentile: int = 90, cfg=None):
+        super().__init__(flip_sign, cfg)
+        if cfg is not None:
+            react_percentile = _cfg_get(cfg, "react_percentile", react_percentile)
+        self.react_percentile = react_percentile
+        self.activation_threshold = None
+        self.w = None
+        self.b = None
+
+    def setup(self, ind_train_data: ndarray, **kwargs) -> None:
+        assert (
+            "final_linear_layer_params" in kwargs
+        ), "final_linear_layer_params must be provided for ReAct"
+        assert "valid_feats" in kwargs, "valid_feats must be provided for ReAct"
+        self.w = jnp.asarray(_as_np(kwargs["final_linear_layer_params"]["weight"]))
+        self.b = jnp.asarray(_as_np(kwargs["final_linear_layer_params"]["bias"]))
+        self.activation_threshold = float(
+            np.percentile(_as_np(ind_train_data).flatten(), self.react_percentile)
+        )
+        self._state = {
+            "w": self.w,
+            "b": self.b,
+            "activation_threshold": self.activation_threshold,
+        }
+        ind_scores = self._score(kwargs["valid_feats"])
+        ind_scores = self.flip_sign_fn(ind_scores)
+        self.set_threshold(ind_scores)
+
+    def _score(self, feats: ndarray) -> ndarray:
+        logits = react_clip_logits(
+            jnp.asarray(_as_np(feats)), self.activation_threshold, self.w, self.b
+        )
+        return np.asarray(energy_score(logits))
+
+    def postprocess(self, test_data: ndarray, **kwargs) -> ndarray:
+        assert self._setup_flag, "setup() must be called before postprocess()"
+        return self.flip_sign_fn(self._score(test_data))
+
+
+@register_postprocessor("dice_react", postprocessor_input=["features"])
+class DICEReAct(OodPostprocessor):
+    """ReAct clipping followed by the DICE routed layer + energy
+    (postprocessors.py:1477-1621)."""
+
+    def __init__(
+        self,
+        flip_sign: bool = False,
+        dice_percentile: int = 90,
+        react_percentile: int = 90,
+        num_classes: int = 10,
+        cfg=None,
+    ):
+        super().__init__(flip_sign, cfg)
+        if cfg is not None:
+            dice_percentile = _cfg_get(cfg, "dice_percentile", dice_percentile)
+            react_percentile = _cfg_get(cfg, "react_percentile", react_percentile)
+            num_classes = _cfg_get(cfg, "num_classes", num_classes)
+        self.dice_percentile = dice_percentile
+        self.react_percentile = react_percentile
+        self.num_classes = num_classes
+        self.masked_w = None
+        self.b = None
+        self.react_activation_threshold = None
+
+    def setup(self, ind_train_data: ndarray, **kwargs) -> None:
+        assert (
+            "final_linear_layer_params" in kwargs
+        ), "final_linear_layer_params must be provided for DICE"
+        assert "valid_feats" in kwargs, "valid_feats must be provided for DICE"
+        w = jnp.asarray(_as_np(kwargs["final_linear_layer_params"]["weight"]))
+        self.b = jnp.asarray(_as_np(kwargs["final_linear_layer_params"]["bias"]))
+        dice_info = jnp.mean(jnp.asarray(_as_np(ind_train_data)), axis=0)
+        self.masked_w = dice_masked_weight(w, dice_info, self.dice_percentile)
+        self.react_activation_threshold = float(
+            np.percentile(_as_np(ind_train_data).flatten(), self.react_percentile)
+        )
+        self._state = {
+            "masked_w": self.masked_w,
+            "b": self.b,
+            "react_activation_threshold": self.react_activation_threshold,
+        }
+        ind_scores = self._score(kwargs["valid_feats"])
+        ind_scores = self.flip_sign_fn(ind_scores)
+        self.set_threshold(ind_scores)
+
+    def _score(self, feats: ndarray) -> ndarray:
+        clipped = jnp.clip(jnp.asarray(_as_np(feats)), a_max=self.react_activation_threshold)
+        logits = route_dice_logits(clipped, self.masked_w, self.b)
+        return np.asarray(energy_score(logits))
+
+    def postprocess(self, test_data: ndarray, **kwargs) -> ndarray:
+        assert self._setup_flag, "setup() must be called before postprocess()"
+        return self.flip_sign_fn(self._score(test_data))
