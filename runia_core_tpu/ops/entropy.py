@@ -1,0 +1,127 @@
+"""Kozachenko-Leonenko kNN differential entropy, batched for TPU.
+
+TPU-native replacement for the reference's `entropy_estimators.continuous.
+get_h` dependency (reference: runia_core/evaluation/entropy.py:12,35,68,79-81)
+which builds a scipy cKDTree per call inside per-image x per-dimension Python
+loops (optionally a process pool, entropy.py:86-91).
+
+The estimator (max-norm / Chebyshev, as the reference always requests):
+
+    h = -digamma(k) + digamma(n) + (d / n) * sum_i log(2 * eps_i)
+
+where eps_i is the Chebyshev distance from sample i to its k-th nearest
+neighbor within the cloud and eps_i is clamped below by ``min_dist``
+(the reference passes min_dist=1e-5 everywhere, k = 5 if n > 5 else n - 1,
+entropy.py:66). For the max norm the unit-ball volume term is log(1) = 0.
+
+Here whole datasets of MC-sample clouds are scored in one XLA program:
+``marginal_entropy`` fuses the reference's two nested hot loops
+(entropy.py:73-91) into a single batched pairwise-distance + top-k kernel.
+MC clouds are small (n = 8..32), so the (n, n) distance matrices live in
+registers/VMEM; batching over images and dimensions fills the VPU.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+__all__ = [
+    "kl_entropy",
+    "joint_entropy",
+    "marginal_entropy",
+    "batched_cloud_entropies",
+]
+
+
+def _kth_nn_distance_from_sq(pairwise: jnp.ndarray, k: int) -> jnp.ndarray:
+    """k-th smallest entry per row (0-indexed row contains self-distance 0).
+
+    ``pairwise``: (..., n, n) distances. Returns (..., n): distance to the
+    k-th nearest neighbor (self excluded by construction: the self-distance 0
+    is always the minimum, so the k-th neighbor is the (k+1)-th order
+    statistic, matching cKDTree.query(x, k+1)[..., -1]).
+    """
+    neg_topk = jax.lax.top_k(-pairwise, k + 1)[0]  # (..., k+1) largest of -d
+    return -neg_topk[..., -1]
+
+
+def kl_entropy(cloud: jnp.ndarray, k: int, min_dist: float = 1e-5) -> jnp.ndarray:
+    """KL entropy of one (n, d) sample cloud under the Chebyshev norm."""
+    n, d = cloud.shape
+    diffs = jnp.abs(cloud[:, None, :] - cloud[None, :, :])  # (n, n, d)
+    pairwise = jnp.max(diffs, axis=-1)  # Chebyshev
+    eps = _kth_nn_distance_from_sq(pairwise, k)
+    eps = jnp.maximum(eps, min_dist)
+    sum_log = jnp.sum(jnp.log(2.0 * eps))
+    dig = jax.scipy.special.digamma
+    return -dig(float(k)) + dig(float(n)) + (d / n) * sum_log
+
+
+@partial(jax.jit, static_argnames=("k", "chunk"))
+def joint_entropy(
+    clouds: jnp.ndarray, k: int, min_dist: float = 1e-5, chunk: int = 256
+) -> jnp.ndarray:
+    """Joint h(Z) per cloud: (B, n, d) -> (B,).
+
+    The Chebyshev distance accumulates over feature chunks inside a scan so
+    the (B, n, n, d) tensor is never materialized.
+    """
+    b, n, d = clouds.shape
+    pad = (-d) % chunk
+    padded = jnp.pad(clouds, ((0, 0), (0, 0), (0, pad)))  # zero-pad dims
+    nchunks = padded.shape[-1] // chunk
+    chunked = jnp.moveaxis(padded.reshape(b, n, nchunks, chunk), 2, 0)  # (nc, B, n, c)
+
+    def body(carry, xc):
+        diffs = jnp.abs(xc[:, :, None, :] - xc[:, None, :, :])  # (B, n, n, c)
+        return jnp.maximum(carry, jnp.max(diffs, axis=-1)), None
+
+    init = jnp.zeros((b, n, n), dtype=clouds.dtype)
+    pairwise, _ = jax.lax.scan(body, init, chunked)
+    # Zero-padded dims contribute |0-0| = 0 to the max — harmless.
+    eps = jnp.maximum(_kth_nn_distance_from_sq(pairwise, k), min_dist)
+    sum_log = jnp.sum(jnp.log(2.0 * eps), axis=-1)  # (B,)
+    dig = jax.scipy.special.digamma
+    return -dig(float(k)) + dig(float(n)) + (d / n) * sum_log
+
+
+@partial(jax.jit, static_argnames=("k", "image_chunk"))
+def marginal_entropy(
+    clouds: jnp.ndarray, k: int, min_dist: float = 1e-5, image_chunk: int = 64
+) -> jnp.ndarray:
+    """Marginal h(z_i) per cloud and dimension: (B, n, d) -> (B, d).
+
+    Replaces the reference's per-image x per-dim loops + process pool
+    (entropy.py:73-91) with one vmapped program, chunked over images to bound
+    the (chunk, d, n, n) intermediate.
+    """
+    b, n, d = clouds.shape
+    pad = (-b) % image_chunk
+    padded = jnp.pad(clouds, ((0, pad), (0, 0), (0, 0)))
+    batches = padded.reshape(-1, image_chunk, n, d)
+
+    dig = jax.scipy.special.digamma
+    const = -dig(float(k)) + dig(float(n))
+
+    def one_batch(xc):  # (chunk, n, d)
+        cols = jnp.transpose(xc, (0, 2, 1))  # (chunk, d, n)
+        diffs = jnp.abs(cols[:, :, :, None] - cols[:, :, None, :])  # (chunk, d, n, n)
+        eps = jnp.maximum(_kth_nn_distance_from_sq(diffs, k), min_dist)
+        return const + jnp.sum(jnp.log(2.0 * eps), axis=-1) / n  # (chunk, d)
+
+    out = jax.lax.map(one_batch, batches)
+    return out.reshape(-1, d)[:b]
+
+
+def batched_cloud_entropies(
+    clouds: jnp.ndarray, k: int, min_dist: float = 1e-5
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """(joint (B,), marginal (B, d)) entropies for a batch of MC clouds."""
+    return (
+        joint_entropy(clouds, k, min_dist),
+        marginal_entropy(clouds, k, min_dist),
+    )

@@ -1,0 +1,118 @@
+"""Monte-Carlo DropBlock sampling of latent activations.
+
+TPU-native equivalent of the reference's ``MCSamplerModule`` (reference:
+runia_core/feature_extraction/abstract_classes.py:33-101): instead of a
+torch ModuleList of DropBlock2D layers applied in a Python loop, the MC axis
+is a vmapped dimension with per-sample RNG from ``jax.random.fold_in`` — one
+XLA program produces all S samples, and an extra vmap level batches over
+images (the reference is locked to batch size 1).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from runia_core_tpu.ops.dropblock import dropblock2d, dropout
+from runia_core_tpu.ops.reductions import get_mean_or_fullmean_ls_sample
+
+__all__ = ["MCSamplerModule", "mc_dropblock_samples"]
+
+
+@partial(
+    jax.jit,
+    static_argnames=("mc_samples", "block_size", "drop_prob", "layer_type", "reduction"),
+)
+def mc_dropblock_samples(
+    key: jax.Array,
+    latent_rep: jnp.ndarray,
+    mc_samples: int,
+    block_size: int,
+    drop_prob: float,
+    layer_type: str = "Conv",
+    reduction: str = "fullmean",
+) -> jnp.ndarray:
+    """Draw S DropBlock-noised samples of one latent map.
+
+    Args:
+        latent_rep: (B, C, H, W) activation (B=1 reproduces the reference).
+        layer_type: 'Conv' reduces each sample to per-channel means
+            (fullmean), 'FC'/'RPN' keeps the flattened map
+            (abstract_classes.py:95-99).
+
+    Returns:
+        (B, S, d) samples where d = C for Conv, C*H*W otherwise.
+    """
+    keys = jax.random.split(key, mc_samples)
+
+    def one_sample(k):
+        noised = dropblock2d(k, latent_rep, drop_prob, block_size, channel_axis=1)
+        if layer_type == "Conv":
+            return get_mean_or_fullmean_ls_sample(noised, reduction)  # (B, C)
+        return noised.reshape(noised.shape[0], -1)  # (B, C*H*W)
+
+    samples = jax.vmap(one_sample)(keys)  # (S, B, d)
+    return jnp.swapaxes(samples, 0, 1)  # (B, S, d)
+
+
+class MCSamplerModule:
+    """Callable MC-DropBlock sampler with the reference's constructor API
+    (abstract_classes.py:51-79).
+
+    Usage::
+
+        sampler = MCSamplerModule(mc_samples=16, block_size=3, drop_prob=0.5)
+        samples = sampler(latent_rep, key)   # (S, d) for a (1, C, H, W) input
+
+    Unlike the reference, RNG is explicit: pass a ``jax.random.key``; if
+    omitted, an internal counter-folded key is used (convenient, but prefer
+    explicit keys for reproducibility).
+    """
+
+    def __init__(
+        self,
+        mc_samples: int,
+        block_size: int,
+        drop_prob: float,
+        layer_type: str = "Conv",
+    ):
+        assert layer_type in ("Conv", "FC", "RPN")
+        self.layer_type = layer_type
+        self.mc_samples = mc_samples
+        self.block_size = block_size
+        self.drop_prob = drop_prob
+        self._counter = 0
+        self._base_key = jax.random.key(0)
+
+    def __call__(
+        self, latent_rep: jnp.ndarray, key: Optional[jax.Array] = None
+    ) -> jnp.ndarray:
+        """(1|B, C, H, W) -> (S, d) for B == 1, else (B, S, d)."""
+        if key is None:
+            key = jax.random.fold_in(self._base_key, self._counter)
+            self._counter += 1
+        latent_rep = jnp.asarray(latent_rep)
+        squeeze = latent_rep.shape[0] == 1
+        out = mc_dropblock_samples(
+            key,
+            latent_rep,
+            self.mc_samples,
+            self.block_size,
+            self.drop_prob,
+            self.layer_type,
+        )
+        return out[0] if squeeze else out
+
+    # torch-API shims so reference-style code keeps working
+    def to(self, device):  # noqa: D401
+        return self
+
+    def train(self, mode: bool = True):
+        return self
+
+    def eval(self):
+        return self
