@@ -1,0 +1,541 @@
+"""OoD detection metrics: AUROC / FPR@95 / AUPR with exact (sort-based) curves.
+
+Replaces the reference's torchmetrics.functional calls (reference:
+runia_core/evaluation/metrics.py:70-81) with a direct numpy implementation of
+the same definitions. Label convention preserved: InD = 1 (positive),
+OoD = 0 (reference metrics.py:60-61); FPR@95 = fpr at the first threshold
+where TPR >= 0.95 (metrics.py:76).
+
+torchmetrics pushes scores through a sigmoid when they fall outside [0, 1];
+since the sigmoid is monotonic this changes thresholds but not the curves or
+any reported metric, so we skip it and work on raw scores.
+
+Heavy compute stays on device elsewhere; metric aggregation is host-side
+numpy + pandas exactly like the reference's eval layer.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Tuple, Union
+
+import numpy as np
+import pandas as pd
+
+from runia_core_tpu.detectors import postprocessors_dict
+
+__all__ = [
+    "binary_roc",
+    "binary_precision_recall_curve",
+    "auc",
+    "get_auroc_results",
+    "plot_roc_ood_detector",
+    "save_roc_ood_detector",
+    "save_scores_plots",
+    "get_pred_scores_plots",
+    "log_evaluate_postprocessors",
+    "select_and_log_best_larex",
+    "subset_boxes",
+    "get_gtu_uu_metrics",
+]
+
+
+def _optional_mlflow():
+    try:
+        import mlflow
+
+        return mlflow
+    except ImportError:  # pragma: no cover
+        return None
+
+
+# ---------------------------------------------------------------------------
+# Exact curve primitives
+# ---------------------------------------------------------------------------
+def binary_roc(scores: np.ndarray, labels: np.ndarray):
+    """Exact ROC curve: (fpr, tpr, thresholds), thresholds descending.
+
+    Matches sklearn/torchmetrics at every distinct score threshold, with the
+    (0, 0) point prepended.
+    """
+    scores = np.asarray(scores).ravel().astype(np.float64)
+    labels = np.asarray(labels).ravel()
+    order = np.argsort(-scores, kind="stable")
+    sorted_scores = scores[order]
+    sorted_labels = labels[order]
+    distinct = np.where(np.diff(sorted_scores))[0]
+    thr_idx = np.r_[distinct, len(scores) - 1]
+    tps = np.cumsum(sorted_labels)[thr_idx].astype(np.float64)
+    fps = (1 + thr_idx) - tps
+    tpr = np.r_[0.0, tps] / max(tps[-1], 1e-12)
+    fpr = np.r_[0.0, fps] / max(fps[-1], 1e-12)
+    thresholds = np.r_[np.inf, sorted_scores[thr_idx]]
+    return fpr, tpr, thresholds
+
+
+def binary_precision_recall_curve(scores: np.ndarray, labels: np.ndarray):
+    """Exact PR curve with sklearn conventions: recall decreasing, final
+    point (precision=1, recall=0)."""
+    scores = np.asarray(scores).ravel().astype(np.float64)
+    labels = np.asarray(labels).ravel()
+    order = np.argsort(-scores, kind="stable")
+    sorted_scores = scores[order]
+    sorted_labels = labels[order]
+    distinct = np.where(np.diff(sorted_scores))[0]
+    thr_idx = np.r_[distinct, len(scores) - 1]
+    tps = np.cumsum(sorted_labels)[thr_idx].astype(np.float64)
+    fps = (1 + thr_idx) - tps
+    precision = tps / (tps + fps)
+    recall = tps / max(tps[-1], 1e-12)
+    # Reverse so recall decreases; append the (precision=1, recall=0) endpoint.
+    precision = np.r_[precision[::-1], 1.0]
+    recall = np.r_[recall[::-1], 0.0]
+    thresholds = sorted_scores[thr_idx][::-1]
+    return precision, recall, thresholds
+
+
+def auc(x: np.ndarray, y: np.ndarray) -> float:
+    """Trapezoidal area handling monotonically decreasing x (sklearn.metrics.auc)."""
+    x = np.asarray(x, dtype=np.float64)
+    y = np.asarray(y, dtype=np.float64)
+    dx = np.diff(x)
+    if np.all(dx <= 0):
+        direction = -1.0
+    elif np.all(dx >= 0):
+        direction = 1.0
+    else:
+        raise ValueError("x is neither increasing nor decreasing")
+    return float(direction * np.trapezoid(y, x))
+
+
+# ---------------------------------------------------------------------------
+# Reference API
+# ---------------------------------------------------------------------------
+def get_auroc_results(
+    detect_exp_name: str,
+    ind_samples_scores: np.ndarray,
+    ood_samples_scores: np.ndarray,
+    return_results_for_mlflow: bool = False,
+) -> Union[pd.DataFrame, Tuple[pd.DataFrame, dict]]:
+    """AUROC / FPR@95 / AUPR (+ full ROC) for one InD-vs-OoD experiment.
+
+    Reference metrics.py:37-100: InD labeled 1, OoD labeled 0, FPR@95 at the
+    first index with TPR >= 0.95, AUPR = auc(recall, precision).
+    """
+    ind_samples_scores = np.asarray(ind_samples_scores).ravel()
+    ood_samples_scores = np.asarray(ood_samples_scores).ravel()
+    scores = np.concatenate([ind_samples_scores, ood_samples_scores])
+    labels = np.concatenate(
+        [np.ones(ind_samples_scores.shape[0]), np.zeros(ood_samples_scores.shape[0])]
+    ).astype(np.int32)
+
+    fpr, tpr, _ = binary_roc(scores, labels)
+    roc_auc = auc(fpr, tpr)
+    fpr_95 = float(fpr[np.where(tpr >= 0.95)[0][0]])
+    precision, recall, _ = binary_precision_recall_curve(scores, labels)
+    aupr = auc(recall, precision)
+
+    results_table = pd.DataFrame.from_dict(
+        {detect_exp_name: [roc_auc, fpr_95, aupr, fpr.tolist(), tpr.tolist()]},
+        orient="index",
+        columns=["auroc", "fpr@95", "aupr", "fpr", "tpr"],
+    )
+    if not return_results_for_mlflow:
+        return results_table
+    results_for_mlflow = results_table.loc[detect_exp_name, ["auroc", "fpr@95", "aupr"]].to_dict()
+    # MLFlow doesn't accept the character '@'
+    results_for_mlflow["fpr_95"] = results_for_mlflow.pop("fpr@95")
+    return results_table, results_for_mlflow
+
+
+def plot_roc_ood_detector(results_table, plot_title: str = "Plot Title"):  # pragma: no cover
+    """Show ROC curves for every row of a results table (metrics.py:103-128)."""
+    import matplotlib.pyplot as plt
+
+    plt.figure(figsize=(8, 6))
+    for i in results_table.index:
+        plt.plot(
+            results_table.loc[i]["fpr"],
+            results_table.loc[i]["tpr"],
+            label=i + ", AUROC={:.4f}".format(results_table.loc[i]["auroc"]),
+        )
+    plt.plot([0, 1], [0, 1], color="orange", linestyle="--")
+    plt.xticks(np.arange(0.0, 1.1, step=0.1))
+    plt.xlabel("False Positive Rate", fontsize=15)
+    plt.yticks(np.arange(0.0, 1.1, step=0.1))
+    plt.ylabel("True Positive Rate", fontsize=15)
+    plt.title(plot_title, fontweight="bold", fontsize=15)
+    plt.legend(prop={"size": 12}, loc="lower right")
+    plt.show()
+
+
+def save_roc_ood_detector(
+    results_table: pd.DataFrame, postprocessors: List[str], plot_title: str = "Plot Title"
+):
+    """ROC overlay figure, highlighted postprocessors solid (metrics.py:131-173)."""
+    import matplotlib.pyplot as plt
+
+    fig, ax = plt.subplots(figsize=(8, 6))
+    for i in results_table.index:
+        if any(postp in i for postp in postprocessors):
+            style = dict(linestyle="solid", linewidth=3.0)
+        else:
+            style = dict(linestyle="dashed", linewidth=1.7)
+        ax.plot(
+            results_table.loc[i]["fpr"],
+            results_table.loc[i]["tpr"],
+            label=i + ", AUROC={:.4f}".format(results_table.loc[i]["auroc"]),
+            **style,
+        )
+    ax.plot([0, 1], [0, 1], color="orange", linestyle="--")
+    ax.set_xticks(np.arange(0.0, 1.1, step=0.1))
+    ax.set_xlabel("False Positive Rate", fontsize=15)
+    ax.set_yticks(np.arange(0.0, 1.1, step=0.1))
+    ax.set_ylabel("True Positive Rate", fontsize=15)
+    ax.set_title(plot_title, fontweight="bold", fontsize=15)
+    ax.legend(prop={"size": 12}, loc="lower right")
+    return fig
+
+
+def save_scores_plots(
+    scores_ind: np.ndarray,
+    ood_scores_dict: Dict,
+    ood_datasets_list: List[str],
+    ind_dataset_name: str,
+    post_processor_name: str = "LaREM",
+) -> Dict:
+    """Score-histogram figures per OoD dataset (metrics.py:176-221)."""
+    import seaborn as sns
+
+    assert post_processor_name in postprocessors_dict.keys()
+    df_scores_ind = pd.DataFrame(scores_ind, columns=[f"{post_processor_name} score"])
+    df_scores_ind.insert(0, "Dataset", "")
+    df_scores_ind.loc[:, "Dataset"] = ind_dataset_name
+    plots_dict = {}
+    for ood_dataset_name in ood_datasets_list:
+        df_ood = pd.DataFrame(
+            ood_scores_dict[ood_dataset_name], columns=[f"{post_processor_name} score"]
+        )
+        df_ood.insert(0, "Dataset", "")
+        df_ood.loc[:, "Dataset"] = ood_dataset_name
+        df_h_z_scores = pd.concat([df_scores_ind, df_ood]).reset_index(drop=True)
+        plots_dict[f"{ood_dataset_name}_{post_processor_name}_scores"] = sns.displot(
+            df_h_z_scores, x=f"{post_processor_name} score", hue="Dataset", kind="hist", fill=True
+        )
+    return plots_dict
+
+
+def get_pred_scores_plots(
+    experiment: Dict, ood_datasets_list: list, title: str, ind_dataset_name: str
+):
+    """Predictive-score density figure (metrics.py:224-262)."""
+    import matplotlib.pyplot as plt
+    import seaborn as sns
+
+    df_ind = pd.DataFrame(experiment["InD"], columns=[experiment["x_axis"]])
+    df_ind.insert(0, "Dataset", "")
+    df_ind.loc[:, "Dataset"] = ind_dataset_name
+    all_dfs = [df_ind]
+    for ood_dataset_name in ood_datasets_list:
+        df_ood = pd.DataFrame(experiment[ood_dataset_name], columns=[experiment["x_axis"]])
+        df_ood.insert(0, "Dataset", "")
+        df_ood.loc[:, "Dataset"] = ood_dataset_name
+        all_dfs.append(df_ood)
+    df_all = pd.concat(all_dfs).reset_index(drop=True)
+    ax = sns.displot(
+        df_all, x=experiment["x_axis"], hue="Dataset", kind="hist", fill=True
+    ).set(title=title)
+    plt.tight_layout()
+    plt.legend(loc="best")
+    return ax
+
+
+def log_evaluate_postprocessors(
+    ind_dict: Dict[str, np.ndarray],
+    ood_dict: Dict[str, np.ndarray],
+    ood_datasets_names: List[str],
+    experiment_name_extension: str = "",
+    return_density_scores: Optional[str] = None,
+    log_step: Optional[int] = None,
+    mlflow_logging: bool = False,
+    postprocessors=None,
+    cfg=None,
+) -> Dict[str, Union[pd.DataFrame, np.ndarray, Dict[str, np.ndarray]]]:
+    """Fit + evaluate a list of latent-space postprocessors (metrics.py:265-380).
+
+    Unlike the reference (whose ``postprocessors=None`` default listed every
+    registry key but then crashed instantiating OodPostprocessors —
+    SURVEY.md section 7.4), the default here is the documented
+    ("LaRED", "LaREM", "LaREK") trio, and all registered classes construct
+    uniformly via ``cls(cfg=cfg)``.
+    """
+    if return_density_scores is not None:
+        assert return_density_scores in postprocessors_dict.keys()
+    if postprocessors is None:
+        postprocessors = ("LaRED", "LaREM", "LaREK")
+
+    overall_metrics_df = pd.DataFrame(columns=["auroc", "fpr@95", "aupr", "fpr", "tpr"])
+
+    ind_scores_dict = {}
+    ood_scores_dict = {}
+    for postprocessor in postprocessors:
+        postp_instance = postprocessors_dict[postprocessor](cfg=cfg)
+        postp_instance._setup_flag = False
+        postp_instance.setup(
+            ind_dict["train latent_space_means"], ind_train_labels=ind_dict.get("train labels")
+        )
+        ind_scores_dict[postprocessor] = postp_instance.postprocess(
+            ind_dict["valid latent_space_means"], pred_labels=ind_dict.get("valid labels")
+        )
+        ood_scores_dict[postprocessor] = {}
+        for ood_dataset_name in ood_datasets_names:
+            ood_scores_dict[postprocessor][ood_dataset_name] = postp_instance.postprocess(
+                ood_dict[f"{ood_dataset_name} latent_space_means"],
+                pred_labels=ood_dict.get(f"{ood_dataset_name} labels"),
+            )
+
+    postprocessors_experiments = {}
+    for ood_dataset_name in ood_datasets_names:
+        for postprocessor in postprocessors:
+            postprocessors_experiments[f"{ood_dataset_name} {postprocessor}"] = {
+                "InD": ind_scores_dict[postprocessor],
+                "OoD": ood_scores_dict[postprocessor][ood_dataset_name],
+            }
+
+    mlflow = _optional_mlflow()
+    for experiment_name, experiment in postprocessors_experiments.items():
+        experiment_name = experiment_name + experiment_name_extension
+        results_df, results_mlflow = get_auroc_results(
+            detect_exp_name=experiment_name,
+            ind_samples_scores=experiment["InD"],
+            ood_samples_scores=experiment["OoD"],
+            return_results_for_mlflow=True,
+        )
+        if "PCA" in experiment_name:
+            results_mlflow = {
+                f"{' '.join(experiment_name.split()[:-1])}_{k}": v
+                for k, v in results_mlflow.items()
+            }
+        else:
+            results_mlflow = {f"{experiment_name}_{k}": v for k, v in results_mlflow.items()}
+        if mlflow_logging and mlflow is not None:  # pragma: no cover
+            mlflow.log_metrics(results_mlflow, step=log_step)
+        for result in results_df.index.values:
+            overall_metrics_df.loc[result] = results_df.loc[result]
+
+    results = {"results_df": overall_metrics_df}
+    if return_density_scores is not None:
+        results["InD"] = ind_scores_dict[return_density_scores]
+        results["OoD"] = ood_scores_dict[return_density_scores]
+    return results
+
+
+def select_and_log_best_larex(
+    overall_metrics_df: pd.DataFrame,
+    n_pca_components_list: Union[list, Tuple],
+    postprocessor_name: str,
+    multiple_ood_datasets_flag: bool,
+    log_mlflow: bool = False,
+) -> Tuple[float, float, float, int]:
+    """Mean metrics per PCA setting, pick best AUROC (metrics.py:383-462)."""
+    assert postprocessor_name in postprocessors_dict.keys(), f"Got {postprocessor_name}"
+    means_df = pd.DataFrame(columns=["auroc", "fpr@95", "aupr"])
+    temp_df = pd.DataFrame(columns=["auroc", "fpr@95", "aupr"])
+    for row_name in overall_metrics_df.index:
+        if postprocessor_name in row_name and "anomalies" not in row_name and "PCA" not in row_name:
+            temp_df.loc[row_name] = overall_metrics_df.loc[row_name, ["auroc", "fpr@95", "aupr"]]
+    means_df.loc[postprocessor_name] = temp_df.mean()
+
+    if multiple_ood_datasets_flag:
+        stds_df = pd.DataFrame(columns=["auroc", "fpr@95", "aupr"])
+        stds_df.loc[postprocessor_name] = temp_df.std()
+
+    for n_components in n_pca_components_list:
+        temp_df = pd.DataFrame(columns=["auroc", "fpr@95", "aupr"])
+        for row_name in overall_metrics_df.index:
+            if (
+                postprocessor_name in row_name
+                and f"PCA {n_components}" in row_name
+                and row_name.split(f"PCA {n_components}")[-1] == ""
+            ):
+                temp_df.loc[row_name] = overall_metrics_df.loc[
+                    row_name, ["auroc", "fpr@95", "aupr"]
+                ]
+        means_df.loc[f"{postprocessor_name} PCA {n_components}"] = temp_df.mean()
+        if multiple_ood_datasets_flag:
+            stds_df.loc[f"{postprocessor_name} PCA {n_components}"] = temp_df.std()
+
+    best_index = means_df[means_df.auroc == means_df.auroc.max()].index[0]
+    best_n_comps = int(best_index.split()[-1]) if "PCA" in best_index else 0
+
+    mlflow = _optional_mlflow()
+    if log_mlflow and mlflow is not None:  # pragma: no cover
+        mlflow.log_metric(f"{postprocessor_name}_auroc_mean", means_df.loc[best_index, "auroc"])
+        mlflow.log_metric(f"{postprocessor_name}_aupr_mean", means_df.loc[best_index, "aupr"])
+        mlflow.log_metric(f"{postprocessor_name}_fpr95_mean", means_df.loc[best_index, "fpr@95"])
+        mlflow.log_metric(f"Best {postprocessor_name}", best_n_comps)
+        if multiple_ood_datasets_flag:
+            mlflow.log_metric(f"{postprocessor_name}_auroc_std", stds_df.loc[best_index, "auroc"])
+            mlflow.log_metric(f"{postprocessor_name}_aupr_std", stds_df.loc[best_index, "aupr"])
+            mlflow.log_metric(f"{postprocessor_name}_fpr95_std", stds_df.loc[best_index, "fpr@95"])
+    return (
+        means_df.loc[best_index, "auroc"],
+        means_df.loc[best_index, "aupr"],
+        means_df.loc[best_index, "fpr@95"],
+        best_n_comps,
+    )
+
+
+def subset_boxes(
+    ind_dict: Dict[str, np.ndarray],
+    ood_dict: Dict[str, np.ndarray],
+    ind_train_limit: int,
+    ood_limit: int,
+    random_seed: int,
+    ood_names: List[str],
+    non_empty_predictions_id: Optional[Dict[str, List]] = None,
+    non_empty_predictions_ood: Optional[Dict[str, List]] = None,
+):
+    """Random subsetting of extracted boxes for faster eval (metrics.py:465-575)."""
+    from collections import defaultdict
+
+    np.random.seed(random_seed)
+    if (
+        "train latent_space_means" in ind_dict.keys()
+        and ind_dict["train latent_space_means"].shape[0] > ind_train_limit
+    ):
+        print(
+            f"Subsetting train set to {ind_train_limit} from "
+            f"{ind_dict['train latent_space_means'].shape[0]} extracted boxes"
+        )
+        chosen_idx_train = np.random.choice(
+            ind_dict["train latent_space_means"].shape[0], size=ind_train_limit, replace=False
+        )
+        ind_dict["train latent_space_means"] = ind_dict["train latent_space_means"][
+            chosen_idx_train
+        ]
+        if "train logits" in ind_dict.keys():
+            ind_dict["train logits"] = ind_dict["train logits"][chosen_idx_train, :]
+        if "train features" in ind_dict.keys():
+            ind_dict["train features"] = ind_dict["train features"][chosen_idx_train, :]
+
+    if (
+        "valid latent_space_means" in ind_dict.keys()
+        and ind_dict["valid latent_space_means"].shape[0] > ood_limit
+    ):
+        non_emp_test = defaultdict(int)
+        for im_id in non_empty_predictions_id["valid"]:
+            non_emp_test[im_id] += 1
+        avg_obj_per_id_img = int(
+            ind_dict["valid latent_space_means"].shape[0] / len(non_emp_test)
+        )
+        choice_test = np.random.choice(
+            list(non_emp_test.keys()),
+            size=int(ood_limit / avg_obj_per_id_img),
+            replace=False,
+        )
+        chosen_idx_valid = []
+        choice_test = np.delete(choice_test, np.where(choice_test == "default_factory"))
+        for i, idx in enumerate(non_empty_predictions_id["valid"]):
+            if idx in choice_test:
+                chosen_idx_valid.append(i)
+        print(
+            f"Subsetting valid set to {len(chosen_idx_valid)} from "
+            f"{ind_dict['valid latent_space_means'].shape[0]} extracted boxes"
+        )
+        ind_dict["valid latent_space_means"] = ind_dict["valid latent_space_means"][
+            chosen_idx_valid
+        ]
+        if "valid logits" in ind_dict.keys():
+            ind_dict["valid logits"] = ind_dict["valid logits"][chosen_idx_valid, :]
+        if "valid features" in ind_dict.keys():
+            ind_dict["valid features"] = ind_dict["valid features"][chosen_idx_valid, :]
+        if non_empty_predictions_id is not None:
+            non_empty_predictions_id["valid"] = [
+                non_empty_predictions_id["valid"][i] for i in chosen_idx_valid
+            ]
+
+    for ood_dataset_name in ood_names:
+        data = ood_dict[f"{ood_dataset_name} latent_space_means"]
+        if data.shape[0] > ood_limit:
+            print(
+                f"Subsetting {ood_dataset_name} to {ood_limit} from "
+                f"{data.shape[0]} extracted boxes"
+            )
+            chosen_idx_ood = np.random.choice(data.shape[0], size=ood_limit, replace=False)
+            ood_dict[f"{ood_dataset_name} latent_space_means"] = data[chosen_idx_ood]
+            if f"{ood_dataset_name} logits" in ood_dict.keys():
+                ood_dict[f"{ood_dataset_name} logits"] = ood_dict[
+                    f"{ood_dataset_name} logits"
+                ][chosen_idx_ood, :]
+            if f"{ood_dataset_name} features" in ood_dict.keys():
+                ood_dict[f"{ood_dataset_name} features"] = ood_dict[
+                    f"{ood_dataset_name} features"
+                ][chosen_idx_ood, :]
+            if non_empty_predictions_ood is not None:
+                non_empty_predictions_ood[ood_dataset_name] = [
+                    non_empty_predictions_ood[ood_dataset_name][i] for i in chosen_idx_ood
+                ]
+
+    if non_empty_predictions_id is not None and non_empty_predictions_ood is not None:
+        return ind_dict, ood_dict, non_empty_predictions_id, non_empty_predictions_ood
+    return ind_dict, ood_dict
+
+
+def get_gtu_uu_metrics(
+    ind_dataset_name: str,
+    ind_gt_annotations_path: str,
+    ind_data_dict: Dict,
+    ood_data_dict: Dict,
+    ood_datasets_names: List[str],
+    ood_annotations_paths: Dict[str, str],
+    methods_names: List[str],
+    metric_2007: bool,
+    min_conf_score: Optional[float] = None,
+) -> Dict[str, Dict[str, Dict[str, np.ndarray]]]:
+    """AUROC split into GTU (ground-truth unknown) vs UU (unknown unknown)
+    detections (reference metrics.py:578-657)."""
+    from runia_core_tpu.evaluation.open_set import get_boxes_gtu_and_uu_ood_dataset
+
+    id_valid_scores = {}
+    for method in methods_names:
+        id_valid_scores[method] = []
+        for im_id, pred_dict in ind_data_dict["valid"].items():
+            id_valid_scores[method].extend(pred_dict[method])
+        id_valid_scores[method] = np.array([id_valid_scores[method]]).squeeze()
+
+    ood_scores: Dict = {}
+    results: Dict = {}
+    for ood_dataset_name in ood_datasets_names:
+        ood_scores[ood_dataset_name] = {}
+        results[ood_dataset_name] = {}
+        for method in methods_names:
+            ood_scores[ood_dataset_name][method] = {}
+            results[ood_dataset_name][method] = {}
+            (
+                ood_scores[ood_dataset_name][method]["gtu"],
+                ood_scores[ood_dataset_name][method]["uu"],
+            ) = get_boxes_gtu_and_uu_ood_dataset(
+                id_dataset_name=ind_dataset_name,
+                id_gt_annotations_path=ind_gt_annotations_path,
+                predictions_dict=ood_data_dict[ood_dataset_name],
+                method_name=method,
+                test_gt_annotations_path=ood_annotations_paths[ood_dataset_name],
+                metric_2007=metric_2007,
+                evaluating_ood=True,
+                min_conf_score=min_conf_score,
+            )
+            _, results_gtu = get_auroc_results(
+                detect_exp_name="",
+                ind_samples_scores=id_valid_scores[method],
+                ood_samples_scores=ood_scores[ood_dataset_name][method]["gtu"],
+                return_results_for_mlflow=True,
+            )
+            _, results_uu = get_auroc_results(
+                detect_exp_name="",
+                ind_samples_scores=id_valid_scores[method],
+                ood_samples_scores=ood_scores[ood_dataset_name][method]["uu"],
+                return_results_for_mlflow=True,
+            )
+            results[ood_dataset_name][method]["gtu"] = results_gtu
+            results[ood_dataset_name][method]["uu"] = results_uu
+    return results

@@ -1,0 +1,9 @@
+"""Runtime inference modules (online OoD scoring)."""
+
+from runia_core_tpu.inference.image_level import (
+    LaRDInference,
+    LaRExInference,
+    build_larex_scorer,
+)
+
+__all__ = ["LaRExInference", "LaRDInference", "build_larex_scorer"]

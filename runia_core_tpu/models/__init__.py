@@ -1,0 +1,19 @@
+"""Model zoo: flax modules with built-in feature taps."""
+
+from runia_core_tpu.models.resnet import (
+    ResNet,
+    ResNet18,
+    ResNet34,
+    ResNet50,
+    SimpleConvNet,
+    build_tapped_forward,
+)
+
+__all__ = [
+    "ResNet",
+    "ResNet18",
+    "ResNet34",
+    "ResNet50",
+    "SimpleConvNet",
+    "build_tapped_forward",
+]

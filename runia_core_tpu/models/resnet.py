@@ -1,0 +1,195 @@
+"""Flax ResNet family with built-in feature taps.
+
+The reference probes user-supplied torch models with mutable forward hooks
+(reference: runia_core/feature_extraction/utils.py:27-56). The TPU-native
+design inverts this: models *return* named intermediates ("taps") alongside
+their outputs, so feature extraction is pure, jittable, and vmappable
+(SURVEY.md section 7.1 "feature taps instead of hooks").
+
+Every model here returns ``(logits, taps)`` where taps is a dict of
+intermediates in NHWC (TPU-native layout):
+
+  - ``stem``, ``block1..block4``: post-stage feature maps (B, H, W, C)
+  - ``pre_pool``: alias of the last feature map (the LaREx hook point —
+    the reference hooks the layer before global pooling)
+  - ``penultimate``: pooled features (B, C) feeding the classifier head
+    (the feature input for kNN/ViM/ASH/DICE/ReAct)
+
+Use :func:`build_tapped_forward` to get a jitted forward returning only the
+taps you need — XLA dead-code-eliminates the rest.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Callable, Dict, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+__all__ = [
+    "ResNet",
+    "ResNet18",
+    "ResNet34",
+    "ResNet50",
+    "SimpleConvNet",
+    "build_tapped_forward",
+]
+
+ModuleDef = Any
+
+
+class ResNetBlock(nn.Module):
+    """Basic residual block (two 3x3 convs)."""
+
+    filters: int
+    conv: ModuleDef
+    norm: ModuleDef
+    strides: Tuple[int, int] = (1, 1)
+
+    @nn.compact
+    def __call__(self, x):
+        residual = x
+        y = self.conv(self.filters, (3, 3), self.strides)(x)
+        y = self.norm()(y)
+        y = nn.relu(y)
+        y = self.conv(self.filters, (3, 3))(y)
+        y = self.norm(scale_init=nn.initializers.zeros_init())(y)
+        if residual.shape != y.shape:
+            residual = self.conv(self.filters, (1, 1), self.strides, name="conv_proj")(
+                residual
+            )
+            residual = self.norm(name="norm_proj")(residual)
+        return nn.relu(residual + y)
+
+
+class BottleneckResNetBlock(nn.Module):
+    """Bottleneck residual block (1x1 -> 3x3 -> 1x1)."""
+
+    filters: int
+    conv: ModuleDef
+    norm: ModuleDef
+    strides: Tuple[int, int] = (1, 1)
+
+    @nn.compact
+    def __call__(self, x):
+        residual = x
+        y = self.conv(self.filters, (1, 1))(x)
+        y = self.norm()(y)
+        y = nn.relu(y)
+        y = self.conv(self.filters, (3, 3), self.strides)(y)
+        y = self.norm()(y)
+        y = nn.relu(y)
+        y = self.conv(self.filters * 4, (1, 1))(y)
+        y = self.norm(scale_init=nn.initializers.zeros_init())(y)
+        if residual.shape != y.shape:
+            residual = self.conv(
+                self.filters * 4, (1, 1), self.strides, name="conv_proj"
+            )(residual)
+            residual = self.norm(name="norm_proj")(residual)
+        return nn.relu(residual + y)
+
+
+class ResNet(nn.Module):
+    """ResNet with taps; NHWC; bfloat16-friendly compute dtype."""
+
+    stage_sizes: Sequence[int]
+    block_cls: ModuleDef
+    num_classes: int
+    num_filters: int = 64
+    cifar_stem: bool = False  # 3x3 stem, no max-pool (CIFAR-sized inputs)
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        conv = partial(nn.Conv, use_bias=False, dtype=self.dtype)
+        norm = partial(
+            nn.BatchNorm,
+            use_running_average=not train,
+            momentum=0.9,
+            epsilon=1e-5,
+            dtype=self.dtype,
+        )
+        taps: Dict[str, jnp.ndarray] = {}
+
+        if self.cifar_stem:
+            x = conv(self.num_filters, (3, 3), name="conv_init")(x)
+            x = norm(name="bn_init")(x)
+            x = nn.relu(x)
+        else:
+            x = conv(self.num_filters, (7, 7), (2, 2), padding=[(3, 3), (3, 3)],
+                     name="conv_init")(x)
+            x = norm(name="bn_init")(x)
+            x = nn.relu(x)
+            x = nn.max_pool(x, (3, 3), strides=(2, 2), padding="SAME")
+        taps["stem"] = x
+
+        for i, block_size in enumerate(self.stage_sizes):
+            for j in range(block_size):
+                strides = (2, 2) if i > 0 and j == 0 else (1, 1)
+                x = self.block_cls(
+                    self.num_filters * 2**i, strides=strides, conv=conv, norm=norm
+                )(x)
+            taps[f"block{i + 1}"] = x
+
+        taps["pre_pool"] = x
+        x = jnp.mean(x, axis=(1, 2))
+        taps["penultimate"] = x
+        logits = nn.Dense(self.num_classes, dtype=self.dtype, name="head")(x)
+        return logits, taps
+
+
+ResNet18 = partial(ResNet, stage_sizes=(2, 2, 2, 2), block_cls=ResNetBlock)
+ResNet34 = partial(ResNet, stage_sizes=(3, 4, 6, 3), block_cls=ResNetBlock)
+ResNet50 = partial(ResNet, stage_sizes=(3, 4, 6, 3), block_cls=BottleneckResNetBlock)
+
+
+class SimpleConvNet(nn.Module):
+    """Two-conv classifier mirroring the reference's MNIST test fixture
+    (reference tests/tests_architecture.py:5-22) with taps."""
+
+    num_classes: int = 10
+    features: int = 32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        taps: Dict[str, jnp.ndarray] = {}
+        x = nn.relu(nn.Conv(self.features, (3, 3))(x))
+        x = nn.max_pool(x, (2, 2), strides=(2, 2))
+        x = nn.relu(nn.Conv(self.features * 2, (3, 3))(x))
+        x = nn.max_pool(x, (2, 2), strides=(2, 2))
+        taps["pre_pool"] = x
+        x = jnp.mean(x, axis=(1, 2))
+        taps["penultimate"] = x
+        logits = nn.Dense(self.num_classes, name="head")(x)
+        return logits, taps
+
+
+def build_tapped_forward(
+    model: nn.Module,
+    variables: Dict,
+    taps: Sequence[str] = ("pre_pool",),
+    channel_first_taps: bool = False,
+) -> Callable:
+    """Jitted forward returning (logits, {tap: array}).
+
+    Only the requested taps survive (XLA removes the rest). With
+    ``channel_first_taps`` 4-D taps are transposed to NCHW for code written
+    against the reference's torch layout.
+    """
+
+    wanted = tuple(taps)
+
+    @jax.jit
+    def forward(images):
+        logits, all_taps = model.apply(variables, images, train=False)
+        out = {}
+        for name in wanted:
+            t = all_taps[name]
+            if channel_first_taps and t.ndim == 4:
+                t = jnp.transpose(t, (0, 3, 1, 2))
+            out[name] = t
+        return logits, out
+
+    return forward

@@ -25,7 +25,9 @@ __all__ = ["MCSamplerModule", "mc_dropblock_samples"]
 
 @partial(
     jax.jit,
-    static_argnames=("mc_samples", "block_size", "drop_prob", "layer_type", "reduction"),
+    static_argnames=(
+        "mc_samples", "block_size", "drop_prob", "layer_type", "reduction", "channel_axis",
+    ),
 )
 def mc_dropblock_samples(
     key: jax.Array,
@@ -35,11 +37,15 @@ def mc_dropblock_samples(
     drop_prob: float,
     layer_type: str = "Conv",
     reduction: str = "fullmean",
+    channel_axis: int = 1,
 ) -> jnp.ndarray:
     """Draw S DropBlock-noised samples of one latent map.
 
     Args:
-        latent_rep: (B, C, H, W) activation (B=1 reproduces the reference).
+        latent_rep: (B, C, H, W) activation for ``channel_axis=1`` (the
+            reference's torch layout; B=1 reproduces it exactly), or
+            (B, H, W, C) for ``channel_axis=3`` (TPU-native NHWC — no
+            transposes on the hot path).
         layer_type: 'Conv' reduces each sample to per-channel means
             (fullmean), 'FC'/'RPN' keeps the flattened map
             (abstract_classes.py:95-99).
@@ -50,9 +56,16 @@ def mc_dropblock_samples(
     keys = jax.random.split(key, mc_samples)
 
     def one_sample(k):
-        noised = dropblock2d(k, latent_rep, drop_prob, block_size, channel_axis=1)
+        noised = dropblock2d(k, latent_rep, drop_prob, block_size, channel_axis=channel_axis)
         if layer_type == "Conv":
-            return get_mean_or_fullmean_ls_sample(noised, reduction)  # (B, C)
+            if reduction == "fullmean":
+                spatial = (2, 3) if channel_axis == 1 else (1, 2)
+                return jnp.mean(noised, axis=spatial)  # (B, C)
+            if channel_axis != 1:
+                raise NotImplementedError("'mean' reduction requires NCHW input")
+            return get_mean_or_fullmean_ls_sample(noised, reduction).reshape(
+                noised.shape[0], -1
+            )
         return noised.reshape(noised.shape[0], -1)  # (B, C*H*W)
 
     samples = jax.vmap(one_sample)(keys)  # (S, B, d)
