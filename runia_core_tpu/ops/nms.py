@@ -1,0 +1,90 @@
+"""Non-maximum suppression as a jittable XLA program.
+
+Replaces torchvision.ops.nms (C++/CUDA; reference usage:
+runia_core/feature_extraction/abstract_classes.py:6,710 inside the YOLO
+logits-recovery path, including the class-offset trick at
+abstract_classes.py:706-709).
+
+The sequential suppression dependency is expressed as a ``lax.fori_loop``
+over the score-sorted boxes with a precomputed IoU matrix: iteration i
+clears the keep-bits of every later box overlapping box i iff box i itself
+is still kept. Static shapes throughout; the dynamic result is
+(sorted_indices, keep_mask) — ``nms_indices`` converts to the
+torchvision-style dynamic index list on the host.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = ["pairwise_iou", "nms_mask", "nms_indices", "batched_class_nms_mask"]
+
+
+def pairwise_iou(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """(N, M) IoU between two xyxy box sets (torchvision box_iou semantics)."""
+    area_a = (a[:, 2] - a[:, 0]) * (a[:, 3] - a[:, 1])  # (N,)
+    area_b = (b[:, 2] - b[:, 0]) * (b[:, 3] - b[:, 1])  # (M,)
+    lt = jnp.maximum(a[:, None, :2], b[None, :, :2])  # (N, M, 2)
+    rb = jnp.minimum(a[:, None, 2:], b[None, :, 2:])
+    wh = jnp.clip(rb - lt, 0.0)
+    inter = wh[..., 0] * wh[..., 1]
+    return inter / (area_a[:, None] + area_b[None, :] - inter)
+
+
+@partial(jax.jit, static_argnames=())
+def nms_mask(
+    boxes: jnp.ndarray, scores: jnp.ndarray, iou_threshold: float
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Greedy NMS. Returns (order, keep) where ``order`` sorts boxes by
+    descending score and ``keep[i]`` says whether ``order[i]`` survives.
+
+    Boxes with IoU strictly greater than the threshold to a kept
+    higher-scoring box are suppressed (torchvision semantics).
+    """
+    n = boxes.shape[0]
+    order = jnp.argsort(-scores)
+    sorted_boxes = boxes[order]
+    ious = pairwise_iou(sorted_boxes, sorted_boxes)
+    later = jnp.arange(n)[None, :] > jnp.arange(n)[:, None]  # strictly upper
+
+    def body(i, keep):
+        suppress = (ious[i] > iou_threshold) & later[i] & keep[i]
+        return keep & ~suppress
+
+    keep = jax.lax.fori_loop(0, n, body, jnp.ones((n,), bool))
+    return order, keep
+
+
+def nms_indices(
+    boxes, scores, iou_threshold: float, max_det: int | None = None
+) -> np.ndarray:
+    """torchvision-style API: indices of kept boxes, descending score."""
+    boxes = jnp.asarray(np.asarray(boxes, dtype=np.float32))
+    scores = jnp.asarray(np.asarray(scores, dtype=np.float32))
+    if boxes.shape[0] == 0:
+        return np.zeros((0,), dtype=np.int64)
+    order, keep = nms_mask(boxes, scores, iou_threshold)
+    kept = np.asarray(order)[np.asarray(keep)]
+    if max_det is not None:
+        kept = kept[:max_det]
+    return kept.astype(np.int64)
+
+
+@partial(jax.jit, static_argnames=("max_wh",))
+def batched_class_nms_mask(
+    boxes: jnp.ndarray,
+    scores: jnp.ndarray,
+    classes: jnp.ndarray,
+    iou_threshold: float,
+    max_wh: int = 7680,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Class-aware NMS via the coordinate-offset trick: shift each class's
+    boxes by class_id * max_wh so boxes of different classes never overlap
+    (reference abstract_classes.py:706-709)."""
+    offset = classes.astype(boxes.dtype)[:, None] * max_wh
+    return nms_mask(boxes + offset, scores, iou_threshold)
