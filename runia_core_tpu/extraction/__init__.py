@@ -1,13 +1,35 @@
 """Feature extraction layer: batched MC-dropout latent sampling."""
 
+from runia_core_tpu.extraction.adapters import (
+    SUPPORTED_OBJECT_DETECTION_ARCHITECTURES,
+    DetectionResult,
+    postprocess_architecture_taps,
+    yolo_get_logits,
+)
 from runia_core_tpu.extraction.image_level import (
     FastMCDSamplesExtractor,
     MCDSamplesExtractor,
     get_latent_representation_mcd_samples,
+)
+from runia_core_tpu.extraction.object_level import (
+    BoxFeaturesExtractor,
+    _dropblock_rois_get_entropy,
+    _reduce_features_to_rois,
+)
+from runia_core_tpu.extraction.utils import (
+    associate_precalculated_baselines_with_raw_predictions,
+    get_aggregated_data_dict,
 )
 
 __all__ = [
     "FastMCDSamplesExtractor",
     "MCDSamplesExtractor",
     "get_latent_representation_mcd_samples",
+    "BoxFeaturesExtractor",
+    "DetectionResult",
+    "SUPPORTED_OBJECT_DETECTION_ARCHITECTURES",
+    "yolo_get_logits",
+    "postprocess_architecture_taps",
+    "get_aggregated_data_dict",
+    "associate_precalculated_baselines_with_raw_predictions",
 ]

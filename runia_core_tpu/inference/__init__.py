@@ -5,5 +5,15 @@ from runia_core_tpu.inference.image_level import (
     LaRExInference,
     build_larex_scorer,
 )
+from runia_core_tpu.inference.object_level import (
+    BoxInferenceYolo,
+    ObjectLevelInference,
+)
 
-__all__ = ["LaRExInference", "LaRDInference", "build_larex_scorer"]
+__all__ = [
+    "LaRExInference",
+    "LaRDInference",
+    "build_larex_scorer",
+    "BoxInferenceYolo",
+    "ObjectLevelInference",
+]
