@@ -1,0 +1,44 @@
+"""LLM hallucination / uncertainty scoring (reference llm_uncertainty)."""
+
+from runia_core_tpu.llm.attention import (
+    StreamingAttentionAggregator,
+    _get_attention_rollout,
+    _get_average_attention_all,
+    _get_recurent_attention,
+    _reconstruct_attention_matrix,
+)
+from runia_core_tpu.llm.generate import JaxGenerator, run_generation
+from runia_core_tpu.llm.scores import (
+    RAUQ,
+    compute_uncertainties,
+    eigen_score,
+    generation_entropy,
+    normalized_entropy,
+    perplexity,
+    rauq_uncertainty,
+    rauq_uncertainty_mean_heads,
+    rauq_uncertainty_rollout,
+    semantic_entropy,
+)
+from runia_core_tpu.llm.utils import (
+    _are_equivalent,
+    _semantic_clustering,
+    make_nli_equivalence,
+)
+
+__all__ = [
+    "eigen_score",
+    "normalized_entropy",
+    "semantic_entropy",
+    "perplexity",
+    "generation_entropy",
+    "rauq_uncertainty",
+    "rauq_uncertainty_mean_heads",
+    "rauq_uncertainty_rollout",
+    "RAUQ",
+    "compute_uncertainties",
+    "JaxGenerator",
+    "run_generation",
+    "StreamingAttentionAggregator",
+    "make_nli_equivalence",
+]

@@ -1,0 +1,249 @@
+"""Generation backends for the LLM uncertainty scores.
+
+Two interchangeable backends feed ``compute_uncertainties``:
+
+* HF torch causal LMs (duck-typed on ``.generate``): runs the reference's
+  two-phase flow (deterministic + sampled generation with
+  attentions/hidden_states/scores; reference scores.py:439-504) and converts
+  outputs to numpy.
+* :class:`JaxGenerator`: a TPU-native KV-cached decode loop over a
+  runia_core_tpu.models.transformer.CausalLM, emitting HF-shaped structures
+  (scores tuple, attentions tuple-of-tuples, hidden_states tuple-of-tuples)
+  so every score function works identically on both backends. Multi-sample
+  generation shares one batched decode with per-sequence folded RNG.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from runia_core_tpu.models.transformer import CausalLM, init_cache
+
+__all__ = ["JaxGenerator", "run_generation"]
+
+
+class JaxGenerator:
+    """Stateful wrapper: CausalLM + params + decode configuration.
+
+    ``tokenizer`` may be any object with ``encode(str) -> List[int]`` and
+    ``decode(List[int]) -> str``; for synthetic tests an identity tokenizer
+    suffices.
+    """
+
+    def __init__(
+        self,
+        model: CausalLM,
+        params,
+        max_new_tokens: int = 16,
+        eos_id: Optional[int] = None,
+        rng: Optional[jax.Array] = None,
+    ):
+        self.model = model
+        self.params = params
+        self.max_new_tokens = max_new_tokens
+        self.eos_id = eos_id
+        self._rng = rng if rng is not None else jax.random.key(0)
+
+        self._prefill = jax.jit(
+            lambda tokens, cache: model.apply(params, tokens, cache, jnp.int32(0))
+        )
+        self._step = jax.jit(
+            lambda tokens, cache, idx: model.apply(params, tokens, cache, idx)
+        )
+
+    def generate(
+        self,
+        prompt_tokens: Sequence[int],
+        num_return_sequences: int = 1,
+        do_sample: bool = False,
+        temperature: float = 1.0,
+        key: Optional[jax.Array] = None,
+        max_new_tokens: Optional[int] = None,
+    ) -> Dict[str, Any]:
+        """Decode with per-step taps; returns HF-shaped numpy structures.
+
+        Returns dict with keys: sequences (S, P+T), scores (tuple of (S, V)),
+        attentions (tuple over steps of per-layer (S, H, tgt, src)),
+        hidden_states (tuple over steps of per-layer (S, tgt, D)),
+        log_probs (S, T) transition log-probabilities.
+        """
+        max_new = max_new_tokens or self.max_new_tokens
+        s = num_return_sequences
+        prompt = jnp.asarray(np.asarray(prompt_tokens, dtype=np.int32))[None, :]
+        prompt = jnp.broadcast_to(prompt, (s, prompt.shape[1]))
+        p = prompt.shape[1]
+        total = p + max_new
+        if key is None:
+            key = self._rng
+            self._rng = jax.random.fold_in(self._rng, 1)
+
+        cache = init_cache(self.model, s, total)
+        logits, attn, hiddens, cache = self._prefill(prompt, cache)
+        # attn: (L, S, H, P, total) in cache mode -> trim to (S, H, P, P)
+        attentions: List[Tuple[np.ndarray, ...]] = [
+            tuple(np.asarray(attn[l, :, :, :, :p]) for l in range(attn.shape[0]))
+        ]
+        hidden_states: List[Tuple[np.ndarray, ...]] = [
+            tuple(np.asarray(h) for h in hiddens)
+        ]
+        scores: List[np.ndarray] = []
+        token_ids: List[np.ndarray] = []
+        log_probs: List[np.ndarray] = []
+
+        step_logits = logits[:, -1, :]  # (S, V)
+        finished = np.zeros(s, dtype=bool)
+        for step in range(max_new):
+            log_soft = jax.nn.log_softmax(step_logits, axis=-1)
+            if do_sample:
+                key, sub = jax.random.split(key)
+                next_tok = jax.random.categorical(sub, step_logits / temperature, axis=-1)
+            else:
+                next_tok = jnp.argmax(step_logits, axis=-1)
+            scores.append(np.asarray(step_logits))
+            lp = np.asarray(
+                jnp.take_along_axis(log_soft, next_tok[:, None], axis=-1)
+            )[:, 0]
+            lp = np.where(finished, -np.inf, lp)
+            log_probs.append(lp)
+            token_ids.append(np.asarray(next_tok))
+            if self.eos_id is not None:
+                finished |= np.asarray(next_tok) == self.eos_id
+
+            if step == max_new - 1:
+                break
+            idx = jnp.int32(p + step)
+            step_out, attn, hiddens, cache = self._step(next_tok[:, None], cache, idx)
+            src_len = p + step + 1
+            attentions.append(
+                tuple(np.asarray(attn[l, :, :, :, :src_len]) for l in range(attn.shape[0]))
+            )
+            hidden_states.append(tuple(np.asarray(h) for h in hiddens))
+            step_logits = step_out[:, 0, :]
+
+        sequences = np.concatenate(
+            [np.asarray(prompt)] + [t[:, None] for t in token_ids], axis=1
+        )
+        return {
+            "sequences": sequences,
+            "scores": tuple(scores),
+            "attentions": tuple(attentions),
+            "hidden_states": tuple(hidden_states),
+            "log_probs": np.stack(log_probs, axis=1),
+        }
+
+
+# ---------------------------------------------------------------------------
+# Backend dispatch for compute_uncertainties
+# ---------------------------------------------------------------------------
+def _hf_generation(model, tokenizer, prompt, gen_config, num_samples, needs_sampling):
+    """Reference-equivalent HF flow (scores.py:426-504), outputs numpy-ized."""
+    inputs = tokenizer(prompt, return_tensors="pt")
+    if hasattr(model, "device"):
+        inputs = inputs.to(model.device)
+    input_length = inputs["input_ids"].shape[1]
+
+    det_out = model.generate(
+        **inputs,
+        generation_config=gen_config,
+        output_attentions=True,
+        output_hidden_states=True,
+        output_scores=True,
+        return_dict_in_generate=True,
+    )
+    deterministic_text = tokenizer.batch_decode(
+        det_out.sequences[:, input_length:], skip_special_tokens=True
+    )
+    det_log_probs = model.compute_transition_scores(
+        det_out.sequences, det_out.scores, normalize_logits=True
+    )
+    deterministic = {
+        "log_probs": np.asarray(det_log_probs.cpu()),
+        "logits": det_out.scores,
+        "attentions": det_out.attentions,
+        "input_length": input_length,
+        "text": deterministic_text,
+    }
+
+    sampled = {"log_probs": None, "hidden_states": None, "texts": None}
+    if needs_sampling:
+        samp_out = model.generate(
+            **inputs,
+            do_sample=True,
+            temperature=1.0,
+            num_return_sequences=num_samples,
+            generation_config=gen_config,
+            output_attentions=True,
+            output_hidden_states=True,
+            output_scores=True,
+            return_dict_in_generate=True,
+        )
+        sampled = {
+            "log_probs": np.asarray(
+                model.compute_transition_scores(
+                    samp_out.sequences, samp_out.scores, normalize_logits=True
+                ).cpu()
+            ),
+            "hidden_states": samp_out.hidden_states,
+            "texts": tokenizer.batch_decode(
+                samp_out.sequences[:, input_length:], skip_special_tokens=True
+            ),
+        }
+    return deterministic, sampled, deterministic_text
+
+
+def _jax_generation(generator, tokenizer, prompt, gen_config, num_samples, needs_sampling):
+    """JaxGenerator flow mirroring the two HF phases."""
+    if tokenizer is not None and hasattr(tokenizer, "encode"):
+        prompt_tokens = tokenizer.encode(prompt)
+    else:
+        prompt_tokens = prompt  # already token ids
+    det = generator.generate(prompt_tokens, num_return_sequences=1, do_sample=False)
+    input_length = len(prompt_tokens)
+    if tokenizer is not None and hasattr(tokenizer, "decode"):
+        deterministic_text = [
+            tokenizer.decode(det["sequences"][0, input_length:].tolist())
+        ]
+    else:
+        deterministic_text = [det["sequences"][0, input_length:].tolist()]
+    deterministic = {
+        "log_probs": det["log_probs"],
+        "logits": det["scores"],
+        "attentions": det["attentions"],
+        "input_length": input_length,
+        "text": deterministic_text,
+    }
+    sampled = {"log_probs": None, "hidden_states": None, "texts": None}
+    if needs_sampling:
+        samp = generator.generate(
+            prompt_tokens, num_return_sequences=num_samples, do_sample=True
+        )
+        if tokenizer is not None and hasattr(tokenizer, "decode"):
+            texts = [
+                tokenizer.decode(samp["sequences"][i, input_length:].tolist())
+                for i in range(num_samples)
+            ]
+        else:
+            texts = [samp["sequences"][i, input_length:].tolist() for i in range(num_samples)]
+        sampled = {
+            "log_probs": samp["log_probs"],
+            "hidden_states": samp["hidden_states"],
+            "texts": texts,
+        }
+    return deterministic, sampled, deterministic_text
+
+
+def run_generation(model, tokenizer, prompt, gen_config, num_samples, needs_sampling):
+    """Dispatch on backend type."""
+    if isinstance(model, JaxGenerator):
+        return _jax_generation(
+            model, tokenizer, prompt, gen_config, num_samples, needs_sampling
+        )
+    if hasattr(model, "generate"):
+        return _hf_generation(
+            model, tokenizer, prompt, gen_config, num_samples, needs_sampling
+        )
+    raise TypeError(f"Unsupported generation backend: {type(model)}")

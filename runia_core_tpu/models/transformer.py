@@ -1,0 +1,140 @@
+"""Decoder-only transformer LM with attention/hidden-state taps and KV cache.
+
+The LLM-uncertainty scores need per-step logits, attention maps, and hidden
+states (reference runia_core/llm_uncertainty/scores.py:439-456). HF exposes
+these via ``output_attentions``/``output_hidden_states``; this flax module is
+the TPU-native equivalent: the forward returns (logits, attentions, hiddens),
+and a functional KV cache supports single-token decode steps inside
+``lax.scan`` (llm/generate.py).
+
+Layout: attentions (L, B, H, T_q, T_kv); hiddens (L+1, B, T, D) with the
+embedding output first (HF convention).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+__all__ = ["CausalLM", "init_cache"]
+
+
+class Block(nn.Module):
+    num_heads: int
+    d_model: int
+
+    @nn.compact
+    def __call__(self, x, mask, cache=None, cache_index=None):
+        """Pre-LN block. Returns (x, attention (B, H, Tq, Tkv), new_kv)."""
+        h = nn.LayerNorm()(x)
+        head_dim = self.d_model // self.num_heads
+        b, t, _ = h.shape
+
+        def heads(name):
+            proj = nn.Dense(self.d_model, name=name)(h)
+            return proj.reshape(b, t, self.num_heads, head_dim)
+
+        q = heads("q")
+        k = heads("k")
+        v = heads("v")
+
+        if cache is not None:
+            # Insert this step's k/v at cache_index; attend over the cache.
+            k_cache = jax.lax.dynamic_update_slice(
+                cache["k"], k, (0, cache_index, 0, 0)
+            )
+            v_cache = jax.lax.dynamic_update_slice(
+                cache["v"], v, (0, cache_index, 0, 0)
+            )
+            k_all, v_all = k_cache, v_cache
+            new_kv = {"k": k_cache, "v": v_cache}
+        else:
+            k_all, v_all = k, v
+            new_kv = None
+
+        logits = jnp.einsum("bqhd,bkhd->bhqk", q, k_all) / jnp.sqrt(head_dim * 1.0)
+        logits = jnp.where(mask, logits, -1e30)
+        attn = jax.nn.softmax(logits, axis=-1)
+        attn = jnp.where(mask, attn, 0.0)  # keep masked entries exactly zero
+        out = jnp.einsum("bhqk,bkhd->bqhd", attn, v_all).reshape(b, t, self.d_model)
+        x = x + nn.Dense(self.d_model, name="attn_out")(out)
+
+        h2 = nn.LayerNorm()(x)
+        mlp = nn.Dense(4 * self.d_model)(h2)
+        mlp = nn.gelu(mlp)
+        x = x + nn.Dense(self.d_model, name="mlp_out")(mlp)
+        return x, attn, new_kv
+
+
+class CausalLM(nn.Module):
+    vocab_size: int
+    num_layers: int = 4
+    num_heads: int = 4
+    d_model: int = 64
+    max_len: int = 256
+
+    @nn.compact
+    def __call__(
+        self,
+        tokens: jnp.ndarray,
+        cache: Optional[Dict] = None,
+        cache_index: Optional[jnp.ndarray] = None,
+    ):
+        """Forward pass.
+
+        Prefill: ``tokens`` (B, T), cache None -> causal self-attention.
+        Decode: ``tokens`` (B, 1) with cache + cache_index -> attends over
+        cached keys up to and including this step.
+
+        Returns:
+            logits (B, T, V), attentions (L, B, H, T, T_kv),
+            hiddens (L+1, B, T, D), new_cache (or None).
+        """
+        b, t = tokens.shape
+        if cache is None:
+            positions = jnp.arange(t)[None, :]
+            mask = jnp.tril(jnp.ones((t, t), bool))[None, None, :, :]
+        else:
+            # Query positions cache_index .. cache_index + t - 1; each may
+            # attend to every cached position at or before it. Covers both
+            # cache-mode prefill (t = P, cache_index = 0) and decode (t = 1).
+            q_pos = cache_index + jnp.arange(t)
+            positions = jnp.broadcast_to(q_pos[None, :], (b, t))
+            kv_len = cache["layers"][0]["k"].shape[1]
+            mask = (
+                jnp.arange(kv_len)[None, None, None, :] <= q_pos[None, None, :, None]
+            )
+
+        x = nn.Embed(self.vocab_size, self.d_model, name="embed")(tokens)
+        x = x + nn.Embed(self.max_len, self.d_model, name="pos_embed")(positions)
+
+        hiddens = [x]
+        attns = []
+        new_layer_caches = []
+        for i in range(self.num_layers):
+            layer_cache = cache["layers"][i] if cache is not None else None
+            x, attn, new_kv = Block(self.num_heads, self.d_model, name=f"block_{i}")(
+                x, mask, layer_cache, cache_index
+            )
+            hiddens.append(x)
+            attns.append(attn)
+            if new_kv is not None:
+                new_layer_caches.append(new_kv)
+        x = nn.LayerNorm(name="ln_f")(x)
+        logits = nn.Dense(self.vocab_size, name="lm_head")(x)
+
+        new_cache = {"layers": new_layer_caches} if cache is not None else None
+        return logits, jnp.stack(attns), jnp.stack(hiddens), new_cache
+
+
+def init_cache(model: CausalLM, batch: int, max_len: int) -> Dict:
+    """Allocate an all-zero KV cache pytree."""
+    head_dim = model.d_model // model.num_heads
+    layer = lambda: {
+        "k": jnp.zeros((batch, max_len, model.num_heads, head_dim)),
+        "v": jnp.zeros((batch, max_len, model.num_heads, head_dim)),
+    }
+    return {"layers": [layer() for _ in range(model.num_layers)]}
