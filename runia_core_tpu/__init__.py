@@ -3,11 +3,98 @@
 A ground-up JAX/XLA/Pallas framework with the capabilities of
 CEA-LIST/runia_core (see SURVEY.md): latent-space OoD methods (LaRED / LaREM /
 LaREx), 16 post-hoc scorers, image- and object-level feature extraction,
-open-set detection evaluation, and LLM hallucination scores — all batch-first,
-functional, and jittable.
+open-set detection evaluation, LLM hallucination scores, and mesh-sharded
+execution — all batch-first, functional, and jittable.
+
+Sub-package layout mirrors the reference (reference runia_core/__init__.py)
+with the same deprecation machinery; ``reduction`` plays the role of the
+reference's ``dimensionality_reduction`` and is aliased accordingly.
 """
 
-from runia_core_tpu import config, detectors, ops
+from runia_core_tpu import (
+    checkpoint,
+    config,
+    detectors,
+    evaluation,
+    extraction,
+    inference,
+    llm,
+    models,
+    ops,
+    parallel,
+    rcnn,
+    reduction,
+    sampling,
+    yolov8,
+)
+from runia_core_tpu import reduction as dimensionality_reduction
+from runia_core_tpu import llm as llm_uncertainty
+from runia_core_tpu import extraction as feature_extraction
+from runia_core_tpu.import_helper_functions import module_exists
+from runia_core_tpu.reduction import (
+    apply_pca_ds,
+    apply_pca_ds_split,
+    apply_pca_transform,
+    apply_pacmap_transform,
+    fit_pacmap,
+    plot_samples_pacmap,
+)
 from runia_core_tpu.version import __version__
 
-__all__ = ["config", "detectors", "ops", "__version__"]
+__all__ = [
+    "evaluation",
+    "feature_extraction",
+    "extraction",
+    "inference",
+    "yolov8",
+    "rcnn",
+    "llm_uncertainty",
+    "llm",
+    "detectors",
+    "models",
+    "ops",
+    "parallel",
+    "reduction",
+    "dimensionality_reduction",
+    "sampling",
+    "config",
+    "checkpoint",
+    "module_exists",
+    "apply_pca_ds",
+    "apply_pca_ds_split",
+    "apply_pca_transform",
+    "fit_pacmap",
+    "apply_pacmap_transform",
+    "plot_samples_pacmap",
+    "__version__",
+]
+
+# Deprecated / expired attribute machinery (reference __init__.py:24-54)
+__deprecated_attrs__ = {}
+__expired_functions__ = {}
+
+
+def __getattr__(attr):  # pragma: no cover
+    import warnings
+
+    try:
+        msg = __expired_functions__[attr]
+    except KeyError:
+        pass
+    else:
+        warnings.warn(msg, DeprecationWarning, stacklevel=2)
+
+        def _expired(*args, **kwds):
+            raise RuntimeError(msg)
+
+        return _expired
+
+    try:
+        val, msg = __deprecated_attrs__[attr]
+    except KeyError:
+        pass
+    else:
+        warnings.warn(msg, DeprecationWarning, stacklevel=2)
+        return val
+
+    raise AttributeError(f"module {__name__!r} has no attribute {attr!r}")

@@ -112,6 +112,18 @@ class Postprocessor(ABC):
         """Restore a previously fitted state (the checkpoint/resume path)."""
         self._state = dict(state)
         self._setup_flag = True
+        self._rehydrate()
+
+    def _rehydrate(self) -> None:
+        """Rebuild instance attributes from :attr:`state` after a load.
+
+        Default: every state entry becomes an attribute (covers detectors
+        whose scoring path reads plain array attributes). Subclasses with
+        derived objects (KDE density, GMM state) override this.
+        """
+        for key, value in self._state.items():
+            if not key.startswith("__"):
+                setattr(self, key, value)
 
     @abstractmethod
     def setup(self, ind_train_data: ndarray, **kwargs) -> None:

@@ -83,6 +83,17 @@ class DDU(OodPostprocessor):
         assert self._setup_flag, "setup() must be called before postprocess()"
         return self.flip_sign_fn(self._score(test_data))
 
+    def _rehydrate(self) -> None:
+        from runia_core_tpu.detectors.funcs import GMMState
+
+        self.gmm = GMMState(
+            means=jnp.asarray(self._state["means"]),
+            chols=jnp.asarray(self._state["chols"]),
+            jitter=jnp.zeros(self._state["means"].shape[0]),
+        )
+        if "threshold" in self._state:
+            self.threshold = float(np.asarray(self._state["threshold"]))
+
 
 @register_postprocessor("knn", postprocessor_input=["features"])
 class KNN(OodPostprocessor):
@@ -392,7 +403,7 @@ class DICEReAct(OodPostprocessor):
         self.set_threshold(ind_scores)
 
     def _score(self, feats: ndarray) -> ndarray:
-        clipped = jnp.clip(jnp.asarray(_as_np(feats)), a_max=self.react_activation_threshold)
+        clipped = jnp.clip(jnp.asarray(_as_np(feats)), max=self.react_activation_threshold)
         logits = route_dice_logits(clipped, self.masked_w, self.b)
         return np.asarray(energy_score(logits))
 

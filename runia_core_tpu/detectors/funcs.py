@@ -166,7 +166,7 @@ def react_clip_logits(
 ) -> Array:
     """Clip activations at `threshold` then apply the final linear layer
     (reference postprocessors.py:1465-1474)."""
-    clipped = jnp.clip(jnp.asarray(feats), a_max=threshold)
+    clipped = jnp.clip(jnp.asarray(feats), max=threshold)
     return jnp.matmul(
         clipped, jnp.asarray(weight).T, precision=jax.lax.Precision.HIGHEST
     ) + jnp.asarray(bias)

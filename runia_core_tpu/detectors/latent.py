@@ -121,6 +121,12 @@ class KDELatentSpace(Postprocessor):
         assert np.ndim(test_data) == 2, "ood_feats must be 2 dimensional"
         return self.detector.get_density_scores(test_data)
 
+    def _rehydrate(self) -> None:
+        self.detector = DetectorKDE(
+            train_embeddings=self._state["train_embeddings"],
+            bandwidth=float(np.asarray(self._state.get("bandwidth", 1.0))),
+        )
+
 
 @register_postprocessor(["MD", "LaREM"], postprocessor_input=["latent_space_means"])
 class MDLatentSpace(Postprocessor):
@@ -268,6 +274,15 @@ class GMMLatentSpace(Postprocessor):
         assert np.ndim(test_data) == 2, "test_feats must be 2 dimensional"
         log_probs = self.gmm.log_prob(jnp.asarray(test_data))
         return np.asarray(jax.scipy.special.logsumexp(log_probs, axis=1))
+
+    def _rehydrate(self) -> None:
+        from runia_core_tpu.detectors.funcs import GMMState
+
+        self.gmm = GMMState(
+            means=jnp.asarray(self._state["means"]),
+            chols=jnp.asarray(self._state["chols"]),
+            jitter=jnp.zeros(self._state["means"].shape[0]),
+        )
 
 
 # README-facing aliases (SURVEY.md section 7.1 — make the quickstart names real)
