@@ -96,8 +96,13 @@ def marginal_entropy(
     """Marginal h(z_i) per cloud and dimension: (B, n, d) -> (B, d).
 
     Replaces the reference's per-image x per-dim loops + process pool
-    (entropy.py:73-91) with one vmapped program, chunked over images to bound
-    the (chunk, d, n, n) intermediate.
+    (entropy.py:73-91) with one batched program, chunked over images to bound
+    the (chunk, n, n, d) intermediate.
+
+    Layout note: the feature axis d stays minor so it maps onto the TPU's
+    128-wide lanes; the tiny MC axes (n = 8..32) sit on sublanes. The k-th
+    neighbor comes from a sort along a non-minor axis, which XLA vectorizes
+    across lanes — this is ~10x faster than top_k over an n-minor layout.
     """
     b, n, d = clouds.shape
     pad = (-b) % image_chunk
@@ -108,10 +113,12 @@ def marginal_entropy(
     const = -dig(float(k)) + dig(float(n))
 
     def one_batch(xc):  # (chunk, n, d)
-        cols = jnp.transpose(xc, (0, 2, 1))  # (chunk, d, n)
-        diffs = jnp.abs(cols[:, :, :, None] - cols[:, :, None, :])  # (chunk, d, n, n)
-        eps = jnp.maximum(_kth_nn_distance_from_sq(diffs, k), min_dist)
-        return const + jnp.sum(jnp.log(2.0 * eps), axis=-1) / n  # (chunk, d)
+        diffs = jnp.abs(xc[:, :, None, :] - xc[:, None, :, :])  # (chunk, n, n, d)
+        sorted_diffs = jnp.sort(diffs, axis=2)
+        # Row j=i holds the self-distance 0 (always the minimum), so the k-th
+        # neighbor is order statistic k — matching cKDTree.query(x, k+1).
+        eps = jnp.maximum(sorted_diffs[:, :, k, :], min_dist)  # (chunk, n, d)
+        return const + jnp.sum(jnp.log(2.0 * eps), axis=1) / n  # (chunk, d)
 
     out = jax.lax.map(one_batch, batches)
     return out.reshape(-1, d)[:b]
