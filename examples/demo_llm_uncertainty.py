@@ -1,0 +1,95 @@
+"""LLM hallucination-score demo.
+
+Runs all six uncertainty scores over generations from either a HuggingFace
+causal LM (pass --hf-model, mirrors the reference example) or the built-in
+JAX CausalLM with random weights (default, fully offline).
+"""
+
+import argparse
+
+import numpy as np
+import jax
+
+from runia_core_tpu.llm import JaxGenerator, compute_uncertainties
+
+
+class IdentityTokenizer:
+    def encode(self, tokens):
+        return list(tokens)
+
+    def decode(self, ids):
+        return " ".join(str(i) for i in ids)
+
+
+UNCERTAINTY_REQUESTS = [
+    {"method_name": "eigen_score"},
+    {"method_name": "normalized_entropy"},
+    {"method_name": "perplexity"},
+    {"method_name": "generation_entropy"},
+    {
+        "method_name": "RAUQ",
+        "token_aggregation": "original",
+        "head_aggregation": "mean_heads",
+        "alphas": [0.2, 0.4, 0.6],
+        "ablation": True,
+    },
+    {
+        "method_name": "RAUQ",
+        "token_aggregation": "original",
+        "head_aggregation": "rollout",
+        "alphas": [0.4],
+        "ablation": False,
+    },
+]
+
+
+def run_jax_demo(num_samples: int):
+    from runia_core_tpu.models.transformer import CausalLM
+
+    model = CausalLM(vocab_size=512, num_layers=16, num_heads=4, d_model=128,
+                     max_len=128)
+    params = model.init(jax.random.key(0), np.zeros((1, 8), np.int32))
+    generator = JaxGenerator(model, params, max_new_tokens=24)
+    prompt = [11, 42, 7, 99, 3]
+    return compute_uncertainties(
+        generator, IdentityTokenizer(), prompt, UNCERTAINTY_REQUESTS,
+        num_samples=num_samples,
+    )
+
+
+def run_hf_demo(model_name: str, prompt: str, num_samples: int):
+    from transformers import AutoModelForCausalLM, AutoTokenizer, GenerationConfig
+
+    tokenizer = AutoTokenizer.from_pretrained(model_name)
+    model = AutoModelForCausalLM.from_pretrained(
+        model_name, attn_implementation="eager"
+    )
+    gen_config = GenerationConfig(
+        max_new_tokens=50, do_sample=True, top_p=0.9, temperature=1.0
+    )
+    requests = UNCERTAINTY_REQUESTS + [{"method_name": "semantic_entropy"}]
+    return compute_uncertainties(
+        model, tokenizer, prompt, requests, gen_config, num_samples=num_samples
+    )
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--hf-model", default=None,
+                        help="HF model name (e.g. meta-llama/Llama-3.1-8B-Instruct)")
+    parser.add_argument("--prompt", default="What is the capital of France?")
+    parser.add_argument("--num-samples", type=int, default=10)
+    args = parser.parse_args()
+
+    if args.hf_model:
+        text, scores = run_hf_demo(args.hf_model, args.prompt, args.num_samples)
+    else:
+        text, scores = run_jax_demo(args.num_samples)
+    print("Generated Text:", text)
+    print("Uncertainty Scores:")
+    for name, value in scores.items():
+        print(f"  {name}: {value}")
+
+
+if __name__ == "__main__":
+    main()

@@ -8,6 +8,7 @@ from runia_core_tpu.extraction.adapters import (
 )
 from runia_core_tpu.extraction.image_level import (
     FastMCDSamplesExtractor,
+    ImageLvlFeatureExtractor,
     MCDSamplesExtractor,
     get_latent_representation_mcd_samples,
 )
@@ -23,6 +24,7 @@ from runia_core_tpu.extraction.utils import (
 
 __all__ = [
     "FastMCDSamplesExtractor",
+    "ImageLvlFeatureExtractor",
     "MCDSamplesExtractor",
     "get_latent_representation_mcd_samples",
     "BoxFeaturesExtractor",

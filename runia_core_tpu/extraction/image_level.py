@@ -31,6 +31,7 @@ from runia_core_tpu.ops.dropblock import dropblock2d, dropout
 __all__ = [
     "FastMCDSamplesExtractor",
     "MCDSamplesExtractor",
+    "ImageLvlFeatureExtractor",
     "get_latent_representation_mcd_samples",
 ]
 
@@ -262,6 +263,88 @@ class MCDSamplesExtractor(_ExtractorBase):
         if self.return_raw_predictions:
             return stacked, np.concatenate(raw_predictions, axis=0)
         return stacked
+
+
+class ImageLvlFeatureExtractor:
+    """Whole-image latent features from object-detection architectures.
+
+    TPU-native equivalent of reference image_level.py:413-577: run the
+    adapted detector, reduce each captured feature map to per-channel means
+    (fullmean), and concatenate across maps — one feature row per image,
+    alongside the per-detection logits/features the architecture provides.
+    Images with no detections are tracked in 'no_obj'.
+    """
+
+    def __init__(
+        self,
+        model: Callable,
+        architecture: str,
+        rcnn_extraction_type: Optional[str] = None,
+        return_raw_predictions: bool = False,
+        return_stds: bool = False,
+    ):
+        from runia_core_tpu.extraction.adapters import (
+            SUPPORTED_OBJECT_DETECTION_ARCHITECTURES,
+        )
+
+        assert architecture in SUPPORTED_OBJECT_DETECTION_ARCHITECTURES, (
+            f"Only {SUPPORTED_OBJECT_DETECTION_ARCHITECTURES} are supported"
+        )
+        self.model = model
+        self.architecture = architecture
+        self.rcnn_extraction_type = rcnn_extraction_type
+        self.return_raw_predictions = return_raw_predictions
+        if return_stds:
+            raise NotImplementedError  # matches reference image_level.py:567-574
+
+    def _get_samples_one_image(self, image, predict_conf: float, **kwargs):
+        from runia_core_tpu.extraction.adapters import postprocess_architecture_taps
+
+        det = self.model(image, predict_conf, **kwargs)
+        results: Dict[str, np.ndarray] = {}
+        if det.logits is not None:
+            results["logits"] = np.asarray(det.logits)
+        if det.features is not None:
+            results["features"] = np.asarray(det.features)
+        found_objs_flag = np.asarray(det.boxes).reshape(-1, 4).shape[0] > 0
+
+        latent_sample = postprocess_architecture_taps(
+            self.architecture, det.fmaps, self.rcnn_extraction_type
+        )
+        reduced = [
+            np.asarray(jnp.mean(jnp.asarray(t), axis=(2, 3))).reshape(1, -1)
+            for t in latent_sample
+        ]
+        results["latent_space_means"] = np.concatenate(reduced, axis=1)
+        if self.return_raw_predictions:
+            results["raw_preds"] = det
+        return results, found_objs_flag
+
+    def get_ls_samples(
+        self, data_loader: Iterable, predict_conf: float = 0.25, **kwargs
+    ) -> Dict:
+        from runia_core_tpu.extraction.object_level import BoxFeaturesExtractor
+
+        results: Dict[str, list] = {"latent_space_means": [], "features": [], "logits": []}
+        no_obj_imgs = []
+        for loader_contents in data_loader:
+            impath, image, im_id = BoxFeaturesExtractor.unpack_dataloader(loader_contents)
+            result_img, found_obj_flag = self._get_samples_one_image(
+                image=image, predict_conf=predict_conf, **kwargs
+            )
+            for result_type, result_value in result_img.items():
+                if result_type in results:
+                    results[result_type].append(result_value)
+            if not found_obj_flag:
+                no_obj_imgs.append(impath[0])
+        out = {
+            k: (np.concatenate(v, axis=0) if len(v) > 0 else v)
+            for k, v in results.items()
+        }
+        out["no_obj"] = no_obj_imgs
+        print("Latent representation vector size: ", out["latent_space_means"].shape[1])
+        print(f"No objects in {len(no_obj_imgs)} images")
+        return out
 
 
 def get_latent_representation_mcd_samples(
