@@ -23,7 +23,7 @@ import time
 
 import numpy as np
 
-BATCH = 256
+BATCH = int(os.environ.get("RUNIA_BENCH_BATCH", 512))
 MC_SAMPLES = 16
 PCA_DIMS = 256
 NUM_CLASSES = 10
