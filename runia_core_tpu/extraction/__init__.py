@@ -17,6 +17,13 @@ from runia_core_tpu.extraction.object_level import (
     _dropblock_rois_get_entropy,
     _reduce_features_to_rois,
 )
+from runia_core_tpu.extraction.object_level_batched import (
+    PaddedDetections,
+    batched_roi_features,
+    build_object_scorer,
+    pad_detections,
+)
+from runia_core_tpu.extraction.taps import Hook, tap_flax_model
 from runia_core_tpu.extraction.utils import (
     associate_precalculated_baselines_with_raw_predictions,
     get_aggregated_data_dict,
@@ -34,4 +41,10 @@ __all__ = [
     "postprocess_architecture_taps",
     "get_aggregated_data_dict",
     "associate_precalculated_baselines_with_raw_predictions",
+    "Hook",
+    "tap_flax_model",
+    "PaddedDetections",
+    "pad_detections",
+    "batched_roi_features",
+    "build_object_scorer",
 ]

@@ -33,6 +33,7 @@ __all__ = [
     "MCDSamplesExtractor",
     "ImageLvlFeatureExtractor",
     "get_latent_representation_mcd_samples",
+    "deeplabv3p_get_ls_mcd_samples",
 ]
 
 
@@ -345,6 +346,31 @@ class ImageLvlFeatureExtractor:
         print("Latent representation vector size: ", out["latent_space_means"].shape[1])
         print(f"No objects in {len(no_obj_imgs)} images")
         return out
+
+
+def deeplabv3p_get_ls_mcd_samples(
+    model_module: Callable,
+    dataloader: Iterable,
+    mcd_nro_samples: int,
+    hook_dropout_layer: str = "pre_pool",
+    rng: Optional[jax.Array] = None,
+) -> np.ndarray:
+    """Deprecated reference-named helper (image_level.py:580-631): classic
+    MC-dropout extraction from a segmentation model's dropout-layer tap."""
+    warn(
+        "This method is deprecated. Use one of the Extractor classes instead",
+        DeprecationWarning,
+        stacklevel=2,
+    )
+    extractor = MCDSamplesExtractor(
+        model=model_module,
+        layer_type="Conv",
+        reduction_method="fullmean",
+        tap=hook_dropout_layer,
+        mcd_nro_samples=mcd_nro_samples,
+        rng=rng,
+    )
+    return extractor.get_ls_samples(dataloader)
 
 
 def get_latent_representation_mcd_samples(
