@@ -55,7 +55,9 @@ class TestTapFlaxModel:
         x = jnp.asarray(rng.rand(1, 8, 8, 3).astype(np.float32))
         _, taps = fwd(x)
         params = variables["params"]["conv1"]
-        expected = jax.nn.relu(
+        # capture_intermediates records the submodule's own output — the Conv
+        # result BEFORE the relu applied outside it.
+        expected = (
             jax.lax.conv_general_dilated(
                 x, params["kernel"], (1, 1), "SAME",
                 dimension_numbers=("NHWC", "HWIO", "NHWC"),
