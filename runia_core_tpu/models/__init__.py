@@ -1,5 +1,6 @@
 """Model zoo: flax modules with built-in feature taps."""
 
+from runia_core_tpu.models.detection import JaxDetectorAdapter, SimpleDetector
 from runia_core_tpu.models.resnet import (
     ResNet,
     ResNet18,
@@ -8,6 +9,7 @@ from runia_core_tpu.models.resnet import (
     SimpleConvNet,
     build_tapped_forward,
 )
+from runia_core_tpu.models.transformer import CausalLM
 
 __all__ = [
     "ResNet",
@@ -16,4 +18,7 @@ __all__ = [
     "ResNet50",
     "SimpleConvNet",
     "build_tapped_forward",
+    "SimpleDetector",
+    "JaxDetectorAdapter",
+    "CausalLM",
 ]
