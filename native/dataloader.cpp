@@ -1,0 +1,169 @@
+// Native host-side data-path kernels for runia-core-tpu.
+//
+// The reference inherits its data path from torch's C++ DataLoader; this
+// extension provides the TPU-host equivalent: the hot byte-level work of
+// batch assembly — uint8 -> float32 conversion with normalization, optional
+// BGR->RGB channel flip (the reference's YOLO loader shim,
+// runia_core/yolov8.py:41-43), and gather-into-batch by index — implemented
+// in multithreaded C++ that releases the GIL, so Python-side prefetch
+// threads (runia_core_tpu/data.py) overlap host preprocessing with TPU
+// compute.
+//
+// Built as a plain CPython extension (no pybind11 dependency).
+
+#define PY_SSIZE_T_CLEAN
+#include <Python.h>
+
+#include <algorithm>
+#include <cstdint>
+#include <cstring>
+#include <functional>
+#include <thread>
+#include <vector>
+
+namespace {
+
+// Convert a contiguous uint8 HWC image block to float32 with scale/offset,
+// optionally flipping the channel order (BGR -> RGB for C == 3).
+void convert_block(const uint8_t* src, float* dst, int64_t pixels, int64_t channels,
+                   float scale, float offset, bool channel_flip) {
+  if (!channel_flip || channels != 3) {
+    const int64_t n = pixels * channels;
+    for (int64_t i = 0; i < n; ++i) {
+      dst[i] = static_cast<float>(src[i]) * scale + offset;
+    }
+    return;
+  }
+  for (int64_t p = 0; p < pixels; ++p) {
+    const uint8_t* s = src + p * 3;
+    float* d = dst + p * 3;
+    d[0] = static_cast<float>(s[2]) * scale + offset;
+    d[1] = static_cast<float>(s[1]) * scale + offset;
+    d[2] = static_cast<float>(s[0]) * scale + offset;
+  }
+}
+
+void parallel_for(int64_t n_items, int num_threads,
+                  const std::function<void(int64_t, int64_t)>& fn) {
+  if (num_threads <= 1 || n_items <= 1) {
+    fn(0, n_items);
+    return;
+  }
+  std::vector<std::thread> threads;
+  const int64_t chunk = (n_items + num_threads - 1) / num_threads;
+  for (int t = 0; t < num_threads; ++t) {
+    const int64_t begin = t * chunk;
+    const int64_t end = std::min<int64_t>(begin + chunk, n_items);
+    if (begin >= end) break;
+    threads.emplace_back(fn, begin, end);
+  }
+  for (auto& th : threads) th.join();
+}
+
+// gather_normalize(src_bytes, indices_bytes, n_total, img_elems, channels,
+//                  scale, offset, bgr_to_rgb, num_threads, out_bytes)
+//
+// src: (n_total, img_elems) uint8, row-major; indices: int64 batch indices;
+// out: (batch, img_elems) float32 buffer supplied by the caller.
+PyObject* gather_normalize(PyObject*, PyObject* args) {
+  Py_buffer src, idx, out;
+  Py_ssize_t n_total, img_elems, channels;
+  double scale, offset;
+  int bgr_to_rgb, num_threads;
+  if (!PyArg_ParseTuple(args, "y*y*nnnddii" "y*", &src, &idx, &n_total, &img_elems,
+                        &channels, &scale, &offset, &bgr_to_rgb, &num_threads,
+                        &out)) {
+    return nullptr;
+  }
+  const uint8_t* src_ptr = static_cast<const uint8_t*>(src.buf);
+  const int64_t* idx_ptr = static_cast<const int64_t*>(idx.buf);
+  float* out_ptr = static_cast<float*>(out.buf);
+  const int64_t batch = idx.len / static_cast<int64_t>(sizeof(int64_t));
+  const int64_t pixels = img_elems / channels;
+
+  bool ok = true;
+  for (int64_t i = 0; i < batch; ++i) {
+    if (idx_ptr[i] < 0 || idx_ptr[i] >= n_total) ok = false;
+  }
+  if (!ok) {
+    PyBuffer_Release(&src);
+    PyBuffer_Release(&idx);
+    PyBuffer_Release(&out);
+    PyErr_SetString(PyExc_IndexError, "batch index out of range");
+    return nullptr;
+  }
+  if (out.len < static_cast<Py_ssize_t>(batch * img_elems * sizeof(float)) ||
+      src.len < static_cast<Py_ssize_t>(n_total * img_elems)) {
+    PyBuffer_Release(&src);
+    PyBuffer_Release(&idx);
+    PyBuffer_Release(&out);
+    PyErr_SetString(PyExc_ValueError, "buffer size mismatch");
+    return nullptr;
+  }
+
+  Py_BEGIN_ALLOW_THREADS;
+  parallel_for(batch, num_threads, [&](int64_t begin, int64_t end) {
+    for (int64_t i = begin; i < end; ++i) {
+      convert_block(src_ptr + idx_ptr[i] * img_elems, out_ptr + i * img_elems,
+                    pixels, channels, static_cast<float>(scale),
+                    static_cast<float>(offset), bgr_to_rgb != 0);
+    }
+  });
+  Py_END_ALLOW_THREADS;
+
+  PyBuffer_Release(&src);
+  PyBuffer_Release(&idx);
+  PyBuffer_Release(&out);
+  Py_RETURN_NONE;
+}
+
+// normalize_u8(src_bytes, pixels, channels, scale, offset, bgr_to_rgb,
+//              num_threads, out_bytes): one contiguous block.
+PyObject* normalize_u8(PyObject*, PyObject* args) {
+  Py_buffer src, out;
+  Py_ssize_t pixels, channels;
+  double scale, offset;
+  int bgr_to_rgb, num_threads;
+  if (!PyArg_ParseTuple(args, "y*nnddii" "y*", &src, &pixels, &channels, &scale,
+                        &offset, &bgr_to_rgb, &num_threads, &out)) {
+    return nullptr;
+  }
+  if (src.len < pixels * channels ||
+      out.len < static_cast<Py_ssize_t>(pixels * channels * sizeof(float))) {
+    PyBuffer_Release(&src);
+    PyBuffer_Release(&out);
+    PyErr_SetString(PyExc_ValueError, "buffer size mismatch");
+    return nullptr;
+  }
+  const uint8_t* src_ptr = static_cast<const uint8_t*>(src.buf);
+  float* out_ptr = static_cast<float*>(out.buf);
+
+  Py_BEGIN_ALLOW_THREADS;
+  parallel_for(pixels, num_threads, [&](int64_t begin, int64_t end) {
+    convert_block(src_ptr + begin * channels, out_ptr + begin * channels,
+                  end - begin, channels, static_cast<float>(scale),
+                  static_cast<float>(offset), bgr_to_rgb != 0);
+  });
+  Py_END_ALLOW_THREADS;
+
+  PyBuffer_Release(&src);
+  PyBuffer_Release(&out);
+  Py_RETURN_NONE;
+}
+
+PyMethodDef methods[] = {
+    {"gather_normalize", gather_normalize, METH_VARARGS,
+     "Gather uint8 rows by index into a normalized float32 batch (GIL released)."},
+    {"normalize_u8", normalize_u8, METH_VARARGS,
+     "Normalize a contiguous uint8 block to float32 (GIL released)."},
+    {nullptr, nullptr, 0, nullptr},
+};
+
+PyModuleDef module = {
+    PyModuleDef_HEAD_INIT, "_native", "runia-core-tpu native host kernels",
+    -1, methods, nullptr, nullptr, nullptr, nullptr,
+};
+
+}  // namespace
+
+PyMODINIT_FUNC PyInit__native(void) { return PyModule_Create(&module); }
