@@ -17,10 +17,12 @@ from runia_core_tpu.detectors.base import (
     register_postprocessor,
 )
 from runia_core_tpu.detectors.funcs import (
+    RouteDICE,
     ash_s_conv_layer,
     ash_s_linear_layer,
     dice_masked_weight,
     generalized_entropy,
+    get_dice_feat_mean_react_percentile,
     get_mcd_pred_uncertainty_score,
     get_predictive_uncertainty_score,
     gmm_fit,
@@ -90,6 +92,7 @@ __all__ = [
     "mahalanobis_preprocess",
     "mahalanobis_postprocess",
     "normalizer",
+    "RouteDICE",
     "gmm_fit",
     "generalized_entropy",
     "ash_s_linear_layer",
@@ -98,4 +101,5 @@ __all__ = [
     "route_dice_logits",
     "get_predictive_uncertainty_score",
     "get_mcd_pred_uncertainty_score",
+    "get_dice_feat_mean_react_percentile",
 ]

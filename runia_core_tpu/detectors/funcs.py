@@ -28,6 +28,7 @@ __all__ = [
     "mahalanobis_preprocess",
     "mahalanobis_postprocess",
     "normalizer",
+    "RouteDICE",
     "dice_masked_weight",
     "route_dice_logits",
     "ash_s_linear_layer",
@@ -37,6 +38,7 @@ __all__ = [
     "generalized_entropy",
     "get_predictive_uncertainty_score",
     "get_mcd_pred_uncertainty_score",
+    "get_dice_feat_mean_react_percentile",
     "react_clip_logits",
 ]
 
@@ -115,6 +117,85 @@ def route_dice_logits(x: ArrayLike, masked_w: ArrayLike, bias: Optional[ArrayLik
     if bias is not None:
         out = out + jnp.asarray(bias)
     return out
+
+
+class RouteDICE:
+    """DICE routed-linear layer as a pure callable (reference funcs.py:124-190).
+
+    The reference subclasses torch.nn.Linear with a lazily-built masked
+    weight and a hard-coded ``.cuda()`` (funcs.py:180,185 — broke CPU runs).
+    Here the mask is computed once from (weight, info, p) and application is
+    a jitted matmul; load weights via the constructor instead of
+    ``load_state_dict``.
+    """
+
+    def __init__(
+        self,
+        in_features: int,
+        out_features: int,
+        bias: bool = True,
+        p: float = 90,
+        info: Optional[np.ndarray] = None,
+        weight: Optional[ArrayLike] = None,
+        bias_value: Optional[ArrayLike] = None,
+    ):
+        assert 0 < p < 100, "p must be greater than 0 and less than 100"
+        if info is not None:
+            assert isinstance(info, np.ndarray), "info must be a numpy array or None"
+        self.in_features = in_features
+        self.out_features = out_features
+        self.p = p
+        self.info = info
+        self.use_bias = bias
+        self.weight = jnp.asarray(weight) if weight is not None else None
+        self.bias = jnp.asarray(bias_value) if bias_value is not None else None
+        self.masked_w = None
+
+    def load_params(self, weight: ArrayLike, bias: Optional[ArrayLike] = None):
+        self.weight = jnp.asarray(np.asarray(weight))
+        if bias is not None:
+            self.bias = jnp.asarray(np.asarray(bias))
+        self.masked_w = None
+        return self
+
+    def calculate_mask_weight(self):
+        assert self.weight is not None and self.info is not None
+        self.masked_w = dice_masked_weight(self.weight, self.info, self.p)
+
+    def __call__(self, x: ArrayLike) -> Array:
+        if self.masked_w is None:
+            self.calculate_mask_weight()
+        return route_dice_logits(x, self.masked_w, self.bias if self.use_bias else None)
+
+    forward = __call__
+
+
+def get_dice_feat_mean_react_percentile(
+    dnn_model, ind_dataloader, react_percentile: int = 90, channel_axis: int = 1
+):
+    """DICE mean-activation vector + ReAct percentile from pooled conv features
+    (reference funcs.py:468-495).
+
+    ``dnn_model`` is a callable returning 4-D feature maps (the reference
+    requires a ``dice_precompute`` model mode); maps are global-average-pooled
+    to (B, C). ``channel_axis`` = 1 for NCHW (the reference's torch layout) or
+    3/-1 for NHWC.
+    """
+    assert 0 < react_percentile < 100, (
+        "react_percentile must be greater than 0 and less than 100"
+    )
+    spatial = (2, 3) if channel_axis == 1 else (1, 2)
+    feat_log = []
+    for batch in ind_dataloader:
+        inputs = batch[0] if isinstance(batch, (tuple, list)) else batch
+        outputs = jnp.asarray(np.asarray(dnn_model(inputs)))
+        if outputs.ndim == 4:
+            outputs = jnp.mean(outputs, axis=spatial)
+        feat_log.append(np.asarray(outputs))
+    feat_log_array = np.concatenate(feat_log, axis=0)
+    return feat_log_array.mean(0), float(
+        np.percentile(feat_log_array, react_percentile)
+    )
 
 
 # ---------------------------------------------------------------------------

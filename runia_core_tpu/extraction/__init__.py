@@ -10,6 +10,7 @@ from runia_core_tpu.extraction.image_level import (
     FastMCDSamplesExtractor,
     ImageLvlFeatureExtractor,
     MCDSamplesExtractor,
+    deeplabv3p_get_ls_mcd_samples,
     get_latent_representation_mcd_samples,
 )
 from runia_core_tpu.extraction.object_level import (
@@ -23,7 +24,14 @@ from runia_core_tpu.extraction.object_level_batched import (
     build_object_scorer,
     pad_detections,
 )
-from runia_core_tpu.extraction.taps import Hook, tap_flax_model
+from runia_core_tpu.extraction.image_level import _ExtractorBase as Extractor
+from runia_core_tpu.extraction.taps import Hook, apply_dropout, tap_flax_model
+
+# Reference name: the architecture-dispatch extractor base
+# (abstract_classes.py:249) — BoxFeaturesExtractor plays that role here.
+from runia_core_tpu.extraction.object_level import (
+    BoxFeaturesExtractor as ObjectDetectionExtractor,
+)
 from runia_core_tpu.extraction.utils import (
     associate_precalculated_baselines_with_raw_predictions,
     get_aggregated_data_dict,
@@ -42,7 +50,11 @@ __all__ = [
     "get_aggregated_data_dict",
     "associate_precalculated_baselines_with_raw_predictions",
     "Hook",
+    "apply_dropout",
     "tap_flax_model",
+    "Extractor",
+    "ObjectDetectionExtractor",
+    "deeplabv3p_get_ls_mcd_samples",
     "PaddedDetections",
     "pad_detections",
     "batched_roi_features",

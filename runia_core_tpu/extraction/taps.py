@@ -15,7 +15,19 @@ from typing import Callable, Dict, Sequence, Union
 import jax
 import jax.numpy as jnp
 
-__all__ = ["Hook", "tap_flax_model"]
+__all__ = ["Hook", "tap_flax_model", "apply_dropout"]
+
+
+def apply_dropout(module):
+    """Compatibility no-op for the reference's in-place dropout activation
+    (reference utils.py:59-67, which flips torch Dropout/DropBlock layers to
+    train mode).
+
+    In this framework stochasticity is explicit: dropout/DropBlock only run
+    when a PRNG key is supplied (ops/dropblock.py, sampling.py), so there is
+    no global train/eval mode to toggle. Returns the module unchanged.
+    """
+    return module
 
 
 def tap_flax_model(

@@ -29,11 +29,22 @@ from runia_core_tpu.ops.linalg import mahalanobis_quadform
 from runia_core_tpu.reduction import PCAState, apply_pca_transform, pca_transform
 from runia_core_tpu.sampling import MCSamplerModule, mc_dropblock_samples
 
-__all__ = ["LaRExInference", "LaRDInference", "build_larex_scorer"]
+__all__ = [
+    "InferenceModule",
+    "ProbabilisticInferenceModule",
+    "ObjectDetectionInferenceBase",
+    "LaRExInference",
+    "LaRDInference",
+    "build_larex_scorer",
+]
 
 
-class _InferenceBase:
-    """Shared model/postprocessor plumbing (reference abstract_classes.py:217-279)."""
+class InferenceModule:
+    """Base runtime-inference module (reference abstract_classes.py:217-279).
+
+    The device plumbing of the reference (``.to(device)``) is unnecessary —
+    JAX places arrays when the jitted model runs.
+    """
 
     def __init__(self, model, postprocessor):
         self.model = model  # callable images -> (outputs, taps dict)
@@ -41,6 +52,36 @@ class _InferenceBase:
 
     def get_score(self, input_image, *args, **kwargs):
         raise NotImplementedError
+
+
+class ProbabilisticInferenceModule(InferenceModule):
+    """Inference base carrying MC-dropout configuration
+    (reference abstract_classes.py:282-321)."""
+
+    def __init__(self, model, postprocessor, drop_block_prob: float,
+                 drop_block_size: int, mcd_samples_nro: int):
+        super().__init__(model, postprocessor)
+        self.drop_block_prob = drop_block_prob
+        self.drop_block_size = drop_block_size
+        self.mcd_samples_nro = mcd_samples_nro
+
+
+class ObjectDetectionInferenceBase(InferenceModule):
+    """Object-detection inference base (reference abstract_classes.py:324-370);
+    'hooked_layers' become tap names in the functional design."""
+
+    def __init__(self, model, postprocessor, architecture: str,
+                 hooked_layers=None, pca_transform=None,
+                 rcnn_extraction_type: str = None):
+        super().__init__(model, postprocessor)
+        self.architecture = architecture
+        self.rcnn_extraction_type = rcnn_extraction_type
+        self.hooked_layers = hooked_layers
+        self.pca_transform = pca_transform
+
+
+# Internal alias kept for the existing subclasses below.
+_InferenceBase = InferenceModule
 
 
 class LaRExInference(_InferenceBase):
