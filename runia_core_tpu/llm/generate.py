@@ -41,11 +41,13 @@ class JaxGenerator:
         max_new_tokens: int = 16,
         eos_id: Optional[int] = None,
         rng: Optional[jax.Array] = None,
+        use_scan: bool = True,
     ):
         self.model = model
         self.params = params
         self.max_new_tokens = max_new_tokens
         self.eos_id = eos_id
+        self.use_scan = use_scan
         self._rng = rng if rng is not None else jax.random.key(0)
 
         self._prefill = jax.jit(
@@ -54,6 +56,68 @@ class JaxGenerator:
         self._step = jax.jit(
             lambda tokens, cache, idx: model.apply(params, tokens, cache, idx)
         )
+        self._decode_cache = {}
+
+    def _scanned_decode(self, p: int, max_new: int, s: int, do_sample: bool,
+                        temperature: float):
+        """Build (and cache) the fully-fused lax.scan decode for one config.
+
+        One compiled program runs all decode steps on device and emits the
+        stacked per-step logits / tokens / log-probs / padded attention rows /
+        hidden states — a single host transfer instead of one per step.
+        """
+        key_shape = (p, max_new, s, do_sample, float(temperature))
+        if key_shape in self._decode_cache:
+            return self._decode_cache[key_shape]
+        model, params = self.model, self.params
+        total = p + max_new
+        eos = self.eos_id
+
+        @jax.jit
+        def run(prompt, rng_key):
+            cache = init_cache(model, s, total)
+            logits, attn0, hiddens0, cache = model.apply(
+                params, prompt, cache, jnp.int32(0)
+            )
+            step_logits = logits[:, -1, :]
+
+            def body(carry, step):
+                cache, step_logits, key, finished = carry
+                key, sub = jax.random.split(key)
+                log_soft = jax.nn.log_softmax(step_logits, axis=-1)
+                if do_sample:
+                    next_tok = jax.random.categorical(
+                        sub, step_logits / temperature, axis=-1
+                    )
+                else:
+                    next_tok = jnp.argmax(step_logits, axis=-1)
+                lp = jnp.take_along_axis(log_soft, next_tok[:, None], axis=-1)[:, 0]
+                lp = jnp.where(finished, -jnp.inf, lp)
+                if eos is not None:
+                    finished = finished | (next_tok == eos)
+
+                out_logits = step_logits
+                # Forward the new token (skipped after the final sample by
+                # masking below — lax.scan needs uniform steps, so the last
+                # forward runs but its outputs are discarded).
+                new_logits, attn, hiddens, cache = model.apply(
+                    params, next_tok[:, None], cache, jnp.int32(p) + step
+                )
+                return (
+                    (cache, new_logits[:, 0, :], key, finished),
+                    (next_tok, out_logits, lp, attn[:, :, :, 0, :], hiddens[:, :, 0, :]),
+                )
+
+            init = (cache, step_logits, rng_key, jnp.zeros((s,), bool))
+            _, (tokens, step_logits_seq, lps, attn_rows, hidden_rows) = jax.lax.scan(
+                body, init, jnp.arange(max_new)
+            )
+            # tokens (T, S); step_logits_seq (T, S, V); lps (T, S);
+            # attn_rows (T, L, S, H, total); hidden_rows (T, L+1, S, D)
+            return tokens, step_logits_seq, lps, attn_rows, hidden_rows, attn0, hiddens0
+
+        self._decode_cache[key_shape] = run
+        return run
 
     def generate(
         self,
@@ -80,6 +144,38 @@ class JaxGenerator:
         if key is None:
             key = self._rng
             self._rng = jax.random.fold_in(self._rng, 1)
+
+        if self.use_scan:
+            run = self._scanned_decode(p, max_new, s, do_sample, temperature)
+            tokens, scores_seq, lps, attn_rows, hidden_rows, attn0, hiddens0 = (
+                jax.tree_util.tree_map(np.asarray, run(prompt, key))
+            )
+            attentions = [
+                tuple(attn0[l, :, :, :, :p] for l in range(attn0.shape[0]))
+            ]
+            hidden_states = [tuple(h for h in hiddens0)]
+            for step in range(max_new - 1):
+                src_len = p + step + 1
+                attentions.append(
+                    tuple(
+                        attn_rows[step, l, :, :, None, :src_len]
+                        for l in range(attn_rows.shape[1])
+                    )
+                )
+                hidden_states.append(
+                    tuple(
+                        hidden_rows[step, l][:, None, :]
+                        for l in range(hidden_rows.shape[1])
+                    )
+                )
+            sequences = np.concatenate([np.asarray(prompt), tokens.T], axis=1)
+            return {
+                "sequences": sequences,
+                "scores": tuple(scores_seq[i] for i in range(max_new)),
+                "attentions": tuple(attentions),
+                "hidden_states": tuple(hidden_states),
+                "log_probs": lps.T,
+            }
 
         cache = init_cache(self.model, s, total)
         logits, attn, hiddens, cache = self._prefill(prompt, cache)
