@@ -27,6 +27,8 @@ __all__ = [
     "load_pca",
     "save_state_dict",
     "load_state_dict",
+    "save_state_dict_orbax",
+    "load_state_dict_orbax",
 ]
 
 _META_KEY = "__runia_meta__"
@@ -92,6 +94,26 @@ def load_detector(path: Union[str, os.PathLike], cfg=None) -> Postprocessor:
     if "threshold" in state:
         detector.threshold = float(np.asarray(state["threshold"]))
     return detector
+
+
+def save_state_dict_orbax(path: Union[str, os.PathLike], state: Dict[str, Any]) -> None:
+    """Persist a (possibly sharded) state pytree with orbax.
+
+    Use this instead of :func:`save_state_dict` for mesh-sharded detector
+    states or model params — orbax writes each shard from its owning host
+    and restores with the original shardings.
+    """
+    import orbax.checkpoint as ocp
+
+    with ocp.StandardCheckpointer() as ckptr:
+        ckptr.save(os.path.abspath(path), state)
+
+
+def load_state_dict_orbax(path: Union[str, os.PathLike]) -> Dict[str, Any]:
+    import orbax.checkpoint as ocp
+
+    with ocp.StandardCheckpointer() as ckptr:
+        return ckptr.restore(os.path.abspath(path))
 
 
 def save_pca(path: Union[str, os.PathLike], pca: PCAState) -> None:

@@ -1,6 +1,7 @@
 """Model zoo: flax modules with built-in feature taps."""
 
 from runia_core_tpu.models.detection import JaxDetectorAdapter, SimpleDetector
+from runia_core_tpu.models.segmentation import SimpleSegmenter
 from runia_core_tpu.models.resnet import (
     ResNet,
     ResNet18,
@@ -20,5 +21,6 @@ __all__ = [
     "build_tapped_forward",
     "SimpleDetector",
     "JaxDetectorAdapter",
+    "SimpleSegmenter",
     "CausalLM",
 ]
