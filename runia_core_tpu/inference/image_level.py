@@ -253,21 +253,35 @@ def build_larex_scorer(
         jitted (images, key) -> (logits, scores (B,)).
     """
     k_neighbors = neighbors_for(mcd_samples_nro)
+    # ops/mc_entropy_pallas.py offers a single-kernel DropBlock+entropy path
+    # (bit-identical results), but measured slower than the two-step pipeline
+    # on v5e: its per-image (S, HW) x (HW, C) matmuls are too small to feed
+    # the MXU, while XLA pipelines the two-step version across the batch.
+    # Keep the two-step path as the default.
+    use_fused_kernel = False
 
     @jax.jit
     def score(images, key):
         logits, taps = apply_fn(images)
         latent = taps[tap]
-        mc = mc_dropblock_samples(
-            key,
-            latent,
-            mcd_samples_nro,
-            drop_block_size,
-            drop_block_prob,
-            "Conv",
-            channel_axis=channel_axis,
-        )  # (B, S, C)
-        h_z = marginal_entropy(mc, k_neighbors)  # (B, C)
+        if use_fused_kernel:
+            from runia_core_tpu.ops.mc_entropy_pallas import fused_mc_entropy
+
+            h_z = fused_mc_entropy(
+                key, latent, mcd_samples_nro, drop_block_size, drop_block_prob,
+                k=k_neighbors,
+            )  # (B, C)
+        else:
+            mc = mc_dropblock_samples(
+                key,
+                latent,
+                mcd_samples_nro,
+                drop_block_size,
+                drop_block_prob,
+                "Conv",
+                channel_axis=channel_axis,
+            )  # (B, S, C)
+            h_z = marginal_entropy(mc, k_neighbors)  # (B, C)
         if pca_state is not None:
             h_z = pca_transform(pca_state, h_z)
         if detector == "MD":
