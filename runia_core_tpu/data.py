@@ -129,6 +129,7 @@ class PrefetchLoader:
     def __iter__(self) -> Iterator[Tuple]:
         out_q: "queue.Queue" = queue.Queue(maxsize=self.prefetch_depth)
         sentinel = object()
+        error: list = []
 
         def producer():
             try:
@@ -143,6 +144,8 @@ class PrefetchLoader:
                         batch = jax.device_put(batch)
                     lab = self.labels[idx] if self.labels is not None else None
                     out_q.put((batch, lab))
+            except BaseException as exc:  # propagate to the consumer
+                error.append(exc)
             finally:
                 out_q.put(sentinel)
 
@@ -154,4 +157,6 @@ class PrefetchLoader:
                 break
             yield item
         thread.join()
+        if error:
+            raise error[0]
         self._epoch += 1

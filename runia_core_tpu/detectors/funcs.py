@@ -9,6 +9,7 @@ masked-linear layer (funcs.py:124-190) becomes a pure (mask, weight) pytree.
 
 from __future__ import annotations
 
+import warnings
 from typing import Dict, Optional, Tuple, Union
 
 import jax
@@ -57,6 +58,11 @@ def mahalanobis_preprocess(
     """
     x = jnp.asarray(ind_data["train features"])
     labels = jnp.asarray(ind_data["train labels"])
+    counts = np.bincount(
+        np.asarray(labels).astype(np.int64), minlength=num_classes
+    )
+    for c in np.nonzero(counts == 0)[0]:
+        warnings.warn(f"No train examples for class {c}")
     means = class_means(x, labels, num_classes)
     centered = classwise_center(x, labels, means)
     precision = empirical_precision(centered.astype(jnp.float32), assume_centered=False)

@@ -75,6 +75,13 @@ class TestPrefetchLoader:
         assert not np.array_equal(first_epoch, np.arange(64))
         assert not np.array_equal(first_epoch, second_epoch)  # epoch-folded seed
 
+    def test_producer_exception_propagates(self, rng):
+        imgs = rng.randint(0, 256, (16, 4, 4, 1)).astype(np.uint8)
+        loader = PrefetchLoader(imgs, batch_size=8, device_put=False)
+        loader._index_batches = lambda: (_ for _ in ()).throw(RuntimeError("boom"))
+        with pytest.raises(RuntimeError, match="boom"):
+            list(loader)
+
     def test_feeds_extractor(self, rng):
         import jax, jax.numpy as jnp
         from runia_core_tpu.extraction import FastMCDSamplesExtractor
