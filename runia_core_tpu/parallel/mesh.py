@@ -28,11 +28,30 @@ def make_mesh(
     n_devices: Optional[int] = None,
     model_parallel: int = 1,
     axis_names: Tuple[str, str] = ("data", "model"),
+    devices=None,
 ) -> Mesh:
-    """Build a (data, model) mesh over the first ``n_devices`` devices."""
-    devices = jax.devices()
+    """Build a (data, model) mesh over the first ``n_devices`` devices.
+
+    If the default backend has too few devices (e.g. one real TPU chip) but a
+    CPU backend with enough virtual devices exists
+    (``--xla_force_host_platform_device_count``), the CPU devices are used —
+    this keeps multichip dry runs working even where the platform cannot be
+    selected via environment variables.
+    """
+    if devices is None:
+        devices = jax.devices()
+        if n_devices is not None and len(devices) < n_devices:
+            try:
+                cpu_devices = jax.devices("cpu")
+            except RuntimeError:
+                cpu_devices = []
+            if len(cpu_devices) >= n_devices:
+                devices = cpu_devices
     if n_devices is None:
         n_devices = len(devices)
+    assert len(devices) >= n_devices, (
+        f"need {n_devices} devices, have {len(devices)}"
+    )
     assert n_devices % model_parallel == 0, (
         f"{n_devices} devices not divisible by model_parallel={model_parallel}"
     )
