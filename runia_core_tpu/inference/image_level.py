@@ -263,7 +263,9 @@ def build_larex_scorer(
     @jax.jit
     def score(images, key):
         logits, taps = apply_fn(images)
-        latent = taps[tap]
+        # Scoring numerics are always f32, regardless of the forward dtype:
+        # bf16 channel means would coarsen the entropy distance resolution.
+        latent = taps[tap].astype(jnp.float32)
         if use_fused_kernel:
             from runia_core_tpu.ops.mc_entropy_pallas import fused_mc_entropy
 
