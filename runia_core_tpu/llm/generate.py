@@ -119,6 +119,114 @@ class JaxGenerator:
         self._decode_cache[key_shape] = run
         return run
 
+    def generate_batch(
+        self,
+        prompts: Sequence[Sequence[int]],
+        do_sample: bool = False,
+        temperature: float = 1.0,
+        key: Optional[jax.Array] = None,
+        max_new_tokens: Optional[int] = None,
+        pad_id: int = 0,
+    ) -> Dict[str, Any]:
+        """Decode a batch of DIFFERENT prompts in one fused program.
+
+        Prompts are left-padded to a common length with attention masking, so
+        every sequence's last physical slot is its last real token. Returns
+        sequences (B, P+T), scores (T-tuple of (B, V)), log_probs (B, T),
+        prompt_lengths (B,) — the throughput path for sequence-level scores
+        (perplexity / generation entropy / normalized entropy over many
+        prompts). Per-step attention/hidden taps are exposed by the
+        single-prompt ``generate``.
+        """
+        max_new = max_new_tokens or self.max_new_tokens
+        b = len(prompts)
+        lengths = np.array([len(p) for p in prompts], np.int32)
+        p = int(lengths.max())
+        tokens = np.full((b, p), pad_id, np.int32)
+        valid = np.zeros((b, p), bool)
+        for i, seq in enumerate(prompts):
+            tokens[i, p - len(seq):] = np.asarray(seq, np.int32)
+            valid[i, p - len(seq):] = True
+        prompt = jnp.asarray(tokens)
+        prompt_valid = jnp.asarray(valid)
+        total = p + max_new
+        if key is None:
+            key = self._rng
+            self._rng = jax.random.fold_in(self._rng, 1)
+
+        model, params = self.model, self.params
+        eos = self.eos_id
+        cfg = ("batch", b, p, max_new, do_sample, float(temperature))
+        if cfg not in self._decode_cache:
+
+            @jax.jit
+            def run(prompt, prompt_valid, lengths, rng_key):
+                cache = init_cache(model, b, total)
+                # Cache-mode masks span the full KV length; future slots are
+                # already excluded by the causal (q_phys) condition.
+                prefill_valid = jnp.concatenate(
+                    [prompt_valid, jnp.ones((b, max_new), bool)], axis=1
+                )
+                # Logical positions of the left-padded prompt tokens.
+                prompt_positions = jnp.maximum(
+                    jnp.cumsum(prompt_valid.astype(jnp.int32), axis=1) - 1, 0
+                )
+                logits, _, _, cache = model.apply(
+                    params, prompt, cache, jnp.int32(0),
+                    token_valid=prefill_valid, positions=prompt_positions,
+                )
+                step_logits = logits[:, -1, :]
+
+                def body(carry, step):
+                    cache, step_logits, key_, finished = carry
+                    key_, sub = jax.random.split(key_)
+                    log_soft = jax.nn.log_softmax(step_logits, axis=-1)
+                    if do_sample:
+                        next_tok = jax.random.categorical(
+                            sub, step_logits / temperature, axis=-1
+                        )
+                    else:
+                        next_tok = jnp.argmax(step_logits, axis=-1)
+                    lp = jnp.take_along_axis(log_soft, next_tok[:, None], axis=-1)[:, 0]
+                    lp = jnp.where(finished, -jnp.inf, lp)
+                    if eos is not None:
+                        finished = finished | (next_tok == eos)
+                    # Physical KV validity: padded prompt slots masked, all
+                    # generated slots (up to the cache) valid.
+                    gen_valid = jnp.arange(max_new)[None, :] <= step
+                    kv_valid = jnp.concatenate(
+                        [prompt_valid, jnp.broadcast_to(gen_valid, (b, max_new))],
+                        axis=1,
+                    )
+                    positions = (lengths + step)[:, None]
+                    new_logits, _, _, cache = model.apply(
+                        params, next_tok[:, None], cache, jnp.int32(p) + step,
+                        token_valid=kv_valid, positions=positions,
+                    )
+                    return (
+                        (cache, new_logits[:, 0, :], key_, finished),
+                        (next_tok, step_logits, lp),
+                    )
+
+                init = (cache, step_logits, rng_key, jnp.zeros((b,), bool))
+                _, (toks, score_seq, lps) = jax.lax.scan(
+                    body, init, jnp.arange(max_new)
+                )
+                return toks, score_seq, lps
+
+            self._decode_cache[cfg] = run
+        toks, score_seq, lps = jax.tree_util.tree_map(
+            np.asarray,
+            self._decode_cache[cfg](prompt, prompt_valid, jnp.asarray(lengths), key),
+        )
+        sequences = np.concatenate([tokens, toks.T], axis=1)
+        return {
+            "sequences": sequences,
+            "scores": tuple(score_seq[i] for i in range(max_new)),
+            "log_probs": lps.T,
+            "prompt_lengths": lengths,
+        }
+
     def generate(
         self,
         prompt_tokens: Sequence[int],

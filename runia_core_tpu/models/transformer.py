@@ -82,6 +82,8 @@ class CausalLM(nn.Module):
         tokens: jnp.ndarray,
         cache: Optional[Dict] = None,
         cache_index: Optional[jnp.ndarray] = None,
+        token_valid: Optional[jnp.ndarray] = None,
+        positions: Optional[jnp.ndarray] = None,
     ):
         """Forward pass.
 
@@ -89,24 +91,39 @@ class CausalLM(nn.Module):
         Decode: ``tokens`` (B, 1) with cache + cache_index -> attends over
         cached keys up to and including this step.
 
+        Batched left-padded prompts: pass ``token_valid`` (B, T) marking real
+        prompt tokens; pad slots are excluded from attention (theirs and
+        others') and logical positions come from the cumulative valid count
+        (override with ``positions`` (B, T) during decode, where each
+        sequence's logical position differs).
+
         Returns:
             logits (B, T, V), attentions (L, B, H, T, T_kv),
             hiddens (L+1, B, T, D), new_cache (or None).
         """
         b, t = tokens.shape
         if cache is None:
-            positions = jnp.arange(t)[None, :]
+            if positions is None:
+                if token_valid is not None:
+                    positions = jnp.maximum(
+                        jnp.cumsum(token_valid.astype(jnp.int32), axis=1) - 1, 0
+                    )
+                else:
+                    positions = jnp.broadcast_to(jnp.arange(t)[None, :], (b, t))
             mask = jnp.tril(jnp.ones((t, t), bool))[None, None, :, :]
+            if token_valid is not None:
+                mask = mask & token_valid[:, None, None, :]
         else:
-            # Query positions cache_index .. cache_index + t - 1; each may
-            # attend to every cached position at or before it. Covers both
-            # cache-mode prefill (t = P, cache_index = 0) and decode (t = 1).
-            q_pos = cache_index + jnp.arange(t)
-            positions = jnp.broadcast_to(q_pos[None, :], (b, t))
             kv_len = cache["layers"][0]["k"].shape[1]
+            q_phys = cache_index + jnp.arange(t)
+            if positions is None:
+                positions = jnp.broadcast_to(q_phys[None, :], (b, t))
             mask = (
-                jnp.arange(kv_len)[None, None, None, :] <= q_pos[None, None, :, None]
+                jnp.arange(kv_len)[None, None, None, :] <= q_phys[None, None, :, None]
             )
+            if token_valid is not None:
+                # token_valid marks valid physical KV slots (B, kv_len).
+                mask = mask & token_valid[:, None, None, :]
 
         x = nn.Embed(self.vocab_size, self.d_model, name="embed")(tokens)
         x = x + nn.Embed(self.max_len, self.d_model, name="pos_embed")(positions)

@@ -262,6 +262,20 @@ class TestJaxGenerator:
         row = out["attentions"][3][5][0, :, 0, :]
         np.testing.assert_allclose(row.sum(axis=-1), 1.0, rtol=1e-4)
 
+    def test_batched_multi_prompt_matches_single(self, generator):
+        """Left-padded batched decode == per-prompt decode (greedy)."""
+        prompts = [[1, 2, 3, 4], [7, 8], [5, 9, 2, 7]]
+        batch = generator.generate_batch(prompts, do_sample=False)
+        assert batch["sequences"].shape == (3, 4 + 6)
+        for i, pr in enumerate(prompts):
+            single = generator.generate(pr, do_sample=False)
+            np.testing.assert_array_equal(
+                single["sequences"][0, len(pr):], batch["sequences"][i, -6:]
+            )
+            np.testing.assert_allclose(
+                single["log_probs"][0], batch["log_probs"][i], rtol=2e-4, atol=1e-5
+            )
+
     def test_sampling_differs(self, generator):
         out = generator.generate(
             [1, 2, 3, 4], num_return_sequences=4, do_sample=True,
