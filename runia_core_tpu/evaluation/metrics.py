@@ -27,6 +27,7 @@ __all__ = [
     "binary_roc",
     "binary_precision_recall_curve",
     "auc",
+    "jax_auroc",
     "get_auroc_results",
     "plot_roc_ood_detector",
     "save_roc_ood_detector",
@@ -91,6 +92,38 @@ def binary_precision_recall_curve(scores: np.ndarray, labels: np.ndarray):
     recall = np.r_[recall[::-1], 0.0]
     thresholds = sorted_scores[thr_idx][::-1]
     return precision, recall, thresholds
+
+
+def jax_auroc(ind_scores, ood_scores) -> "jnp.ndarray":
+    """AUROC as a jittable on-device reduction (InD = positive class).
+
+    For fused evaluation programs over large sharded score arrays; equals the
+    exact rank statistic AUROC = (U - n_pos(n_pos+1)/2) / (n_pos * n_neg)
+    with average ranks for ties (matches binary_roc + trapezoid exactly).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    ind_scores = jnp.asarray(ind_scores).ravel()
+    ood_scores = jnp.asarray(ood_scores).ravel()
+    scores = jnp.concatenate([ind_scores, ood_scores])
+    labels = jnp.concatenate(
+        [jnp.ones_like(ind_scores), jnp.zeros_like(ood_scores)]
+    )
+    order = jnp.argsort(scores)
+    sorted_scores = scores[order]
+    ranks = jnp.arange(1, scores.shape[0] + 1, dtype=jnp.float64 if scores.dtype == jnp.float64 else jnp.float32)
+    # Average ranks over ties: group by equal score runs.
+    is_new = jnp.concatenate([jnp.array([True]), sorted_scores[1:] != sorted_scores[:-1]])
+    group_id = jnp.cumsum(is_new) - 1
+    group_sum = jax.ops.segment_sum(ranks, group_id, num_segments=scores.shape[0])
+    group_cnt = jax.ops.segment_sum(jnp.ones_like(ranks), group_id, num_segments=scores.shape[0])
+    avg_rank = (group_sum / jnp.maximum(group_cnt, 1.0))[group_id]
+    pos_ranks = jnp.sum(avg_rank * labels[order])
+    n_pos = jnp.sum(labels)
+    n_neg = labels.shape[0] - n_pos
+    u = pos_ranks - n_pos * (n_pos + 1) / 2.0
+    return u / jnp.maximum(n_pos * n_neg, 1.0)
 
 
 def auc(x: np.ndarray, y: np.ndarray) -> float:

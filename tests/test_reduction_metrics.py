@@ -161,6 +161,61 @@ class TestROCMetrics:
         assert table.loc["e", "fpr@95"] == pytest.approx(expected, abs=1e-12)
 
 
+class TestJaxAUROC:
+    def test_matches_sklearn(self, rng):
+        from runia_core_tpu.evaluation.metrics import jax_auroc
+
+        ind = rng.randn(300) + 1.0
+        ood = rng.randn(250)
+        ours = float(jax_auroc(ind, ood))
+        scores = np.concatenate([ind, ood])
+        labels = np.concatenate([np.ones(300), np.zeros(250)])
+        assert ours == pytest.approx(roc_auc_score(labels, scores), abs=1e-6)
+
+    def test_ties(self):
+        from runia_core_tpu.evaluation.metrics import jax_auroc
+
+        ind = np.array([0.9, 0.5, 0.5, 0.1])
+        ood = np.array([0.5, 0.5, 0.1, 0.0])
+        expected = roc_auc_score(
+            np.concatenate([np.ones(4), np.zeros(4)]), np.concatenate([ind, ood])
+        )
+        assert float(jax_auroc(ind, ood)) == pytest.approx(expected, abs=1e-6)
+
+    def test_jittable(self, rng):
+        import jax
+        from runia_core_tpu.evaluation.metrics import jax_auroc
+
+        f = jax.jit(jax_auroc)
+        out = float(f(jnp.asarray(rng.randn(64) + 1), jnp.asarray(rng.randn(64))))
+        assert 0.0 <= out <= 1.0
+
+
+class TestLogBaselinesNegation:
+    def test_pred_h_and_mi_negated(self, rng):
+        """pred_h / mi scores are negated before AUROC so higher = InD
+        (reference latent_space.py:257-261)."""
+        from runia_core_tpu.evaluation import log_baselines
+        import pandas as pd
+
+        # pred_h: OoD has HIGHER entropy -> after negation InD scores higher
+        ind_scores = rng.rand(100) + 0.0
+        ood_scores = rng.rand(100) + 2.0
+        df = log_baselines(
+            baselines_names=["pred_h"],
+            ind_dataset="ind",
+            ind_data_dict={"pred_h": ind_scores},
+            ood_baselines_scores={"far pred_h": ood_scores},
+            ood_datasets=["far"],
+            overall_metrics_df=pd.DataFrame(
+                columns=["auroc", "fpr@95", "aupr", "fpr", "tpr"]
+            ),
+            mlflow_logging=False,
+            logs_folder=None,
+        )
+        assert df.loc["far pred_h", "auroc"] > 0.95
+
+
 class TestEvalHarness:
     def test_log_evaluate_postprocessors(self, rng):
         d = 16
