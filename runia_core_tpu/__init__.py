@@ -69,32 +69,28 @@ __all__ = [
     "__version__",
 ]
 
-# Deprecated / expired attribute machinery (reference __init__.py:24-54)
-__deprecated_attrs__ = {}
-__expired_functions__ = {}
+# Deprecated / expired attribute machinery: maps old attribute names either
+# to a replacement value + message (deprecated) or to a message only
+# (expired — accessing returns a stub that raises).
+__deprecated_attrs__: dict = {}
+__expired_functions__: dict = {}
 
 
 def __getattr__(attr):  # pragma: no cover
     import warnings
 
-    try:
-        msg = __expired_functions__[attr]
-    except KeyError:
-        pass
-    else:
-        warnings.warn(msg, DeprecationWarning, stacklevel=2)
+    if attr in __expired_functions__:
+        message = __expired_functions__[attr]
+        warnings.warn(message, DeprecationWarning, stacklevel=2)
 
-        def _expired(*args, **kwds):
-            raise RuntimeError(msg)
+        def _expired(*_args, **_kwargs):
+            raise RuntimeError(message)
 
         return _expired
 
-    try:
-        val, msg = __deprecated_attrs__[attr]
-    except KeyError:
-        pass
-    else:
-        warnings.warn(msg, DeprecationWarning, stacklevel=2)
-        return val
+    if attr in __deprecated_attrs__:
+        value, message = __deprecated_attrs__[attr]
+        warnings.warn(message, DeprecationWarning, stacklevel=2)
+        return value
 
     raise AttributeError(f"module {__name__!r} has no attribute {attr!r}")

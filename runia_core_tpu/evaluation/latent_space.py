@@ -32,6 +32,7 @@ from runia_core_tpu.reduction import apply_pca_ds_split, apply_pca_transform
 __all__ = ["log_evaluate_larex", "log_baselines", "plot_roc_curves"]
 
 DEFAULT_POSTPROCESSORS = ("LaRED", "LaREM", "LaREK")
+_METRIC_COLUMNS = ["auroc", "fpr@95", "aupr", "fpr", "tpr"]
 
 
 def _optional_mlflow():
@@ -41,6 +42,49 @@ def _optional_mlflow():
         return mlflow
     except ImportError:  # pragma: no cover
         return None
+
+
+def _empty_metrics_df() -> pd.DataFrame:
+    return pd.DataFrame(columns=_METRIC_COLUMNS)
+
+
+def _append_rows(dst: pd.DataFrame, src: pd.DataFrame) -> pd.DataFrame:
+    for row_name in src.index.values:
+        dst.loc[row_name] = src.loc[row_name]
+    return dst
+
+
+def _log_figure(mlflow, mlflow_logging, logs_folder, figure, artifact_name):
+    """Route a figure to mlflow or the local logs folder."""
+    if mlflow_logging and mlflow is not None:  # pragma: no cover
+        mlflow.log_figure(figure=figure, artifact_file=f"figs/{artifact_name}.png")
+    elif logs_folder is not None:  # pragma: no cover
+        figure.savefig(f"{logs_folder}/{artifact_name}.png")
+
+
+def _pca_reduced_dicts(ind_data_dict, ood_data_dict, ood_datasets, n_components):
+    """Fit PCA on the train entropies and project every split with it."""
+    ind_pca: Dict[str, np.ndarray] = {}
+    train_red, transformation = apply_pca_ds_split(
+        samples=ind_data_dict["train latent_space_means"],
+        nro_components=n_components,
+    )
+    ind_pca["train latent_space_means"] = train_red
+    ind_pca["valid latent_space_means"] = apply_pca_transform(
+        ind_data_dict["valid latent_space_means"], transformation
+    )
+    for key in ("train labels", "valid labels"):
+        if key in ind_data_dict:
+            ind_pca[key] = ind_data_dict[key]
+
+    ood_pca: Dict[str, np.ndarray] = {}
+    for name in ood_datasets:
+        ood_pca[f"{name} latent_space_means"] = apply_pca_transform(
+            ood_data_dict[f"{name} latent_space_means"], transformation
+        )
+        if f"{name} labels" in ood_data_dict:
+            ood_pca[f"{name} labels"] = ood_data_dict[f"{name} labels"]
+    return ind_pca, ood_pca
 
 
 def log_evaluate_larex(
@@ -56,20 +100,27 @@ def log_evaluate_larex(
     save_csv: bool = False,
     save_plots_to_local: bool = False,
 ) -> Tuple[pd.DataFrame, Dict[str, Dict[str, float]], Dict[str, float], Dict[str, np.ndarray]]:
-    """Full InD-vs-OoD evaluation sweep (reference latent_space.py:30-221)."""
+    """Full InD-vs-OoD evaluation sweep (reference latent_space.py:30-221).
+
+    Flow: log precomputed baselines; fit+score the latent postprocessors on
+    the full entropy vectors; repeat for every PCA setting in
+    ``cfg.n_pca_components``; pick each postprocessor's best configuration by
+    mean AUROC; refit the best configs and derive binary thresholds
+    (mean - 1.645*std of InD valid scores); emit ROC overlays.
+    """
     if postprocessors is None:
         postprocessors = DEFAULT_POSTPROCESSORS
     if visualize_score is not None:
         assert visualize_score in postprocessors_dict.keys()
     mlflow = _optional_mlflow()
     current_date = datetime.today().strftime("%Y-%m-%d_%H:%M:%S")
-    overall_metrics_df = pd.DataFrame(columns=["auroc", "fpr@95", "aupr", "fpr", "tpr"])
+    overall_metrics_df = _empty_metrics_df()
 
     logs_folder = f"./results_logs/ind_{cfg.ind_dataset}/{mlflow_run_name}"
     if not mlflow_logging and save_plots_to_local:  # pragma: no cover
         os.makedirs(logs_folder, exist_ok=False)
+    plots_folder = logs_folder if save_plots_to_local else None
 
-    # ---------------- Baselines ----------------
     if len(baselines_names) > 0:
         overall_metrics_df = log_baselines(
             baselines_names=baselines_names,
@@ -79,12 +130,11 @@ def log_evaluate_larex(
             ood_datasets=cfg.ood_datasets,
             overall_metrics_df=overall_metrics_df,
             mlflow_logging=mlflow_logging,
-            logs_folder=None if not save_plots_to_local else logs_folder,
+            logs_folder=plots_folder,
         )
 
-    # ---------------- LaREx, full latent vectors ----------------
     print(f"{postprocessors} running...")
-    results_eval = log_evaluate_postprocessors(
+    full_vector_eval = log_evaluate_postprocessors(
         ind_dict=ind_data_dict,
         ood_dict=ood_data_dict,
         ood_datasets_names=cfg.ood_datasets,
@@ -94,49 +144,26 @@ def log_evaluate_larex(
         postprocessors=postprocessors,
         cfg=cfg,
     )
-    for result in results_eval["results_df"].index.values:
-        overall_metrics_df.loc[result] = results_eval["results_df"].loc[result]
+    overall_metrics_df = _append_rows(overall_metrics_df, full_vector_eval["results_df"])
+
     if visualize_score is not None:
-        postp_scores_plots_dict = save_scores_plots(
-            scores_ind=results_eval["InD"],
-            ood_scores_dict=results_eval["OoD"],
+        score_plots = save_scores_plots(
+            scores_ind=full_vector_eval["InD"],
+            ood_scores_dict=full_vector_eval["OoD"],
             ood_datasets_list=cfg.ood_datasets,
             ind_dataset_name=cfg.ind_dataset,
             post_processor_name=visualize_score,
         )
-        for plot_name, plot in postp_scores_plots_dict.items():  # pragma: no cover
-            if mlflow_logging and mlflow is not None:
-                mlflow.log_figure(figure=plot.figure, artifact_file=f"figs/{plot_name}.png")
-            elif save_plots_to_local:
-                plot.figure.savefig(logs_folder + f"/{plot_name}.png")
+        for plot_name, plot in score_plots.items():  # pragma: no cover
+            _log_figure(mlflow, mlflow_logging, plots_folder, plot.figure, plot_name)
 
-    # ---------------- PCA sweep ----------------
     for n_components in cfg.n_pca_components:
-        ind_dict_pca = {}
-        pca_ind_train, pca_transformation = apply_pca_ds_split(
-            samples=ind_data_dict["train latent_space_means"], nro_components=n_components
+        ind_pca, ood_pca = _pca_reduced_dicts(
+            ind_data_dict, ood_data_dict, cfg.ood_datasets, n_components
         )
-        pca_ind_valid = apply_pca_transform(
-            ind_data_dict["valid latent_space_means"], pca_transformation
-        )
-        ind_dict_pca["train latent_space_means"] = pca_ind_train
-        ind_dict_pca["valid latent_space_means"] = pca_ind_valid
-        if "train labels" in ind_data_dict:
-            ind_dict_pca["train labels"] = ind_data_dict["train labels"]
-        if "valid labels" in ind_data_dict:
-            ind_dict_pca["valid labels"] = ind_data_dict["valid labels"]
-        ood_dict_pca = {}
-        for ood_dataset_name in cfg.ood_datasets:
-            ood_dict_pca[f"{ood_dataset_name} latent_space_means"] = apply_pca_transform(
-                ood_data_dict[f"{ood_dataset_name} latent_space_means"], pca_transformation
-            )
-            if f"{ood_dataset_name} labels" in ood_data_dict:
-                ood_dict_pca[f"{ood_dataset_name} labels"] = ood_data_dict[
-                    f"{ood_dataset_name} labels"
-                ]
-        results_eval = log_evaluate_postprocessors(
-            ind_dict=ind_dict_pca,
-            ood_dict=ood_dict_pca,
+        pca_eval = log_evaluate_postprocessors(
+            ind_dict=ind_pca,
+            ood_dict=ood_pca,
             ood_datasets_names=cfg.ood_datasets,
             experiment_name_extension=f" PCA {n_components}",
             return_density_scores=None,
@@ -145,20 +172,19 @@ def log_evaluate_larex(
             postprocessors=postprocessors,
             cfg=cfg,
         )
-        for result in results_eval["results_df"].index.values:
-            overall_metrics_df.loc[result] = results_eval["results_df"].loc[result]
+        overall_metrics_df = _append_rows(overall_metrics_df, pca_eval["results_df"])
 
     if save_csv:  # pragma: no cover
         os.makedirs(f"./results_csvs/{cfg.mlflow_experiment_name}", exist_ok=True)
-        overall_metrics_df_name = (
-            f"./results_csvs/{cfg.mlflow_experiment_name}/{mlflow_run_name}_{current_date}.csv.gz"
+        csv_name = (
+            f"./results_csvs/{cfg.mlflow_experiment_name}/"
+            f"{mlflow_run_name}_{current_date}.csv.gz"
         )
-        print(f"Saving csv to {overall_metrics_df_name}")
-        overall_metrics_df.to_csv(path_or_buf=overall_metrics_df_name, compression="gzip")
+        print(f"Saving csv to {csv_name}")
+        overall_metrics_df.to_csv(path_or_buf=csv_name, compression="gzip")
         if mlflow_logging and mlflow is not None:
-            mlflow.log_artifact(overall_metrics_df_name)
+            mlflow.log_artifact(csv_name)
 
-    # ---------------- Best-method selection + thresholds ----------------
     best_postprocessors_dict = _get_best_postprocessors_metrics(
         baselines_names=baselines_names,
         overall_metrics_df=overall_metrics_df,
@@ -177,7 +203,7 @@ def log_evaluate_larex(
         cfg=cfg,
         ind_data=ind_data_dict,
         ood_data=ood_data_dict,
-        logs_folder=None if not save_plots_to_local else logs_folder,
+        logs_folder=plots_folder,
         log_mlflow=mlflow_logging,
     )
     print(f"Best postprocessor thresholds: {postprocessor_thresholds}")
@@ -189,7 +215,7 @@ def log_evaluate_larex(
         best_postprocessors_dict=best_postprocessors_dict,
         mlflow_logging=mlflow_logging,
         ind_dataset=cfg.ind_dataset,
-        logs_folder=None if not save_plots_to_local else logs_folder,
+        logs_folder=plots_folder,
         baselines_names=baselines_names,
     )
     return overall_metrics_df, best_postprocessors_dict, postprocessor_thresholds, ood_data_dict
@@ -207,58 +233,76 @@ def log_baselines(
 ) -> pd.DataFrame:
     """AUROC-log all precalculated baselines (reference latent_space.py:224-322).
 
-    pred_h / mi scores are negated so higher = InD, like the reference.
+    pred_h / mi are uncertainty scores (higher = OoD) and are negated so
+    higher = InD, aligning every baseline with the label convention.
     """
     print("Logging baselines")
     mlflow = _optional_mlflow()
-    baselines_experiments = {}
-    for baseline in baselines_names:
-        for ood_dataset in ood_datasets:
-            if baseline == "pred_h" or baseline == "mi":
-                baselines_experiments[f"{ood_dataset} {baseline}"] = {
-                    "InD": -ind_data_dict[baseline],
-                    "OoD": -ood_baselines_scores[f"{ood_dataset} {baseline}"],
-                }
-            else:
-                baselines_experiments[f"{ood_dataset} {baseline}"] = {
-                    "InD": ind_data_dict[baseline],
-                    "OoD": ood_baselines_scores[f"{ood_dataset} {baseline}"],
-                }
 
-    baselines_plots = {}
-    for baseline in baselines_names:
-        entry = {"InD": ind_data_dict[baseline]}
-        entry["x_axis"] = baseline_name_dict[baseline]["x_axis"]
-        entry["plot_name"] = baseline_name_dict[baseline]["plot_name"]
-        for ood_dataset in ood_datasets:
-            entry[ood_dataset] = ood_baselines_scores[f"{ood_dataset} {baseline}"]
-        baselines_plots[baseline_name_dict[baseline]["plot_title"]] = entry
+    def signed(baseline, values):
+        return -values if baseline in ("pred_h", "mi") else values
 
-    for plot_title, experiment in baselines_plots.items():
-        pred_score_plot = get_pred_scores_plots(
-            experiment, ood_datasets, title=plot_title, ind_dataset_name=ind_dataset
+    experiments = {
+        f"{ood_dataset} {baseline}": {
+            "InD": signed(baseline, ind_data_dict[baseline]),
+            "OoD": signed(baseline, ood_baselines_scores[f"{ood_dataset} {baseline}"]),
+        }
+        for baseline in baselines_names
+        for ood_dataset in ood_datasets
+    }
+
+    # Score-distribution plots, one per baseline across all OoD sets.
+    for baseline in baselines_names:
+        meta = baseline_name_dict[baseline]
+        experiment = {"InD": ind_data_dict[baseline],
+                      "x_axis": meta["x_axis"], "plot_name": meta["plot_name"]}
+        for ood_dataset in ood_datasets:
+            experiment[ood_dataset] = ood_baselines_scores[f"{ood_dataset} {baseline}"]
+        figure = get_pred_scores_plots(
+            experiment, ood_datasets, title=meta["plot_title"],
+            ind_dataset_name=ind_dataset,
         )
-        if mlflow_logging and mlflow is not None:  # pragma: no cover
-            mlflow.log_figure(
-                figure=pred_score_plot.figure,
-                artifact_file=f"figs/{experiment['plot_name']}.png",
-            )
-        elif logs_folder is not None:  # pragma: no cover
-            pred_score_plot.figure.savefig(logs_folder + f"/{experiment['plot_name']}.png")
+        _log_figure(mlflow, mlflow_logging, logs_folder, figure.figure,
+                    experiment["plot_name"])
 
-    for experiment_name, experiment in baselines_experiments.items():
+    for experiment_name, experiment in experiments.items():
         results_df, results_mlflow = get_auroc_results(
             detect_exp_name=experiment_name,
             ind_samples_scores=experiment["InD"],
             ood_samples_scores=experiment["OoD"],
             return_results_for_mlflow=True,
         )
-        results_mlflow = {f"{experiment_name}_{k}": v for k, v in results_mlflow.items()}
         if mlflow_logging and mlflow is not None:  # pragma: no cover
-            mlflow.log_metrics(results_mlflow)
-        for results in results_df.index.values:
-            overall_metrics_df.loc[results] = results_df.loc[results]
+            mlflow.log_metrics(
+                {f"{experiment_name}_{k}": v for k, v in results_mlflow.items()}
+            )
+        overall_metrics_df = _append_rows(overall_metrics_df, results_df)
     return overall_metrics_df
+
+
+def _collect_roc_tables(
+    ood_dataset, postprocessors, overall_metrics_df, best_rows, baselines_names
+):
+    """Split the overall table into the 'base' overlay (baselines + best
+    configs) and one PCA-sweep table per postprocessor, with the dataset
+    prefix stripped from row names."""
+    tables = {"base": _empty_metrics_df()}
+    for postprocessor in postprocessors:
+        tables[postprocessor] = _empty_metrics_df()
+
+    for row_name in overall_metrics_df.index:
+        if ood_dataset not in row_name:
+            continue
+        short = row_name.split(ood_dataset)[1]
+        is_best = row_name in best_rows
+        is_baseline = row_name.split(f"{ood_dataset} ")[-1] in baselines_names
+        if is_best or is_baseline:
+            tables["base"].loc[short] = overall_metrics_df.loc[row_name]
+        if "PCA" in row_name:
+            for postprocessor in postprocessors:
+                if postprocessor in row_name:
+                    tables[postprocessor].loc[short] = overall_metrics_df.loc[row_name]
+    return tables
 
 
 def plot_roc_curves(
@@ -274,53 +318,38 @@ def plot_roc_curves(
     """ROC overlays per OoD dataset + per-postprocessor PCA sweeps
     (reference latent_space.py:325-419)."""
     mlflow = _optional_mlflow()
-    dfs_dict = {}
     for ood_dataset in ood_datasets:
-        dfs_dict["base"] = pd.DataFrame(columns=["auroc", "fpr@95", "aupr", "fpr", "tpr"])
-        for postprocessor in postprocessors:
-            dfs_dict[postprocessor] = pd.DataFrame(
-                columns=["auroc", "fpr@95", "aupr", "fpr", "tpr"]
-            )
-        for row_name in overall_metrics_df.index:
-            if ood_dataset in row_name and (
-                row_name in best_postprocessors_dict["best"]
-                or row_name.split(f"{ood_dataset} ")[-1] in baselines_names
-            ):
-                dfs_dict["base"].loc[row_name] = overall_metrics_df.loc[row_name]
-                dfs_dict["base"].rename(
-                    index={row_name: row_name.split(ood_dataset)[1]}, inplace=True
-                )
-            for postprocessor in postprocessors:
-                if ood_dataset in row_name and "PCA" in row_name and postprocessor in row_name:
-                    dfs_dict[postprocessor].loc[row_name] = overall_metrics_df.loc[row_name]
-                    dfs_dict[postprocessor].rename(
-                        index={row_name: row_name.split(ood_dataset)[1]}, inplace=True
-                    )
-        roc_curve = save_roc_ood_detector(
-            results_table=dfs_dict["base"],
+        tables = _collect_roc_tables(
+            ood_dataset, postprocessors, overall_metrics_df,
+            set(best_postprocessors_dict["best"]), baselines_names,
+        )
+        base_fig = save_roc_ood_detector(
+            results_table=tables["base"],
             plot_title=f"ROC {ind_dataset} vs {ood_dataset}",
             postprocessors=postprocessors,
         )
-        if mlflow_logging and mlflow is not None:  # pragma: no cover
-            mlflow.log_figure(figure=roc_curve, artifact_file=f"figs/roc_{ood_dataset}.png")
-        elif logs_folder is not None:  # pragma: no cover
-            roc_curve.savefig(logs_folder + f"/roc_{ood_dataset}.png")
-
+        _log_figure(mlflow, mlflow_logging, logs_folder, base_fig, f"roc_{ood_dataset}")
         for postprocessor in postprocessors:
-            roc_curve_pca_postp = save_roc_ood_detector(
-                results_table=dfs_dict[postprocessor],
+            pca_fig = save_roc_ood_detector(
+                results_table=tables[postprocessor],
                 plot_title=f"ROC {ind_dataset} vs {ood_dataset} {postprocessor} PCA",
                 postprocessors=postprocessors,
             )
-            if mlflow_logging and mlflow is not None:  # pragma: no cover
-                mlflow.log_figure(
-                    figure=roc_curve_pca_postp,
-                    artifact_file=f"figs/roc_{ood_dataset}_pca_{postprocessor}.png",
-                )
-            elif logs_folder is not None:  # pragma: no cover
-                roc_curve_pca_postp.savefig(
-                    logs_folder + f"/roc_{ood_dataset}_pca_{postprocessor}.png"
-                )
+            _log_figure(
+                mlflow, mlflow_logging, logs_folder, pca_fig,
+                f"roc_{ood_dataset}_pca_{postprocessor}",
+            )
+
+
+def _baseline_mean_metrics(baseline, overall_metrics_df):
+    """Mean auroc/aupr/fpr@95 of one baseline across OoD datasets."""
+    rows = [
+        overall_metrics_df.loc[row_name, ["auroc", "fpr@95", "aupr"]]
+        for row_name in overall_metrics_df.index
+        if baseline in row_name
+    ]
+    table = pd.DataFrame(rows)
+    return table.mean(), table.std()
 
 
 def _get_best_postprocessors_metrics(
@@ -334,61 +363,48 @@ def _get_best_postprocessors_metrics(
     """Per-baseline means + best PCA setting per postprocessor
     (reference latent_space.py:421-518)."""
     mlflow = _optional_mlflow()
-    multiple_ood_datasets_flag = len(ood_datasets_names) > 1
+    multiple_ood = len(ood_datasets_names) > 1
     all_aurocs, all_auprs, all_fprs = [], [], []
-    if len(baselines_names) > 0:
-        for baseline in baselines_names:
-            temp_df = pd.DataFrame(columns=["auroc", "fpr@95", "aupr", "fpr", "tpr"])
-            for row_name in overall_metrics_df.index:
-                if baseline in row_name:
-                    temp_df.loc[row_name] = overall_metrics_df.loc[row_name]
-                    temp_df.rename(index={row_name: row_name.split(baseline)[0]}, inplace=True)
-            all_aurocs.append(temp_df["auroc"].mean())
-            all_auprs.append(temp_df["aupr"].mean())
-            all_fprs.append(temp_df["fpr@95"].mean())
-            if mlflow_logging and mlflow is not None:  # pragma: no cover
-                mlflow.log_metric(f"{baseline}_auroc_mean", temp_df["auroc"].mean())
-                mlflow.log_metric(f"{baseline}_auroc_std", temp_df["auroc"].std())
-                mlflow.log_metric(f"{baseline}_aupr_mean", temp_df["aupr"].mean())
-                mlflow.log_metric(f"{baseline}_aupr_std", temp_df["aupr"].std())
-                mlflow.log_metric(f"{baseline}_fpr95_mean", temp_df["fpr@95"].mean())
-                mlflow.log_metric(f"{baseline}_fpr95_std", temp_df["fpr@95"].std())
 
-    best_postprocessors_dict = {"best": []}
+    for baseline in baselines_names:
+        means, stds = _baseline_mean_metrics(baseline, overall_metrics_df)
+        all_aurocs.append(means["auroc"])
+        all_auprs.append(means["aupr"])
+        all_fprs.append(means["fpr@95"])
+        if mlflow_logging and mlflow is not None:  # pragma: no cover
+            for metric, short in (("auroc", "auroc"), ("aupr", "aupr"), ("fpr@95", "fpr95")):
+                mlflow.log_metric(f"{baseline}_{short}_mean", means[metric])
+                mlflow.log_metric(f"{baseline}_{short}_std", stds[metric])
+
+    best: Dict[str, Dict] = {"best": []}
     for postprocessor in postprocessors:
-        best_postprocessors_dict[postprocessor] = {}
         auroc, aupr, fpr, best_comp = select_and_log_best_larex(
             overall_metrics_df,
             n_pca_components,
             postprocessor_name=postprocessor,
             log_mlflow=mlflow_logging,
-            multiple_ood_datasets_flag=multiple_ood_datasets_flag,
+            multiple_ood_datasets_flag=multiple_ood,
         )
-        if best_comp == 0:
-            best_postprocessors_dict[postprocessor]["best_comp"] = f"{postprocessor}"
-        else:
-            best_postprocessors_dict[postprocessor]["best_comp"] = (
-                f"{postprocessor} PCA {best_comp}"
-            )
-        best_postprocessors_dict[postprocessor]["auroc"] = auroc
-        best_postprocessors_dict[postprocessor]["aupr"] = aupr
-        best_postprocessors_dict[postprocessor]["fpr"] = fpr
+        best_name = (
+            postprocessor if best_comp == 0 else f"{postprocessor} PCA {best_comp}"
+        )
+        best[postprocessor] = {
+            "best_comp": best_name, "auroc": auroc, "aupr": aupr, "fpr": fpr,
+        }
         all_aurocs.append(auroc)
         all_auprs.append(aupr)
         all_fprs.append(fpr)
-        for ood_dataset in ood_datasets_names:
-            best_postprocessors_dict["best"].append(
-                f"{ood_dataset} {best_postprocessors_dict[postprocessor]['best_comp']}"
-            )
+        best["best"].extend(
+            f"{ood_dataset} {best_name}" for ood_dataset in ood_datasets_names
+        )
 
-    if mlflow_logging and mlflow is not None and len(ood_datasets_names) > 1:  # pragma: no cover
-        mlflow.log_metric("global_auroc_mean", np.mean(all_aurocs))
-        mlflow.log_metric("global_auroc_std", np.std(all_aurocs))
-        mlflow.log_metric("global_aupr_mean", np.mean(all_auprs))
-        mlflow.log_metric("global_aupr_std", np.std(all_auprs))
-        mlflow.log_metric("global_fpr_mean", np.mean(all_fprs))
-        mlflow.log_metric("global_fpr_std", np.std(all_fprs))
-    return best_postprocessors_dict
+    if mlflow_logging and mlflow is not None and multiple_ood:  # pragma: no cover
+        for name, values in (
+            ("auroc", all_aurocs), ("aupr", all_auprs), ("fpr", all_fprs),
+        ):
+            mlflow.log_metric(f"global_{name}_mean", np.mean(values))
+            mlflow.log_metric(f"global_{name}_std", np.std(values))
+    return best
 
 
 def _get_best_post_processor_thresholds(
@@ -400,63 +416,60 @@ def _get_best_post_processor_thresholds(
     logs_folder: Union[str, None],
     log_mlflow: bool = False,
 ) -> Tuple[Dict[str, float], Dict[str, np.ndarray]]:
-    """Refit best configs, threshold = mean - 1.645*std of InD valid scores
-    (reference latent_space.py:521-605)."""
+    """Refit each postprocessor's best configuration on the train entropies
+    and derive its binary threshold: mean - 1.645*std of the InD valid
+    scores (reference latent_space.py:521-605). Also attaches the best-config
+    OoD scores to ``ood_data`` and emits score-histogram plots."""
     import matplotlib
 
     matplotlib.use("Agg")
     import matplotlib.pyplot as plt
 
     mlflow = _optional_mlflow()
-    postprocessor_thresholds = {}
-    for postprocessor_name in postprocessors_names:
-        train_data = ind_data["train latent_space_means"].copy()
-        valid_data = ind_data["valid latent_space_means"].copy()
-        pca_transformation = None
-        postp_instance = postprocessors_dict[postprocessor_name](cfg=cfg)
-        postp_instance._setup_flag = False
-        best_postp = best_postprocessors_dict[postprocessor_name]["best_comp"]
-        if "PCA" in best_postp:
-            n_pca_comps = int(best_postp.split("PCA")[1])
-            train_data, pca_transformation = apply_pca_ds_split(
-                samples=train_data, nro_components=n_pca_comps
+    thresholds: Dict[str, float] = {}
+    for name in postprocessors_names:
+        best_config = best_postprocessors_dict[name]["best_comp"]
+        train = ind_data["train latent_space_means"].copy()
+        valid = ind_data["valid latent_space_means"].copy()
+        transformation = None
+        if "PCA" in best_config:
+            n_comps = int(best_config.split("PCA")[1])
+            train, transformation = apply_pca_ds_split(
+                samples=train, nro_components=n_comps
             )
-        postp_instance.setup(train_data, ind_train_labels=ind_data.get("train labels"))
-        if "PCA" in best_postp:
-            valid_data = apply_pca_transform(valid_data, pca_transformation)
-        ind_valid_postp = postp_instance.postprocess(
-            valid_data, pred_labels=ind_data.get("valid labels")
+            valid = apply_pca_transform(valid, transformation)
+
+        instance = postprocessors_dict[name](cfg=cfg)
+        instance._setup_flag = False
+        instance.setup(train, ind_train_labels=ind_data.get("train labels"))
+        valid_scores = instance.postprocess(
+            valid, pred_labels=ind_data.get("valid labels")
         )
-        mean_ind_valid, std_ind_valid = np.mean(ind_valid_postp), np.std(ind_valid_postp)
-        threshold_postp = mean_ind_valid - (1.645 * std_ind_valid)
-        postprocessor_thresholds[best_postp] = threshold_postp
+        threshold = float(np.mean(valid_scores) - 1.645 * np.std(valid_scores))
+        thresholds[best_config] = threshold
 
         fig, ax = plt.subplots(figsize=(8, 6))
-        ax.hist(ind_valid_postp, bins=100, label="InD valid set", alpha=0.4)
-        for ood_dataset_name in cfg.ood_datasets:
-            ood_dataset = ood_data[f"{ood_dataset_name} latent_space_means"].copy()
-            if "PCA" in best_postp:
-                ood_dataset = apply_pca_transform(ood_dataset, pca_transformation)
-            ood_postp = postp_instance.postprocess(
-                ood_dataset, pred_labels=ood_data.get(f"{ood_dataset_name} labels")
+        ax.hist(valid_scores, bins=100, label="InD valid set", alpha=0.4)
+        for ood_name in cfg.ood_datasets:
+            ood_split = ood_data[f"{ood_name} latent_space_means"].copy()
+            if transformation is not None:
+                ood_split = apply_pca_transform(ood_split, transformation)
+            ood_scores = instance.postprocess(
+                ood_split, pred_labels=ood_data.get(f"{ood_name} labels")
             )
-            ood_data[f"{ood_dataset_name} {best_postp}"] = ood_postp
-            ax.hist(ood_postp, bins=100, label=f"OoD {ood_dataset_name} ", alpha=0.4)
+            ood_data[f"{ood_name} {best_config}"] = ood_scores
+            ax.hist(ood_scores, bins=100, label=f"OoD {ood_name} ", alpha=0.4)
         ax.vlines(
-            x=threshold_postp,
-            ymin=0,
-            ymax=ax.dataLim.bounds[3],
-            colors="r",
-            label=f"95% threshold={round(threshold_postp, 2)}",
+            x=threshold, ymin=0, ymax=ax.dataLim.bounds[3], colors="r",
+            label=f"95% threshold={round(threshold, 2)}",
         )
         ax.legend()
         ax.set_xlabel("Score")
         ax.set_ylabel("Frquency")
-        ax.set_title(f"Empirical {best_postp} score distribution")
+        ax.set_title(f"Empirical {best_config} score distribution")
         if log_mlflow and mlflow is not None:  # pragma: no cover
-            mlflow.log_metric(f"Threshold_{best_postp}", threshold_postp)
-            mlflow.log_figure(figure=fig, artifact_file=f"figs/{best_postp}_score_threshold.png")
-        elif logs_folder is not None:  # pragma: no cover
-            fig.savefig(f"{logs_folder}/{best_postp}_score_threshold.png")
+            mlflow.log_metric(f"Threshold_{best_config}", threshold)
+        _log_figure(mlflow, log_mlflow, logs_folder, fig,
+                    f"{best_config}_score_threshold")
         plt.close(fig)
-    return postprocessor_thresholds, ood_data
+    return thresholds, ood_data

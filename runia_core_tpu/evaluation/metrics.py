@@ -184,21 +184,34 @@ def plot_roc_ood_detector(results_table, plot_title: str = "Plot Title"):  # pra
     """Show ROC curves for every row of a results table (metrics.py:103-128)."""
     import matplotlib.pyplot as plt
 
-    plt.figure(figsize=(8, 6))
-    for i in results_table.index:
-        plt.plot(
-            results_table.loc[i]["fpr"],
-            results_table.loc[i]["tpr"],
-            label=i + ", AUROC={:.4f}".format(results_table.loc[i]["auroc"]),
-        )
-    plt.plot([0, 1], [0, 1], color="orange", linestyle="--")
-    plt.xticks(np.arange(0.0, 1.1, step=0.1))
-    plt.xlabel("False Positive Rate", fontsize=15)
-    plt.yticks(np.arange(0.0, 1.1, step=0.1))
-    plt.ylabel("True Positive Rate", fontsize=15)
-    plt.title(plot_title, fontweight="bold", fontsize=15)
-    plt.legend(prop={"size": 12}, loc="lower right")
+    fig, ax = plt.subplots(figsize=(8, 6))
+    _draw_roc_overlay(ax, results_table, plot_title, highlight=None)
     plt.show()
+
+
+def _draw_roc_overlay(ax, results_table, plot_title, highlight):
+    """Shared ROC-overlay renderer. ``highlight`` is an optional list of
+    name substrings drawn solid/bold; everything else is dashed."""
+    import numpy as _np
+
+    for row_name in results_table.index:
+        row = results_table.loc[row_name]
+        if highlight is None:
+            style = {}
+        elif any(h in row_name for h in highlight):
+            style = {"linestyle": "solid", "linewidth": 3.0}
+        else:
+            style = {"linestyle": "dashed", "linewidth": 1.7}
+        ax.plot(row["fpr"], row["tpr"],
+                label=f"{row_name}, AUROC={row['auroc']:.4f}", **style)
+    ax.plot([0, 1], [0, 1], color="orange", linestyle="--")
+    ticks = _np.arange(0.0, 1.1, step=0.1)
+    ax.set_xticks(ticks)
+    ax.set_yticks(ticks)
+    ax.set_xlabel("False Positive Rate", fontsize=15)
+    ax.set_ylabel("True Positive Rate", fontsize=15)
+    ax.set_title(plot_title, fontweight="bold", fontsize=15)
+    ax.legend(prop={"size": 12}, loc="lower right")
 
 
 def save_roc_ood_detector(
@@ -208,24 +221,7 @@ def save_roc_ood_detector(
     import matplotlib.pyplot as plt
 
     fig, ax = plt.subplots(figsize=(8, 6))
-    for i in results_table.index:
-        if any(postp in i for postp in postprocessors):
-            style = dict(linestyle="solid", linewidth=3.0)
-        else:
-            style = dict(linestyle="dashed", linewidth=1.7)
-        ax.plot(
-            results_table.loc[i]["fpr"],
-            results_table.loc[i]["tpr"],
-            label=i + ", AUROC={:.4f}".format(results_table.loc[i]["auroc"]),
-            **style,
-        )
-    ax.plot([0, 1], [0, 1], color="orange", linestyle="--")
-    ax.set_xticks(np.arange(0.0, 1.1, step=0.1))
-    ax.set_xlabel("False Positive Rate", fontsize=15)
-    ax.set_yticks(np.arange(0.0, 1.1, step=0.1))
-    ax.set_ylabel("True Positive Rate", fontsize=15)
-    ax.set_title(plot_title, fontweight="bold", fontsize=15)
-    ax.legend(prop={"size": 12}, loc="lower right")
+    _draw_roc_overlay(ax, results_table, plot_title, highlight=postprocessors)
     return fig
 
 
@@ -369,53 +365,55 @@ def select_and_log_best_larex(
     multiple_ood_datasets_flag: bool,
     log_mlflow: bool = False,
 ) -> Tuple[float, float, float, int]:
-    """Mean metrics per PCA setting, pick best AUROC (metrics.py:383-462)."""
+    """Mean metrics per PCA setting, pick best AUROC (metrics.py:383-462).
+
+    Configurations considered: the no-PCA run (rows mentioning the
+    postprocessor but no "PCA") and one entry per n_pca_components (rows
+    ending exactly in "PCA {n}"). Each configuration's metrics are averaged
+    across OoD datasets; the winner is the highest mean AUROC.
+    """
     assert postprocessor_name in postprocessors_dict.keys(), f"Got {postprocessor_name}"
-    means_df = pd.DataFrame(columns=["auroc", "fpr@95", "aupr"])
-    temp_df = pd.DataFrame(columns=["auroc", "fpr@95", "aupr"])
-    for row_name in overall_metrics_df.index:
-        if postprocessor_name in row_name and "anomalies" not in row_name and "PCA" not in row_name:
-            temp_df.loc[row_name] = overall_metrics_df.loc[row_name, ["auroc", "fpr@95", "aupr"]]
-    means_df.loc[postprocessor_name] = temp_df.mean()
+    summary_cols = ["auroc", "fpr@95", "aupr"]
 
-    if multiple_ood_datasets_flag:
-        stds_df = pd.DataFrame(columns=["auroc", "fpr@95", "aupr"])
-        stds_df.loc[postprocessor_name] = temp_df.std()
+    def config_rows(predicate):
+        selected = [
+            overall_metrics_df.loc[row, summary_cols]
+            for row in overall_metrics_df.index
+            if postprocessor_name in row and predicate(row)
+        ]
+        return pd.DataFrame(selected, columns=summary_cols)
 
-    for n_components in n_pca_components_list:
-        temp_df = pd.DataFrame(columns=["auroc", "fpr@95", "aupr"])
-        for row_name in overall_metrics_df.index:
-            if (
-                postprocessor_name in row_name
-                and f"PCA {n_components}" in row_name
-                and row_name.split(f"PCA {n_components}")[-1] == ""
-            ):
-                temp_df.loc[row_name] = overall_metrics_df.loc[
-                    row_name, ["auroc", "fpr@95", "aupr"]
-                ]
-        means_df.loc[f"{postprocessor_name} PCA {n_components}"] = temp_df.mean()
-        if multiple_ood_datasets_flag:
-            stds_df.loc[f"{postprocessor_name} PCA {n_components}"] = temp_df.std()
+    configs = {
+        postprocessor_name: config_rows(
+            lambda row: "anomalies" not in row and "PCA" not in row
+        )
+    }
+    for n in n_pca_components_list:
+        configs[f"{postprocessor_name} PCA {n}"] = config_rows(
+            lambda row, n=n: f"PCA {n}" in row and row.split(f"PCA {n}")[-1] == ""
+        )
+
+    means_df = pd.DataFrame(
+        {name: rows.mean() for name, rows in configs.items()}
+    ).T
+    stds_df = pd.DataFrame(
+        {name: rows.std() for name, rows in configs.items()}
+    ).T
 
     best_index = means_df[means_df.auroc == means_df.auroc.max()].index[0]
     best_n_comps = int(best_index.split()[-1]) if "PCA" in best_index else 0
+    best_mean = means_df.loc[best_index]
 
     mlflow = _optional_mlflow()
     if log_mlflow and mlflow is not None:  # pragma: no cover
-        mlflow.log_metric(f"{postprocessor_name}_auroc_mean", means_df.loc[best_index, "auroc"])
-        mlflow.log_metric(f"{postprocessor_name}_aupr_mean", means_df.loc[best_index, "aupr"])
-        mlflow.log_metric(f"{postprocessor_name}_fpr95_mean", means_df.loc[best_index, "fpr@95"])
+        for metric, short in (("auroc", "auroc"), ("aupr", "aupr"), ("fpr@95", "fpr95")):
+            mlflow.log_metric(f"{postprocessor_name}_{short}_mean", best_mean[metric])
+            if multiple_ood_datasets_flag:
+                mlflow.log_metric(
+                    f"{postprocessor_name}_{short}_std", stds_df.loc[best_index, metric]
+                )
         mlflow.log_metric(f"Best {postprocessor_name}", best_n_comps)
-        if multiple_ood_datasets_flag:
-            mlflow.log_metric(f"{postprocessor_name}_auroc_std", stds_df.loc[best_index, "auroc"])
-            mlflow.log_metric(f"{postprocessor_name}_aupr_std", stds_df.loc[best_index, "aupr"])
-            mlflow.log_metric(f"{postprocessor_name}_fpr95_std", stds_df.loc[best_index, "fpr@95"])
-    return (
-        means_df.loc[best_index, "auroc"],
-        means_df.loc[best_index, "aupr"],
-        means_df.loc[best_index, "fpr@95"],
-        best_n_comps,
-    )
+    return best_mean["auroc"], best_mean["aupr"], best_mean["fpr@95"], best_n_comps
 
 
 def subset_boxes(
@@ -428,85 +426,62 @@ def subset_boxes(
     non_empty_predictions_id: Optional[Dict[str, List]] = None,
     non_empty_predictions_ood: Optional[Dict[str, List]] = None,
 ):
-    """Random subsetting of extracted boxes for faster eval (metrics.py:465-575)."""
-    from collections import defaultdict
+    """Random subsetting of extracted boxes for faster eval (metrics.py:465-575).
+
+    Train boxes are subsampled uniformly; the InD valid set is subsampled by
+    whole images (so per-image prediction dicts stay consistent); OoD sets are
+    subsampled uniformly. Same seed -> same subsets.
+    """
+    from collections import Counter
 
     np.random.seed(random_seed)
-    if (
-        "train latent_space_means" in ind_dict.keys()
-        and ind_dict["train latent_space_means"].shape[0] > ind_train_limit
-    ):
-        print(
-            f"Subsetting train set to {ind_train_limit} from "
-            f"{ind_dict['train latent_space_means'].shape[0]} extracted boxes"
-        )
-        chosen_idx_train = np.random.choice(
-            ind_dict["train latent_space_means"].shape[0], size=ind_train_limit, replace=False
-        )
-        ind_dict["train latent_space_means"] = ind_dict["train latent_space_means"][
-            chosen_idx_train
-        ]
-        if "train logits" in ind_dict.keys():
-            ind_dict["train logits"] = ind_dict["train logits"][chosen_idx_train, :]
-        if "train features" in ind_dict.keys():
-            ind_dict["train features"] = ind_dict["train features"][chosen_idx_train, :]
 
-    if (
-        "valid latent_space_means" in ind_dict.keys()
-        and ind_dict["valid latent_space_means"].shape[0] > ood_limit
-    ):
-        non_emp_test = defaultdict(int)
-        for im_id in non_empty_predictions_id["valid"]:
-            non_emp_test[im_id] += 1
-        avg_obj_per_id_img = int(
-            ind_dict["valid latent_space_means"].shape[0] / len(non_emp_test)
+    def take(store, split, idx):
+        """Apply one index selection to every array of a split."""
+        for kind in ("latent_space_means", "logits", "features"):
+            key = f"{split} {kind}"
+            if key in store:
+                store[key] = store[key][np.asarray(idx)]
+
+    train_key = "train latent_space_means"
+    if train_key in ind_dict and ind_dict[train_key].shape[0] > ind_train_limit:
+        total = ind_dict[train_key].shape[0]
+        print(f"Subsetting train set to {ind_train_limit} from {total} extracted boxes")
+        take(ind_dict, "train",
+             np.random.choice(total, size=ind_train_limit, replace=False))
+
+    valid_key = "valid latent_space_means"
+    if valid_key in ind_dict and ind_dict[valid_key].shape[0] > ood_limit:
+        # Pick whole images until ~ood_limit boxes are kept.
+        per_image = Counter(non_empty_predictions_id["valid"])
+        avg_boxes = int(ind_dict[valid_key].shape[0] / len(per_image))
+        kept_images = np.random.choice(
+            list(per_image.keys()), size=int(ood_limit / avg_boxes), replace=False
         )
-        choice_test = np.random.choice(
-            list(non_emp_test.keys()),
-            size=int(ood_limit / avg_obj_per_id_img),
-            replace=False,
-        )
-        chosen_idx_valid = []
-        choice_test = np.delete(choice_test, np.where(choice_test == "default_factory"))
-        for i, idx in enumerate(non_empty_predictions_id["valid"]):
-            if idx in choice_test:
-                chosen_idx_valid.append(i)
-        print(
-            f"Subsetting valid set to {len(chosen_idx_valid)} from "
-            f"{ind_dict['valid latent_space_means'].shape[0]} extracted boxes"
-        )
-        ind_dict["valid latent_space_means"] = ind_dict["valid latent_space_means"][
-            chosen_idx_valid
+        kept_set = set(np.asarray(kept_images).tolist())
+        chosen = [
+            i for i, im_id in enumerate(non_empty_predictions_id["valid"])
+            if im_id in kept_set
         ]
-        if "valid logits" in ind_dict.keys():
-            ind_dict["valid logits"] = ind_dict["valid logits"][chosen_idx_valid, :]
-        if "valid features" in ind_dict.keys():
-            ind_dict["valid features"] = ind_dict["valid features"][chosen_idx_valid, :]
+        print(
+            f"Subsetting valid set to {len(chosen)} from "
+            f"{ind_dict[valid_key].shape[0]} extracted boxes"
+        )
+        take(ind_dict, "valid", chosen)
         if non_empty_predictions_id is not None:
             non_empty_predictions_id["valid"] = [
-                non_empty_predictions_id["valid"][i] for i in chosen_idx_valid
+                non_empty_predictions_id["valid"][i] for i in chosen
             ]
 
-    for ood_dataset_name in ood_names:
-        data = ood_dict[f"{ood_dataset_name} latent_space_means"]
-        if data.shape[0] > ood_limit:
-            print(
-                f"Subsetting {ood_dataset_name} to {ood_limit} from "
-                f"{data.shape[0]} extracted boxes"
-            )
-            chosen_idx_ood = np.random.choice(data.shape[0], size=ood_limit, replace=False)
-            ood_dict[f"{ood_dataset_name} latent_space_means"] = data[chosen_idx_ood]
-            if f"{ood_dataset_name} logits" in ood_dict.keys():
-                ood_dict[f"{ood_dataset_name} logits"] = ood_dict[
-                    f"{ood_dataset_name} logits"
-                ][chosen_idx_ood, :]
-            if f"{ood_dataset_name} features" in ood_dict.keys():
-                ood_dict[f"{ood_dataset_name} features"] = ood_dict[
-                    f"{ood_dataset_name} features"
-                ][chosen_idx_ood, :]
+    for name in ood_names:
+        total = ood_dict[f"{name} latent_space_means"].shape[0]
+        if total > ood_limit:
+            print(f"Subsetting {name} to {ood_limit} from {total} extracted boxes")
+            chosen = np.random.choice(total, size=ood_limit, replace=False)
+            take(ood_dict, name, chosen)
             if non_empty_predictions_ood is not None:
-                non_empty_predictions_ood[ood_dataset_name] = [
-                    non_empty_predictions_ood[ood_dataset_name][i] for i in chosen_idx_ood
+                non_empty_predictions_ood[name] = [
+                    non_empty_predictions_ood[name][i] for i in chosen
                 ]
 
     if non_empty_predictions_id is not None and non_empty_predictions_ood is not None:
