@@ -501,49 +501,41 @@ def get_gtu_uu_metrics(
     min_conf_score: Optional[float] = None,
 ) -> Dict[str, Dict[str, Dict[str, np.ndarray]]]:
     """AUROC split into GTU (ground-truth unknown) vs UU (unknown unknown)
-    detections (reference metrics.py:578-657)."""
+    detections (reference metrics.py:578-657): InD valid scores vs the OoD
+    detections grouped by whether they overlap an unknown GT box."""
     from runia_core_tpu.evaluation.open_set import get_boxes_gtu_and_uu_ood_dataset
 
-    id_valid_scores = {}
-    for method in methods_names:
-        id_valid_scores[method] = []
-        for im_id, pred_dict in ind_data_dict["valid"].items():
-            id_valid_scores[method].extend(pred_dict[method])
-        id_valid_scores[method] = np.array([id_valid_scores[method]]).squeeze()
+    def flat_scores(method):
+        values = [
+            v for pred_dict in ind_data_dict["valid"].values()
+            for v in pred_dict[method]
+        ]
+        return np.array([values]).squeeze()
 
-    ood_scores: Dict = {}
+    def auroc_vs(ind_scores, ood_scores):
+        _, metrics = get_auroc_results(
+            detect_exp_name="", ind_samples_scores=ind_scores,
+            ood_samples_scores=ood_scores, return_results_for_mlflow=True,
+        )
+        return metrics
+
+    id_valid_scores = {method: flat_scores(method) for method in methods_names}
     results: Dict = {}
-    for ood_dataset_name in ood_datasets_names:
-        ood_scores[ood_dataset_name] = {}
-        results[ood_dataset_name] = {}
+    for ood_name in ood_datasets_names:
+        results[ood_name] = {}
         for method in methods_names:
-            ood_scores[ood_dataset_name][method] = {}
-            results[ood_dataset_name][method] = {}
-            (
-                ood_scores[ood_dataset_name][method]["gtu"],
-                ood_scores[ood_dataset_name][method]["uu"],
-            ) = get_boxes_gtu_and_uu_ood_dataset(
+            gtu, uu = get_boxes_gtu_and_uu_ood_dataset(
                 id_dataset_name=ind_dataset_name,
                 id_gt_annotations_path=ind_gt_annotations_path,
-                predictions_dict=ood_data_dict[ood_dataset_name],
+                predictions_dict=ood_data_dict[ood_name],
                 method_name=method,
-                test_gt_annotations_path=ood_annotations_paths[ood_dataset_name],
+                test_gt_annotations_path=ood_annotations_paths[ood_name],
                 metric_2007=metric_2007,
                 evaluating_ood=True,
                 min_conf_score=min_conf_score,
             )
-            _, results_gtu = get_auroc_results(
-                detect_exp_name="",
-                ind_samples_scores=id_valid_scores[method],
-                ood_samples_scores=ood_scores[ood_dataset_name][method]["gtu"],
-                return_results_for_mlflow=True,
-            )
-            _, results_uu = get_auroc_results(
-                detect_exp_name="",
-                ind_samples_scores=id_valid_scores[method],
-                ood_samples_scores=ood_scores[ood_dataset_name][method]["uu"],
-                return_results_for_mlflow=True,
-            )
-            results[ood_dataset_name][method]["gtu"] = results_gtu
-            results[ood_dataset_name][method]["uu"] = results_uu
+            results[ood_name][method] = {
+                "gtu": auroc_vs(id_valid_scores[method], gtu),
+                "uu": auroc_vs(id_valid_scores[method], uu),
+            }
     return results
