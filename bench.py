@@ -94,16 +94,20 @@ def measure_tpu():
     scorer, rng = build_pipeline()
     key = jax.random.key(7)
     images = jnp.asarray(rng.rand(BATCH, IMG, IMG, 3).astype(np.float32))
-    # warmup / compile
-    logits, scores = scorer(images, key)
+    # warmup / compile (two rounds so autotuning settles)
+    for i in range(2):
+        logits, scores = scorer(images, jax.random.fold_in(key, 100 + i))
     jax.block_until_ready(scores)
+    # Median of several short windows is robust to tunnel hiccups.
+    windows = []
     iters = 10
-    t0 = time.perf_counter()
-    for i in range(iters):
-        _, scores = scorer(images, jax.random.fold_in(key, i))
-    jax.block_until_ready(scores)
-    dt = time.perf_counter() - t0
-    return BATCH * iters / dt
+    for w in range(3):
+        t0 = time.perf_counter()
+        for i in range(iters):
+            _, scores = scorer(images, jax.random.fold_in(key, w * iters + i))
+        jax.block_until_ready(scores)
+        windows.append(BATCH * iters / (time.perf_counter() - t0))
+    return float(np.median(windows))
 
 
 # ---------------------------------------------------------------------------
