@@ -1,0 +1,96 @@
+"""Coverage for remaining public paths: ImageLvlFeatureExtractor, the
+classic MCD extractor's avgpool reduction, and the profiling utils."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from runia_core_tpu.extraction import ImageLvlFeatureExtractor, MCDSamplesExtractor
+from runia_core_tpu.models import JaxDetectorAdapter, SimpleDetector
+from runia_core_tpu.utils import benchmark, record_time, trace_annotation
+
+IMG = 64
+
+
+@pytest.fixture(scope="module")
+def det_adapter():
+    model = SimpleDetector(num_classes=3, features=8, stride=8)
+    variables = model.init(jax.random.key(0), jnp.zeros((1, IMG, IMG, 3)))
+    return JaxDetectorAdapter(model, variables)
+
+
+class TestImageLvlFeatureExtractor:
+    def test_whole_image_features(self, det_adapter, rng):
+        extractor = ImageLvlFeatureExtractor(
+            model=det_adapter, architecture="yolov8", return_raw_predictions=False
+        )
+        loader = [(f"im{i}", rng.rand(IMG, IMG, 3).astype(np.float32), i)
+                  for i in range(3)]
+        out = extractor.get_ls_samples(loader, predict_conf=0.05)
+        # One channel-mean feature row per image (neck fmap has 64 channels:
+        # features=8 doubled through 3 downsample stages)
+        assert out["latent_space_means"].shape == (3, 64)
+        assert isinstance(out["no_obj"], list)
+
+    def test_no_detection_tracked(self, det_adapter, rng):
+        extractor = ImageLvlFeatureExtractor(model=det_adapter, architecture="yolov8")
+        loader = [(f"im{i}", rng.rand(IMG, IMG, 3).astype(np.float32), i)
+                  for i in range(3)]
+        out = extractor.get_ls_samples(loader, predict_conf=0.999999)
+        assert len(out["no_obj"]) == 3  # nothing passes the threshold
+
+    def test_return_stds_unimplemented(self, det_adapter):
+        with pytest.raises(NotImplementedError):
+            ImageLvlFeatureExtractor(
+                model=det_adapter, architecture="yolov8", return_stds=True
+            )
+
+
+class TestMCDAvgPool:
+    def test_avgpool_reduction(self, rng):
+        from runia_core_tpu.models import SimpleConvNet, build_tapped_forward
+
+        model = SimpleConvNet(num_classes=2, features=4)
+        variables = model.init(jax.random.key(0), jnp.zeros((1, 16, 16, 3)))
+        fwd = build_tapped_forward(model, variables)
+
+        def stochastic(images, key):
+            return fwd(images + jax.random.normal(key, images.shape) * 0.01)
+
+        extractor = MCDSamplesExtractor(
+            model=stochastic, layer_type="Conv", reduction_method="avgpool",
+            avg_pooling_parameters=(2, 2, 0), mcd_nro_samples=4,
+        )
+        imgs = rng.rand(2, 16, 16, 3).astype(np.float32)
+        out = extractor.get_ls_samples([(imgs, np.zeros(2))])
+        # pre_pool is (4, 4, 8); avgpool k2 s2 -> (2, 2, 8) -> 32 flat
+        assert out.shape == (8, 32)
+
+    def test_avgpool_requires_three_params(self):
+        with pytest.raises(AssertionError):
+            MCDSamplesExtractor(
+                model=None, layer_type="Conv", reduction_method="avgpool",
+                avg_pooling_parameters=(2, 2),
+            )
+
+
+class TestUtils:
+    def test_record_time_blocks(self):
+        @record_time
+        def compute():
+            return jnp.ones((256, 256)) @ jnp.ones((256, 256))
+
+        result, seconds = compute()
+        assert seconds > 0
+        assert result.shape == (256, 256)
+
+    def test_benchmark(self):
+        f = jax.jit(lambda x: x * 2)
+        out, dt = benchmark(f, jnp.ones(128), iters=3)
+        assert dt > 0 and out.shape == (128,)
+
+    def test_trace_annotation_context(self):
+        with trace_annotation("test-region"):
+            _ = jnp.ones(8) + 1
