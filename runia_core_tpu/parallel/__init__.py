@@ -1,10 +1,17 @@
 """Device-mesh parallelism: sharded scoring, fitting, and training helpers."""
 
 from runia_core_tpu.parallel.mesh import (
+    initialize_distributed,
     make_mesh,
     replicate,
     shard_batch,
     sharded_train_step,
 )
 
-__all__ = ["make_mesh", "shard_batch", "replicate", "sharded_train_step"]
+__all__ = [
+    "initialize_distributed",
+    "make_mesh",
+    "shard_batch",
+    "replicate",
+    "sharded_train_step",
+]

@@ -21,7 +21,35 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-__all__ = ["make_mesh", "shard_batch", "replicate", "sharded_train_step"]
+__all__ = [
+    "initialize_distributed",
+    "make_mesh",
+    "shard_batch",
+    "replicate",
+    "sharded_train_step",
+]
+
+
+def initialize_distributed(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> int:
+    """Join a multi-host JAX runtime (TPU pod slices).
+
+    On single-host (including this test environment) it is a no-op returning
+    the local device count. On pods, call once per host before any jax op;
+    afterwards ``jax.devices()`` spans the slice and ``make_mesh`` builds
+    meshes whose ``data`` axis crosses hosts — collectives ride ICI within a
+    slice and DCN across slices, inserted by XLA from the same shardings.
+    """
+    if num_processes is not None and num_processes > 1:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    return len(jax.devices())
 
 
 def make_mesh(

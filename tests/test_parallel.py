@@ -123,3 +123,13 @@ class TestDataParallelScorer:
 
         g.dryrun_multichip(8)
         g.dryrun_multichip(4)
+
+
+class TestInitializeDistributed:
+    def test_single_host_noop(self):
+        from runia_core_tpu.parallel import initialize_distributed
+
+        n = initialize_distributed()
+        assert n == len(jax.devices())
+        # Explicit single-process call is also a no-op.
+        assert initialize_distributed(num_processes=1) == n
