@@ -7,6 +7,10 @@ from runia_core_tpu.parallel.mesh import (
     shard_batch,
     sharded_train_step,
 )
+from runia_core_tpu.parallel.ring_attention import (
+    ring_attention,
+    ring_self_attention,
+)
 
 __all__ = [
     "initialize_distributed",
@@ -14,4 +18,6 @@ __all__ = [
     "shard_batch",
     "replicate",
     "sharded_train_step",
+    "ring_attention",
+    "ring_self_attention",
 ]
