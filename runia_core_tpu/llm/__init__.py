@@ -10,6 +10,7 @@ from runia_core_tpu.llm.attention import (
 from runia_core_tpu.llm.generate import JaxGenerator, run_generation
 from runia_core_tpu.llm.scores import (
     RAUQ,
+    batched_rauq,
     compute_uncertainties,
     eigen_score,
     generation_entropy,
@@ -36,6 +37,7 @@ __all__ = [
     "rauq_uncertainty_mean_heads",
     "rauq_uncertainty_rollout",
     "RAUQ",
+    "batched_rauq",
     "compute_uncertainties",
     "JaxGenerator",
     "run_generation",

@@ -127,6 +127,7 @@ class JaxGenerator:
         key: Optional[jax.Array] = None,
         max_new_tokens: Optional[int] = None,
         pad_id: int = 0,
+        output_attentions: bool = False,
     ) -> Dict[str, Any]:
         """Decode a batch of DIFFERENT prompts in one fused program.
 
@@ -135,8 +136,18 @@ class JaxGenerator:
         sequences (B, P+T), scores (T-tuple of (B, V)), log_probs (B, T),
         prompt_lengths (B,) — the throughput path for sequence-level scores
         (perplexity / generation entropy / normalized entropy over many
-        prompts). Per-step attention/hidden taps are exposed by the
+        prompts). Full per-step attention/hidden taps are exposed by the
         single-prompt ``generate``.
+
+        With ``output_attentions=True`` the result additionally carries
+        ``prev_token_attention`` (B, L, H, T-1): each decode step's attention
+        weight on the immediately-previous token, extracted on device inside
+        the scan (the full (q, kv) attention maps never leave the chip).
+        This is exactly the statistic RAUQ's "original" token aggregation
+        consumes — feed it to :func:`runia_core_tpu.llm.batched_rauq`.
+        Left padding does not perturb it: padded slots are masked out of the
+        softmax, and every sequence's real tokens are end-aligned, so the
+        previous-token column is at the same physical slot for all rows.
         """
         max_new = max_new_tokens or self.max_new_tokens
         b = len(prompts)
@@ -156,7 +167,10 @@ class JaxGenerator:
 
         model, params = self.model, self.params
         eos = self.eos_id
-        cfg = ("batch", b, p, max_new, do_sample, float(temperature))
+        cfg = (
+            "batch", b, p, max_new, do_sample, float(temperature),
+            output_attentions,
+        )
         if cfg not in self._decode_cache:
 
             @jax.jit
@@ -199,33 +213,52 @@ class JaxGenerator:
                         axis=1,
                     )
                     positions = (lengths + step)[:, None]
-                    new_logits, _, _, cache = model.apply(
+                    new_logits, attn, _, cache = model.apply(
                         params, next_tok[:, None], cache, jnp.int32(p) + step,
                         token_valid=kv_valid, positions=positions,
                     )
+                    if output_attentions:
+                        # attn (L, B, H, 1, total): keep only the column for
+                        # the previous token (physical slot p+step-1 — the
+                        # last prompt token at step 0, else the previous
+                        # generated token), matching the single-prompt
+                        # _get_recurent_attention extraction.
+                        prev = jax.lax.dynamic_slice_in_dim(
+                            attn[:, :, :, 0, :], jnp.int32(p - 1) + step, 1, axis=-1
+                        )[..., 0]
+                    else:
+                        prev = jnp.zeros((), jnp.float32)
                     return (
                         (cache, new_logits[:, 0, :], key_, finished),
-                        (next_tok, step_logits, lp),
+                        (next_tok, step_logits, lp, prev),
                     )
 
                 init = (cache, step_logits, rng_key, jnp.zeros((b,), bool))
-                _, (toks, score_seq, lps) = jax.lax.scan(
+                _, (toks, score_seq, lps, prev_attn) = jax.lax.scan(
                     body, init, jnp.arange(max_new)
                 )
-                return toks, score_seq, lps
+                return toks, score_seq, lps, prev_attn
 
             self._decode_cache[cfg] = run
-        toks, score_seq, lps = jax.tree_util.tree_map(
+        toks, score_seq, lps, prev_attn = jax.tree_util.tree_map(
             np.asarray,
             self._decode_cache[cfg](prompt, prompt_valid, jnp.asarray(lengths), key),
         )
         sequences = np.concatenate([tokens, toks.T], axis=1)
-        return {
+        result = {
             "sequences": sequences,
             "scores": tuple(score_seq[i] for i in range(max_new)),
             "log_probs": lps.T,
             "prompt_lengths": lengths,
         }
+        if output_attentions:
+            # (T, L, B, H) -> (B, L, H, T-1); the final step's forward output
+            # is discarded exactly as in the single-prompt path (its token is
+            # never consumed by a subsequent step).
+            result["prev_token_attention"] = np.transpose(
+                prev_attn[: max_new - 1], (2, 1, 3, 0)
+            )
+        return result
 
     def generate(
         self,

@@ -36,6 +36,7 @@ __all__ = [
     "rauq_uncertainty_mean_heads",
     "rauq_uncertainty_rollout",
     "RAUQ",
+    "batched_rauq",
     "compute_uncertainties",
 ]
 
@@ -243,6 +244,52 @@ def RAUQ(
             log_probs, attentions, token_aggregation, input_length, alphas, ablation
         )
     raise KeyError(head_aggregation)
+
+
+def batched_rauq(
+    log_probs: np.ndarray,
+    prev_token_attention: np.ndarray,
+    head_aggregation: str = "original",
+    alphas: List[float] = [0.2],
+    ablation: bool = False,
+) -> Union[np.ndarray, List]:
+    """RAUQ over a multi-prompt batch from ``JaxGenerator.generate_batch``.
+
+    Args:
+        log_probs: (B, T) transition log-probs from the batched decode.
+        prev_token_attention: (B, L, H, T-1) previous-token attention from
+            ``generate_batch(..., output_attentions=True)`` — the "original"
+            token aggregation's statistic, extracted on device.
+        head_aggregation: "original" (per-layer most-attentive head) or
+            "mean_heads"; "rollout" needs the dense attention matrix and is
+            served by the single-prompt path.
+
+    Returns:
+        (B,) uncertainties, or a length-B list of per-alpha lists when
+        ``ablation`` is set.
+    """
+    fns = {
+        "original": rauq_uncertainty,
+        "mean_heads": rauq_uncertainty_mean_heads,
+    }
+    if head_aggregation not in fns:
+        raise KeyError(
+            f"{head_aggregation!r}: batched RAUQ supports {sorted(fns)}"
+        )
+    fn = fns[head_aggregation]
+    log_probs = _np(log_probs)
+    out = [
+        fn(
+            log_probs[b],
+            None,
+            "original",
+            alphas,
+            ablation,
+            attention_weights=prev_token_attention[b],
+        )
+        for b in range(log_probs.shape[0])
+    ]
+    return out if ablation else np.asarray(out)
 
 
 def compute_uncertainties(

@@ -276,6 +276,42 @@ class TestJaxGenerator:
                 single["log_probs"][0], batch["log_probs"][i], rtol=2e-4, atol=1e-5
             )
 
+    def test_batched_rauq_matches_single(self, generator):
+        """RAUQ from the batched decode's on-device prev-token attention taps
+        == RAUQ from the single-prompt dense attention tuples."""
+        from runia_core_tpu.llm import batched_rauq, rauq_uncertainty_mean_heads
+
+        prompts = [[1, 2, 3, 4], [7, 8], [5, 9, 2, 7]]
+        batch = generator.generate_batch(
+            prompts, do_sample=False, output_attentions=True
+        )
+        # (B, L, H, T-1): layers, heads, decode steps minus the final forward
+        assert batch["prev_token_attention"].shape == (3, 16, 2, 5)
+        ours = batched_rauq(
+            batch["log_probs"], batch["prev_token_attention"], "original"
+        )
+        ours_mh = batched_rauq(
+            batch["log_probs"], batch["prev_token_attention"], "mean_heads",
+            alphas=[0.3],
+        )
+        for i, pr in enumerate(prompts):
+            single = generator.generate(pr, do_sample=False)
+            ref = rauq_uncertainty(
+                single["log_probs"], single["attentions"], "original"
+            )
+            assert ours[i] == pytest.approx(ref, rel=1e-3)
+            ref_mh = rauq_uncertainty_mean_heads(
+                single["log_probs"], single["attentions"], "original",
+                alphas=[0.3],
+            )
+            assert ours_mh[i] == pytest.approx(ref_mh, rel=1e-3)
+
+    def test_batched_rauq_rejects_rollout(self, generator):
+        from runia_core_tpu.llm import batched_rauq
+
+        with pytest.raises(KeyError):
+            batched_rauq(np.zeros((1, 3)), np.zeros((1, 2, 2, 2)), "rollout")
+
     def test_sampling_differs(self, generator):
         out = generator.generate(
             [1, 2, 3, 4], num_return_sequences=4, do_sample=True,
