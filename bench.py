@@ -98,13 +98,19 @@ def measure_tpu():
     for i in range(2):
         logits, scores = scorer(images, jax.random.fold_in(key, 100 + i))
     jax.block_until_ready(scores)
-    # Median of several short windows is robust to tunnel hiccups.
+    # Steady-state pipelined throughput: long windows amortize the one
+    # host<->device sync per window (~30 ms over the tunnel), and the
+    # per-batch RNG keys are derived up front so key folding is not in the
+    # timed loop. Median over windows is robust to tunnel hiccups.
+    iters = 100
+    n_windows = 3
+    keys = [jax.random.fold_in(key, i) for i in range(n_windows * iters)]
+    jax.block_until_ready(keys[-1])
     windows = []
-    iters = 10
-    for w in range(3):
+    for w in range(n_windows):
         t0 = time.perf_counter()
         for i in range(iters):
-            _, scores = scorer(images, jax.random.fold_in(key, w * iters + i))
+            _, scores = scorer(images, keys[w * iters + i])
         jax.block_until_ready(scores)
         windows.append(BATCH * iters / (time.perf_counter() - t0))
     return float(np.median(windows))
