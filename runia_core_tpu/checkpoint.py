@@ -29,6 +29,8 @@ __all__ = [
     "load_state_dict",
     "save_state_dict_orbax",
     "load_state_dict_orbax",
+    "save_larex_pipeline",
+    "load_larex_scorer",
 ]
 
 _META_KEY = "__runia_meta__"
@@ -137,4 +139,80 @@ def load_pca(path: Union[str, os.PathLike]) -> PCAState:
         components=jnp.asarray(state["components"]),
         explained_variance=jnp.asarray(state["explained_variance"]),
         whiten=bool(state["whiten"]),
+    )
+
+
+def save_larex_pipeline(
+    path: Union[str, os.PathLike],
+    pca_state: Optional[PCAState],
+    detector_state: Dict[str, Any],
+    mcd_samples_nro: int = 16,
+    drop_block_prob: float = 0.5,
+    drop_block_size: int = 3,
+    tap: str = "pre_pool",
+    channel_axis: int = 3,
+    detector: str = "MD",
+) -> None:
+    """Persist everything :func:`inference.build_larex_scorer` needs except
+    the model itself, in one .npz artifact.
+
+    Model params belong in their own (orbax) checkpoint — they are large,
+    possibly sharded, and shared across detector configs; this bundles the
+    fitted scoring head (PCA + detector state) with the MC/tap configuration
+    so a serving process reconstructs the fused scorer in one call.
+    """
+    state: Dict[str, Any] = {
+        "__mcd_samples_nro__": int(mcd_samples_nro),
+        "__drop_block_prob__": float(drop_block_prob),
+        "__drop_block_size__": int(drop_block_size),
+        "__tap__": tap,
+        "__channel_axis__": int(channel_axis),
+        "__detector__": detector,
+        "__has_pca__": pca_state is not None,
+    }
+    if pca_state is not None:
+        state["pca.mean"] = np.asarray(pca_state.mean)
+        state["pca.components"] = np.asarray(pca_state.components)
+        state["pca.explained_variance"] = np.asarray(pca_state.explained_variance)
+        state["__pca_whiten__"] = bool(pca_state.whiten)
+    for key, value in detector_state.items():
+        state[f"det.{key}"] = np.asarray(value)
+    save_state_dict(path, state)
+
+
+def load_larex_scorer(path: Union[str, os.PathLike], apply_fn) -> Any:
+    """Rebuild the fused LaREx scorer from a saved pipeline artifact.
+
+    ``apply_fn`` is the model forward (``images -> (logits, taps)``), e.g.
+    from ``models.build_tapped_forward`` with params restored separately.
+    Returns the jitted ``(images, key) -> (logits, scores)`` program.
+    """
+    import jax.numpy as jnp
+
+    from runia_core_tpu.inference import build_larex_scorer
+
+    state = load_state_dict(path)
+    pca_state = None
+    if state["__has_pca__"]:
+        pca_state = PCAState(
+            mean=jnp.asarray(state["pca.mean"]),
+            components=jnp.asarray(state["pca.components"]),
+            explained_variance=jnp.asarray(state["pca.explained_variance"]),
+            whiten=bool(state["__pca_whiten__"]),
+        )
+    detector_state = {
+        key[len("det."):]: jnp.asarray(value)
+        for key, value in state.items()
+        if key.startswith("det.")
+    }
+    return build_larex_scorer(
+        apply_fn,
+        pca_state=pca_state,
+        detector_state=detector_state,
+        mcd_samples_nro=int(state["__mcd_samples_nro__"]),
+        drop_block_prob=float(state["__drop_block_prob__"]),
+        drop_block_size=int(state["__drop_block_size__"]),
+        tap=str(state["__tap__"]),
+        channel_axis=int(state["__channel_axis__"]),
+        detector=str(state["__detector__"]),
     )

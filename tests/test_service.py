@@ -87,3 +87,63 @@ class TestScoreDataset:
         np.testing.assert_allclose(
             scores[:B], np.asarray(direct_scores), rtol=1e-4, atol=1e-5
         )
+
+
+class TestPipelineCheckpoint:
+    def test_scorer_roundtrip(self, scorer, rng, tmp_path):
+        """save_larex_pipeline + load_larex_scorer reproduces the original
+        fused scorer bit-for-bit (same model forward, same key)."""
+        from runia_core_tpu.checkpoint import (
+            load_larex_scorer,
+            save_larex_pipeline,
+        )
+        from runia_core_tpu.models import SimpleConvNet, build_tapped_forward
+        from runia_core_tpu.reduction import apply_pca_ds_split
+        from runia_core_tpu.detectors import MDLatentSpace
+
+        model = SimpleConvNet(num_classes=3, features=8)
+        variables = model.init(jax.random.key(1), jnp.zeros((1, IMG, IMG, 3)))
+        forward = build_tapped_forward(model, variables)
+        h_train = rng.randn(64, 16).astype(np.float32)
+        h_pca, pca_state = apply_pca_ds_split(h_train, nro_components=8)
+        md = MDLatentSpace()
+        md.setup(h_pca)
+
+        from runia_core_tpu.inference import build_larex_scorer
+
+        original = build_larex_scorer(
+            forward, pca_state=pca_state, detector_state=md.state,
+            mcd_samples_nro=4, drop_block_prob=0.4, drop_block_size=3,
+        )
+        path = tmp_path / "pipeline.npz"
+        save_larex_pipeline(
+            path, pca_state, md.state,
+            mcd_samples_nro=4, drop_block_prob=0.4, drop_block_size=3,
+        )
+        restored = load_larex_scorer(path, forward)
+
+        images = jnp.asarray(rng.rand(B, IMG, IMG, 3).astype(np.float32))
+        key = jax.random.key(5)
+        _, s0 = original(images, key)
+        _, s1 = restored(images, key)
+        np.testing.assert_array_equal(np.asarray(s0), np.asarray(s1))
+
+    def test_no_pca_roundtrip(self, scorer, rng, tmp_path):
+        from runia_core_tpu.checkpoint import (
+            load_larex_scorer,
+            save_larex_pipeline,
+        )
+        from runia_core_tpu.detectors import MDLatentSpace
+        from runia_core_tpu.models import SimpleConvNet, build_tapped_forward
+
+        model = SimpleConvNet(num_classes=3, features=8)
+        variables = model.init(jax.random.key(1), jnp.zeros((1, IMG, IMG, 3)))
+        forward = build_tapped_forward(model, variables)
+        md = MDLatentSpace()
+        md.setup(rng.randn(64, 16).astype(np.float32))
+        path = tmp_path / "nopca.npz"
+        save_larex_pipeline(path, None, md.state, mcd_samples_nro=4)
+        restored = load_larex_scorer(path, forward)
+        images = jnp.asarray(rng.rand(B, IMG, IMG, 3).astype(np.float32))
+        _, s = restored(images, jax.random.key(2))
+        assert s.shape == (B,) and np.isfinite(np.asarray(s)).all()
