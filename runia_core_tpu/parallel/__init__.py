@@ -7,6 +7,13 @@ from runia_core_tpu.parallel.mesh import (
     shard_batch,
     sharded_train_step,
 )
+from runia_core_tpu.parallel.moe import (
+    MoEParams,
+    init_moe,
+    moe_ffn,
+    sharded_moe_ffn,
+)
+from runia_core_tpu.parallel.pipeline import pipeline_apply
 from runia_core_tpu.parallel.ring_attention import (
     ring_attention,
     ring_self_attention,
@@ -20,4 +27,9 @@ __all__ = [
     "sharded_train_step",
     "ring_attention",
     "ring_self_attention",
+    "MoEParams",
+    "init_moe",
+    "moe_ffn",
+    "sharded_moe_ffn",
+    "pipeline_apply",
 ]
