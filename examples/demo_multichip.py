@@ -61,6 +61,43 @@ def main():
     print(f"data-parallel LaREx over {n_dev} devices: "
           f"{images.shape[0] / dt:.0f} img/s (batch {images.shape[0]})")
 
+    # --- 3. Sequence parallelism: exact ring attention ---
+    from runia_core_tpu.parallel import ring_attention
+
+    seq_mesh = make_mesh(n_dev, axis_names=("seq", "unused"))
+    q, k, v = (jax.random.normal(jax.random.key(i), (2, 4, n_dev * 16, 32))
+               for i in range(3))
+    attn = ring_attention(q, k, v, seq_mesh, seq_axis="seq", causal=True)
+    print(f"ring attention (sp): seq {q.shape[2]} split {n_dev}-way -> {attn.shape}")
+
+    # --- 4. Expert parallelism: MoE FFN sharded over experts ---
+    from runia_core_tpu.parallel import init_moe, moe_ffn, sharded_moe_ffn
+
+    ep = max(d for d in (1, 2, 4) if n_dev % d == 0)
+    ep_mesh = make_mesh(n_dev, model_parallel=ep)
+    moe = init_moe(jax.random.key(5), 64, 128, num_experts=2 * ep)
+    tokens = jax.random.normal(jax.random.key(6), (n_dev * 16, 64))
+    # Ample capacity: under overflow, WHICH tokens drop is ranked per data
+    # group in the sharded layer (GShard grouped routing) vs globally in the
+    # dense one, so exact parity holds in the no-drop regime.
+    cap = float(2 * ep)
+    out_sharded = sharded_moe_ffn(moe, tokens, ep_mesh, top_k=2, capacity_factor=cap)
+    out_dense = moe_ffn(moe, tokens, top_k=2, capacity_factor=cap)
+    print(f"expert-parallel MoE (ep): {2 * ep} experts over {ep} devices, "
+          f"max |sharded - dense| = "
+          f"{float(jnp.max(jnp.abs(out_sharded - out_dense))):.2e}")
+
+    # --- 5. Pipeline parallelism: GPipe microbatch schedule ---
+    from runia_core_tpu.parallel import pipeline_apply
+
+    pp_mesh = make_mesh(n_dev, model_parallel=n_dev)
+    keys = jax.random.split(jax.random.key(7), n_dev)
+    stacked = jax.vmap(lambda kk: jax.random.normal(kk, (64, 64)) * 0.2)(keys)
+    block = lambda w, x: x + jnp.tanh(x @ w)
+    pp_out = pipeline_apply(block, stacked, tokens, pp_mesh,
+                            num_microbatches=4, stage_axis="model")
+    print(f"pipeline (pp): {n_dev} stages x 4 microbatches -> {pp_out.shape}")
+
 
 if __name__ == "__main__":
     main()
