@@ -25,6 +25,8 @@ __all__ = ["CausalLM", "init_cache"]
 class Block(nn.Module):
     num_heads: int
     d_model: int
+    num_experts: int = 0  # 0 = dense MLP; >0 = MoE FFN (top-2 routing)
+    moe_capacity_factor: float = 2.0
 
     @nn.compact
     def __call__(self, x, mask, cache=None, cache_index=None):
@@ -63,18 +65,51 @@ class Block(nn.Module):
         x = x + nn.Dense(self.d_model, name="attn_out")(out)
 
         h2 = nn.LayerNorm()(x)
-        mlp = nn.Dense(4 * self.d_model)(h2)
-        mlp = nn.gelu(mlp)
-        x = x + nn.Dense(self.d_model, name="mlp_out")(mlp)
+        if self.num_experts > 0:
+            x = x + self._moe_ffn(h2)
+        else:
+            mlp = nn.Dense(4 * self.d_model)(h2)
+            mlp = nn.gelu(mlp)
+            x = x + nn.Dense(self.d_model, name="mlp_out")(mlp)
         return x, attn, new_kv
+
+    def _moe_ffn(self, h):
+        """Top-2 mixture-of-experts FFN (routing math shared with
+        parallel.moe so the expert-parallel layer is a drop-in)."""
+        from runia_core_tpu.parallel.moe import _dispatch_combine
+
+        b, t, d = h.shape
+        e, hidden = self.num_experts, 4 * self.d_model
+        flat = h.reshape(b * t, d)
+        gate_logits = nn.Dense(e, use_bias=False, name="moe_gate")(flat)
+        w_in = self.param(
+            "moe_w_in", nn.initializers.lecun_normal(), (e, d, hidden)
+        )
+        w_out = self.param(
+            "moe_w_out", nn.initializers.lecun_normal(), (e, hidden, d)
+        )
+        capacity = max(1, int(self.moe_capacity_factor * flat.shape[0] / e))
+        top_k = min(2, e)
+        dispatch, combine = _dispatch_combine(gate_logits, capacity, top_k)
+        expert_in = jnp.einsum("td,tec->ecd", flat, dispatch)
+        act = nn.gelu(jnp.einsum("ecd,edh->ech", expert_in, w_in))
+        expert_out = jnp.einsum("ech,ehd->ecd", act, w_out)
+        return jnp.einsum("ecd,tec->td", expert_out, combine).reshape(b, t, d)
 
 
 class CausalLM(nn.Module):
+    """Decoder-only LM. ``num_experts > 0`` swaps every block's dense MLP
+    for a top-2 MoE FFN; note MoE capacity ranking runs per forward call, so
+    prefill and decode agree exactly only in the no-overflow regime — keep
+    ``moe_capacity_factor`` generous (>= num_experts guarantees no drops)."""
+
     vocab_size: int
     num_layers: int = 4
     num_heads: int = 4
     d_model: int = 64
     max_len: int = 256
+    num_experts: int = 0
+    moe_capacity_factor: float = 2.0
 
     @nn.compact
     def __call__(
@@ -133,9 +168,10 @@ class CausalLM(nn.Module):
         new_layer_caches = []
         for i in range(self.num_layers):
             layer_cache = cache["layers"][i] if cache is not None else None
-            x, attn, new_kv = Block(self.num_heads, self.d_model, name=f"block_{i}")(
-                x, mask, layer_cache, cache_index
-            )
+            x, attn, new_kv = Block(
+                self.num_heads, self.d_model, self.num_experts,
+                self.moe_capacity_factor, name=f"block_{i}",
+            )(x, mask, layer_cache, cache_index)
             hiddens.append(x)
             attns.append(attn)
             if new_kv is not None:

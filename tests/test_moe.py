@@ -103,3 +103,59 @@ class TestShardedMoE:
         f = jax.jit(lambda p, x: sharded_moe_ffn(p, x, mesh))
         out = f(params, tokens)
         assert out.shape == (T, D) and np.isfinite(np.asarray(out)).all()
+
+
+class TestMoECausalLM:
+    """MoE-FFN transformer variant: cache-mode decode must reproduce the
+    no-cache forward exactly (no-overflow capacity), and the generator
+    stack must run unchanged on the MoE model."""
+
+    @pytest.fixture(scope="class")
+    def moe_lm(self):
+        from runia_core_tpu.models.transformer import CausalLM
+
+        model = CausalLM(
+            vocab_size=32, num_layers=2, num_heads=2, d_model=16,
+            max_len=32, num_experts=4, moe_capacity_factor=4.0,
+        )
+        params = model.init(jax.random.key(0), np.zeros((1, 4), np.int32))
+        return model, params
+
+    def test_has_expert_params(self, moe_lm):
+        model, params = moe_lm
+        block0 = params["params"]["block_0"]
+        assert block0["moe_w_in"].shape == (4, 16, 64)
+        assert block0["moe_w_out"].shape == (4, 64, 16)
+        assert "mlp_out" not in block0
+
+    def test_cache_matches_full_forward(self, moe_lm):
+        from runia_core_tpu.models.transformer import init_cache
+
+        model, params = moe_lm
+        tokens = jnp.asarray([[3, 7, 1, 9, 2, 5]], jnp.int32)
+        full_logits, _, _, _ = model.apply(params, tokens)
+
+        cache = init_cache(model, 1, tokens.shape[1])
+        logits0, _, _, cache = model.apply(
+            params, tokens[:, :1], cache, jnp.int32(0)
+        )
+        step_logits = [logits0[:, 0]]
+        for i in range(1, tokens.shape[1]):
+            li, _, _, cache = model.apply(
+                params, tokens[:, i:i + 1], cache, jnp.int32(i)
+            )
+            step_logits.append(li[:, 0])
+        np.testing.assert_allclose(
+            np.stack(step_logits, axis=1), np.asarray(full_logits),
+            rtol=1e-4, atol=1e-5,
+        )
+
+    def test_generator_runs_on_moe_model(self, moe_lm):
+        from runia_core_tpu.llm import JaxGenerator
+
+        model, params = moe_lm
+        gen = JaxGenerator(model, params, max_new_tokens=4)
+        out = gen.generate([1, 2, 3], num_return_sequences=2, do_sample=True,
+                           key=jax.random.key(1))
+        assert out["sequences"].shape == (2, 7)
+        assert np.isfinite(out["log_probs"]).all()
