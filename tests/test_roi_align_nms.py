@@ -178,6 +178,36 @@ class TestNMS:
         out = nms_indices(np.zeros((0, 4), np.float32), np.zeros(0, np.float32), 0.5)
         assert out.shape == (0,)
 
+    def test_single_box(self):
+        out = nms_indices(
+            np.array([[0, 0, 5, 5]], np.float32), np.array([0.7], np.float32), 0.5
+        )
+        np.testing.assert_array_equal(out, [0])
+
+    def test_all_identical_boxes(self):
+        """Deepest possible suppression: every box overlaps every other; only
+        the top-scoring one survives (fixed-point worst case)."""
+        n = 64
+        boxes = np.tile(np.array([[0, 0, 10, 10]], np.float32), (n, 1))
+        scores = np.linspace(0.1, 0.9, n).astype(np.float32)
+        out = nms_indices(boxes, scores, 0.5)
+        np.testing.assert_array_equal(out, [n - 1])  # highest score
+
+    def test_alternating_chain(self):
+        """A suppression chain where kills revive later boxes: boxes overlap
+        only their immediate neighbor, scores descend — greedy keeps every
+        other box."""
+        n = 32
+        boxes = np.stack(
+            [np.arange(n) * 6.0, np.zeros(n), np.arange(n) * 6.0 + 10, np.full(n, 10.0)],
+            axis=1,
+        ).astype(np.float32)  # stride 6, width 10 -> IoU(i, i+1) = 4/16 = 0.25
+        scores = np.linspace(0.9, 0.1, n).astype(np.float32)
+        ours = nms_indices(boxes, scores, 0.2)
+        expected = np_nms(boxes, scores, 0.2)
+        np.testing.assert_array_equal(ours, expected)
+        np.testing.assert_array_equal(ours, np.arange(0, n, 2))
+
     def test_max_det(self, rng):
         boxes, scores = self.make_boxes(rng)
         out = nms_indices(boxes, scores, 0.99, max_det=3)
