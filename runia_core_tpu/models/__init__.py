@@ -11,8 +11,10 @@ from runia_core_tpu.models.resnet import (
     build_tapped_forward,
 )
 from runia_core_tpu.models.transformer import CausalLM
+from runia_core_tpu.models.vit import ViT
 
 __all__ = [
+    "ViT",
     "ResNet",
     "ResNet18",
     "ResNet34",
