@@ -1,5 +1,13 @@
-"""Cross-cutting utilities: timing and profiling."""
+"""Cross-cutting utilities: timing, profiling, and failure detection."""
 
+from runia_core_tpu.utils.health import (
+    HealthCheckError,
+    NonFiniteError,
+    device_healthcheck,
+    find_nonfinite,
+    guard_finite,
+    with_retries,
+)
 from runia_core_tpu.utils.profiling import (
     benchmark,
     record_time,
@@ -7,4 +15,15 @@ from runia_core_tpu.utils.profiling import (
     tpu_profile,
 )
 
-__all__ = ["record_time", "benchmark", "tpu_profile", "trace_annotation"]
+__all__ = [
+    "record_time",
+    "benchmark",
+    "tpu_profile",
+    "trace_annotation",
+    "HealthCheckError",
+    "NonFiniteError",
+    "device_healthcheck",
+    "find_nonfinite",
+    "guard_finite",
+    "with_retries",
+]
