@@ -34,8 +34,10 @@ class ScoringService:
     """Stream batches through a fused scorer with a bounded in-flight window.
 
     Args:
-        scorer: ``(images, key) -> (logits, scores)`` jitted program, e.g.
-            from :func:`runia_core_tpu.inference.build_larex_scorer`.
+        scorer: ``(images, key) -> outputs`` jitted program — typically
+            ``(logits, scores)`` from
+            :func:`runia_core_tpu.inference.build_larex_scorer`, but any
+            output pytree streams through unchanged.
         key: base PRNG key; per-batch keys are ``fold_in(key, batch_idx)``.
         max_in_flight: how many batches may be enqueued before the oldest
             result is fetched. Size it to at least link_round_trip /
@@ -43,7 +45,11 @@ class ScoringService:
             2-4 suffices on a local PCIe host; remote/tunneled devices want
             8+ (measured on the tunneled test chip: window 3 -> 43k img/s,
             window 8 -> 97k, vs 103k with no result fetches at all).
-            Memory cost is one (logits, scores) pair per slot.
+            Memory cost is one output pytree per slot.
+        check_finite: validate every fetched result and raise
+            :class:`runia_core_tpu.utils.NonFiniteError` (naming the batch)
+            on NaN/inf — a silent NaN score compares false against any OoD
+            threshold and would pass as in-distribution.
     """
 
     def __init__(
@@ -51,12 +57,14 @@ class ScoringService:
         scorer: Callable,
         key: Optional[jax.Array] = None,
         max_in_flight: int = 8,
+        check_finite: bool = False,
     ):
         if max_in_flight < 1:
             raise ValueError("max_in_flight must be >= 1")
         self.scorer = scorer
         self.key = key if key is not None else jax.random.key(0)
         self.max_in_flight = max_in_flight
+        self.check_finite = check_finite
         self._batch_idx = 0
 
     def _submit(self, images) -> Tuple[Any, Any]:
@@ -71,25 +79,35 @@ class ScoringService:
                 leaf.copy_to_host_async()
         return out
 
-    def score_stream(
-        self, batches: Iterable[Any]
-    ) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
-        """Yield (logits, scores) numpy pairs, one per input batch, in order.
+    def _fetch(self, out, batch_idx: int):
+        host = jax.tree_util.tree_map(np.asarray, out)
+        if self.check_finite:
+            from runia_core_tpu.utils import NonFiniteError, find_nonfinite
+
+            bad = find_nonfinite(host)
+            if bad:
+                raise NonFiniteError(f"batch {batch_idx}: non-finite in {bad}")
+        return host
+
+    def score_stream(self, batches: Iterable[Any]) -> Iterator[Any]:
+        """Yield one numpy output pytree per input batch, in order (for the
+        LaREx scorer: (logits, scores) pairs).
 
         ``batches`` yields image arrays (or (images, *rest) tuples — extras
         are ignored). Results come out ``max_in_flight`` batches behind
         submission; the final drain flushes the window.
         """
         window: deque = deque()
+        fetched = 0
         for batch in batches:
             images = batch[0] if isinstance(batch, tuple) else batch
             window.append(self._submit(images))
             if len(window) > self.max_in_flight:
-                logits, scores = window.popleft()
-                yield np.asarray(logits), np.asarray(scores)
+                yield self._fetch(window.popleft(), fetched)
+                fetched += 1
         while window:
-            logits, scores = window.popleft()
-            yield np.asarray(logits), np.asarray(scores)
+            yield self._fetch(window.popleft(), fetched)
+            fetched += 1
 
     def score_dataset(
         self,

@@ -147,3 +147,32 @@ class TestPipelineCheckpoint:
         images = jnp.asarray(rng.rand(B, IMG, IMG, 3).astype(np.float32))
         _, s = restored(images, jax.random.key(2))
         assert s.shape == (B,) and np.isfinite(np.asarray(s)).all()
+
+
+class TestServiceHealth:
+    def test_check_finite_raises_with_batch_index(self, rng):
+        from runia_core_tpu.utils import NonFiniteError
+
+        def bad_scorer(images, key):
+            return jnp.zeros((images.shape[0], 2)), jnp.full(
+                (images.shape[0],), jnp.nan
+            )
+
+        service = ScoringService(
+            bad_scorer, key=jax.random.key(0), max_in_flight=2,
+            check_finite=True,
+        )
+        with pytest.raises(NonFiniteError, match="batch 0"):
+            list(service.score_stream(
+                rng.rand(B, IMG, IMG, 3).astype(np.float32) for _ in range(3)
+            ))
+
+    def test_arbitrary_output_pytree(self, rng):
+        def dict_scorer(images, key):
+            return {"mean": images.mean(axis=(1, 2, 3)), "n": images.shape[0]}
+
+        service = ScoringService(dict_scorer, key=jax.random.key(0))
+        out = list(service.score_stream(
+            rng.rand(B, IMG, IMG, 3).astype(np.float32) for _ in range(2)
+        ))
+        assert len(out) == 2 and out[0]["mean"].shape == (B,)
