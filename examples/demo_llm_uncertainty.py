@@ -57,6 +57,26 @@ def run_jax_demo(num_samples: int):
     )
 
 
+def run_batched_rauq_demo():
+    """Throughput path: many prompts in ONE fused decode, RAUQ from the
+    on-device prev-token attention taps."""
+    from runia_core_tpu.llm import batched_rauq
+    from runia_core_tpu.models.transformer import CausalLM
+
+    model = CausalLM(vocab_size=512, num_layers=8, num_heads=4, d_model=128,
+                     max_len=128)
+    params = model.init(jax.random.key(0), np.zeros((1, 8), np.int32))
+    generator = JaxGenerator(model, params, max_new_tokens=16)
+    prompts = [[11, 42, 7], [99, 3, 5, 8, 2], [100, 200], [7, 7, 7, 7]]
+    out = generator.generate_batch(prompts, output_attentions=True)
+    u = batched_rauq(out["log_probs"], out["prev_token_attention"], "original")
+    u_mh = batched_rauq(out["log_probs"], out["prev_token_attention"],
+                        "mean_heads", alphas=[0.3])
+    print("Batched RAUQ over", len(prompts), "prompts (one fused program):")
+    for i, (a, b) in enumerate(zip(u, u_mh)):
+        print(f"  prompt {i}: original={a:.4f}  mean_heads={b:.4f}")
+
+
 def run_hf_demo(model_name: str, prompt: str, num_samples: int):
     from transformers import AutoModelForCausalLM, AutoTokenizer, GenerationConfig
 
@@ -89,6 +109,8 @@ def main():
     print("Uncertainty Scores:")
     for name, value in scores.items():
         print(f"  {name}: {value}")
+    if not args.hf_model:
+        run_batched_rauq_demo()
 
 
 if __name__ == "__main__":
