@@ -121,3 +121,30 @@ class TestEndToEndReferenceParity:
         # Scores themselves agree closely despite independent PCA bases
         # (whitening makes Mahalanobis rotation-invariant).
         np.testing.assert_allclose(ours_ind, ref_ind, rtol=5e-2, atol=5e-1)
+
+        # Stage 4: LaRED (KDE) on the SAME PCA projection as the reference's
+        # sklearn KernelDensity (postprocessors.py:91-128). Using one shared
+        # basis isolates the KDE math (KDE, unlike Mahalanobis, is not
+        # rotation-invariant across independently-signed PCA bases).
+        from sklearn.neighbors import KernelDensity
+
+        from runia_core_tpu.detectors import KDELatentSpace
+
+        kde = KDELatentSpace()
+        kde.setup(h_train_pca)
+        ours_kde_ind = kde.postprocess(apply_pca_transform(h_ind, pca))
+        ours_kde_ood = kde.postprocess(apply_pca_transform(h_ood, pca))
+
+        sk = KernelDensity(kernel="gaussian", bandwidth=1.0).fit(
+            np.asarray(h_train_pca)
+        )
+        ref_kde_ind = sk.score_samples(np.asarray(apply_pca_transform(h_ind, pca)))
+        ref_kde_ood = sk.score_samples(np.asarray(apply_pca_transform(h_ood, pca)))
+        np.testing.assert_allclose(ours_kde_ind, ref_kde_ind, rtol=1e-4, atol=1e-3)
+
+        ours_kde = get_auroc_results("kde", ours_kde_ind, ours_kde_ood)
+        ref_kde_auroc = roc_auc_score(
+            np.concatenate([np.ones(n_ind), np.zeros(n_ood)]),
+            np.concatenate([ref_kde_ind, ref_kde_ood]),
+        )
+        assert abs(ours_kde.loc["kde", "auroc"] - ref_kde_auroc) < 1e-3
