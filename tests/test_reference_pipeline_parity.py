@@ -148,3 +148,36 @@ class TestEndToEndReferenceParity:
             np.concatenate([ref_kde_ind, ref_kde_ood]),
         )
         assert abs(ours_kde.loc["kde", "auroc"] - ref_kde_auroc) < 1e-3
+
+        # Stage 5: LaREK (kNN). Reference = faiss IndexFlatL2 on row-normalized
+        # features, score = -squared distance to the K-th neighbor
+        # (postprocessors.py:393-423); faiss's exact search is plain numpy
+        # math, reproduced here independently of our matmul+top_k program.
+        from runia_core_tpu.detectors import KNNLatentSpace
+
+        knn = KNNLatentSpace()
+        knn.K = 10
+        knn.setup(h_train_pca)
+        ours_knn_ind = knn.postprocess(apply_pca_transform(h_ind, pca))
+        ours_knn_ood = knn.postprocess(apply_pca_transform(h_ood, pca))
+
+        def ref_knn(train, test, k):
+            def norm(x):
+                return x / np.maximum(
+                    np.linalg.norm(x, axis=1, keepdims=True), 1e-12
+                )
+
+            tr, te = norm(np.asarray(train)), norm(np.asarray(test))
+            d2 = ((te[:, None, :] - tr[None, :, :]) ** 2).sum(-1)
+            return -np.sort(d2, axis=1)[:, k - 1]
+
+        ref_knn_ind = ref_knn(h_train_pca, apply_pca_transform(h_ind, pca), 10)
+        ref_knn_ood = ref_knn(h_train_pca, apply_pca_transform(h_ood, pca), 10)
+        np.testing.assert_allclose(ours_knn_ind, ref_knn_ind, rtol=1e-4, atol=1e-5)
+
+        ours_knn = get_auroc_results("knn", ours_knn_ind, ours_knn_ood)
+        ref_knn_auroc = roc_auc_score(
+            np.concatenate([np.ones(n_ind), np.zeros(n_ood)]),
+            np.concatenate([ref_knn_ind, ref_knn_ood]),
+        )
+        assert abs(ours_knn.loc["knn", "auroc"] - ref_knn_auroc) < 1e-3
