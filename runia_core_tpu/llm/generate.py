@@ -128,8 +128,15 @@ class JaxGenerator:
         max_new_tokens: Optional[int] = None,
         pad_id: int = 0,
         output_attentions: bool = False,
+        output_scores: bool = True,
     ) -> Dict[str, Any]:
         """Decode a batch of DIFFERENT prompts in one fused program.
+
+        ``output_scores=False`` drops the per-step logits from the result
+        (``scores`` comes back empty): the (T, B, V) logits tensor dominates
+        the device->host transfer (e.g. 260 MB for 64 steps x 32 prompts x a
+        32k vocab), and sequence-level scores (perplexity, generation/
+        normalized entropy) only need ``log_probs`` (B, T).
 
         Prompts are left-padded to a common length with attention masking, so
         every sequence's last physical slot is its last real token. Returns
@@ -169,7 +176,7 @@ class JaxGenerator:
         eos = self.eos_id
         cfg = (
             "batch", b, p, max_new, do_sample, float(temperature),
-            output_attentions,
+            output_attentions, output_scores,
         )
         if cfg not in self._decode_cache:
 
@@ -228,9 +235,12 @@ class JaxGenerator:
                         )[..., 0]
                     else:
                         prev = jnp.zeros((), jnp.float32)
+                    emitted_logits = (
+                        step_logits if output_scores else jnp.zeros((), jnp.float32)
+                    )
                     return (
                         (cache, new_logits[:, 0, :], key_, finished),
-                        (next_tok, step_logits, lp, prev),
+                        (next_tok, emitted_logits, lp, prev),
                     )
 
                 init = (cache, step_logits, rng_key, jnp.zeros((b,), bool))
@@ -247,7 +257,11 @@ class JaxGenerator:
         sequences = np.concatenate([tokens, toks.T], axis=1)
         result = {
             "sequences": sequences,
-            "scores": tuple(score_seq[i] for i in range(max_new)),
+            "scores": (
+                tuple(score_seq[i] for i in range(max_new))
+                if output_scores
+                else ()
+            ),
             "log_probs": lps.T,
             "prompt_lengths": lengths,
         }
