@@ -59,19 +59,25 @@ class JaxGenerator:
         self._decode_cache = {}
 
     def _scanned_decode(self, p: int, max_new: int, s: int, do_sample: bool,
-                        temperature: float):
+                        temperature: float, out_attn: bool = True,
+                        out_hid: bool = True):
         """Build (and cache) the fully-fused lax.scan decode for one config.
 
         One compiled program runs all decode steps on device and emits the
         stacked per-step logits / tokens / log-probs / padded attention rows /
         hidden states — a single host transfer instead of one per step.
+        ``out_attn``/``out_hid`` drop the corresponding stacked outputs
+        (zero-size placeholders are emitted instead), which removes their
+        O(T·L·S·H·total) / O(T·L·S·D) device->host transfer.
         """
-        key_shape = (p, max_new, s, do_sample, float(temperature))
+        key_shape = (p, max_new, s, do_sample, float(temperature),
+                     out_attn, out_hid)
         if key_shape in self._decode_cache:
             return self._decode_cache[key_shape]
         model, params = self.model, self.params
         total = p + max_new
         eos = self.eos_id
+        zero = jnp.zeros((), jnp.float32)
 
         @jax.jit
         def run(prompt, rng_key):
@@ -105,7 +111,13 @@ class JaxGenerator:
                 )
                 return (
                     (cache, new_logits[:, 0, :], key, finished),
-                    (next_tok, out_logits, lp, attn[:, :, :, 0, :], hiddens[:, :, 0, :]),
+                    (
+                        next_tok,
+                        out_logits,
+                        lp,
+                        attn[:, :, :, 0, :] if out_attn else zero,
+                        hiddens[:, :, 0, :] if out_hid else zero,
+                    ),
                 )
 
             init = (cache, step_logits, rng_key, jnp.zeros((s,), bool))
@@ -114,7 +126,11 @@ class JaxGenerator:
             )
             # tokens (T, S); step_logits_seq (T, S, V); lps (T, S);
             # attn_rows (T, L, S, H, total); hidden_rows (T, L+1, S, D)
-            return tokens, step_logits_seq, lps, attn_rows, hidden_rows, attn0, hiddens0
+            return (
+                tokens, step_logits_seq, lps, attn_rows, hidden_rows,
+                attn0 if out_attn else zero,
+                hiddens0 if out_hid else zero,
+            )
 
         self._decode_cache[key_shape] = run
         return run
@@ -282,13 +298,18 @@ class JaxGenerator:
         temperature: float = 1.0,
         key: Optional[jax.Array] = None,
         max_new_tokens: Optional[int] = None,
+        output_attentions: bool = True,
+        output_hidden_states: bool = True,
     ) -> Dict[str, Any]:
         """Decode with per-step taps; returns HF-shaped numpy structures.
 
         Returns dict with keys: sequences (S, P+T), scores (tuple of (S, V)),
         attentions (tuple over steps of per-layer (S, H, tgt, src)),
         hidden_states (tuple over steps of per-layer (S, tgt, D)),
-        log_probs (S, T) transition log-probabilities.
+        log_probs (S, T) transition log-probabilities. Disabling
+        ``output_attentions``/``output_hidden_states`` returns empty tuples
+        for those keys and skips their device->host transfer (the HF flags
+        of the same names, inverted default).
         """
         max_new = max_new_tokens or self.max_new_tokens
         s = num_return_sequences
@@ -301,28 +322,37 @@ class JaxGenerator:
             self._rng = jax.random.fold_in(self._rng, 1)
 
         if self.use_scan:
-            run = self._scanned_decode(p, max_new, s, do_sample, temperature)
+            run = self._scanned_decode(
+                p, max_new, s, do_sample, temperature,
+                out_attn=output_attentions, out_hid=output_hidden_states,
+            )
             tokens, scores_seq, lps, attn_rows, hidden_rows, attn0, hiddens0 = (
                 jax.tree_util.tree_map(np.asarray, run(prompt, key))
             )
-            attentions = [
-                tuple(attn0[l, :, :, :, :p] for l in range(attn0.shape[0]))
-            ]
-            hidden_states = [tuple(h for h in hiddens0)]
+            attentions = []
+            hidden_states = []
+            if output_attentions:
+                attentions.append(
+                    tuple(attn0[l, :, :, :, :p] for l in range(attn0.shape[0]))
+                )
+            if output_hidden_states:
+                hidden_states.append(tuple(h for h in hiddens0))
             for step in range(max_new - 1):
                 src_len = p + step + 1
-                attentions.append(
-                    tuple(
-                        attn_rows[step, l, :, :, None, :src_len]
-                        for l in range(attn_rows.shape[1])
+                if output_attentions:
+                    attentions.append(
+                        tuple(
+                            attn_rows[step, l, :, :, None, :src_len]
+                            for l in range(attn_rows.shape[1])
+                        )
                     )
-                )
-                hidden_states.append(
-                    tuple(
-                        hidden_rows[step, l][:, None, :]
-                        for l in range(hidden_rows.shape[1])
+                if output_hidden_states:
+                    hidden_states.append(
+                        tuple(
+                            hidden_rows[step, l][:, None, :]
+                            for l in range(hidden_rows.shape[1])
+                        )
                     )
-                )
             sequences = np.concatenate([np.asarray(prompt), tokens.T], axis=1)
             return {
                 "sequences": sequences,
@@ -335,12 +365,14 @@ class JaxGenerator:
         cache = init_cache(self.model, s, total)
         logits, attn, hiddens, cache = self._prefill(prompt, cache)
         # attn: (L, S, H, P, total) in cache mode -> trim to (S, H, P, P)
-        attentions: List[Tuple[np.ndarray, ...]] = [
-            tuple(np.asarray(attn[l, :, :, :, :p]) for l in range(attn.shape[0]))
-        ]
-        hidden_states: List[Tuple[np.ndarray, ...]] = [
-            tuple(np.asarray(h) for h in hiddens)
-        ]
+        attentions: List[Tuple[np.ndarray, ...]] = []
+        hidden_states: List[Tuple[np.ndarray, ...]] = []
+        if output_attentions:
+            attentions.append(
+                tuple(np.asarray(attn[l, :, :, :, :p]) for l in range(attn.shape[0]))
+            )
+        if output_hidden_states:
+            hidden_states.append(tuple(np.asarray(h) for h in hiddens))
         scores: List[np.ndarray] = []
         token_ids: List[np.ndarray] = []
         log_probs: List[np.ndarray] = []
@@ -369,10 +401,12 @@ class JaxGenerator:
             idx = jnp.int32(p + step)
             step_out, attn, hiddens, cache = self._step(next_tok[:, None], cache, idx)
             src_len = p + step + 1
-            attentions.append(
-                tuple(np.asarray(attn[l, :, :, :, :src_len]) for l in range(attn.shape[0]))
-            )
-            hidden_states.append(tuple(np.asarray(h) for h in hiddens))
+            if output_attentions:
+                attentions.append(
+                    tuple(np.asarray(attn[l, :, :, :, :src_len]) for l in range(attn.shape[0]))
+                )
+            if output_hidden_states:
+                hidden_states.append(tuple(np.asarray(h) for h in hiddens))
             step_logits = step_out[:, 0, :]
 
         sequences = np.concatenate(
@@ -446,13 +480,23 @@ def _hf_generation(model, tokenizer, prompt, gen_config, num_samples, needs_samp
     return deterministic, sampled, deterministic_text
 
 
-def _jax_generation(generator, tokenizer, prompt, gen_config, num_samples, needs_sampling):
-    """JaxGenerator flow mirroring the two HF phases."""
+def _jax_generation(generator, tokenizer, prompt, gen_config, num_samples,
+                    needs_sampling, needs_attentions=True, needs_hiddens=True):
+    """JaxGenerator flow mirroring the two HF phases.
+
+    ``needs_attentions`` gates the deterministic pass's attention taps (only
+    RAUQ reads them) and ``needs_hiddens`` the sampled pass's hidden states
+    (only eigen_score reads them) — skipping unneeded taps removes their
+    device->host transfer.
+    """
     if tokenizer is not None and hasattr(tokenizer, "encode"):
         prompt_tokens = tokenizer.encode(prompt)
     else:
         prompt_tokens = prompt  # already token ids
-    det = generator.generate(prompt_tokens, num_return_sequences=1, do_sample=False)
+    det = generator.generate(
+        prompt_tokens, num_return_sequences=1, do_sample=False,
+        output_attentions=needs_attentions, output_hidden_states=False,
+    )
     input_length = len(prompt_tokens)
     if tokenizer is not None and hasattr(tokenizer, "decode"):
         deterministic_text = [
@@ -470,7 +514,8 @@ def _jax_generation(generator, tokenizer, prompt, gen_config, num_samples, needs
     sampled = {"log_probs": None, "hidden_states": None, "texts": None}
     if needs_sampling:
         samp = generator.generate(
-            prompt_tokens, num_return_sequences=num_samples, do_sample=True
+            prompt_tokens, num_return_sequences=num_samples, do_sample=True,
+            output_attentions=False, output_hidden_states=needs_hiddens,
         )
         if tokenizer is not None and hasattr(tokenizer, "decode"):
             texts = [
@@ -487,11 +532,14 @@ def _jax_generation(generator, tokenizer, prompt, gen_config, num_samples, needs
     return deterministic, sampled, deterministic_text
 
 
-def run_generation(model, tokenizer, prompt, gen_config, num_samples, needs_sampling):
-    """Dispatch on backend type."""
+def run_generation(model, tokenizer, prompt, gen_config, num_samples,
+                   needs_sampling, needs_attentions=True, needs_hiddens=True):
+    """Dispatch on backend type. The ``needs_*`` hints only prune taps on the
+    JAX backend; the HF flow always requests everything (reference parity)."""
     if isinstance(model, JaxGenerator):
         return _jax_generation(
-            model, tokenizer, prompt, gen_config, num_samples, needs_sampling
+            model, tokenizer, prompt, gen_config, num_samples, needs_sampling,
+            needs_attentions=needs_attentions, needs_hiddens=needs_hiddens,
         )
     if hasattr(model, "generate"):
         return _hf_generation(

@@ -365,11 +365,14 @@ def compute_uncertainties(
     # ---- deterministic + sampled generation via the backend -----------------
     from runia_core_tpu.llm.generate import run_generation
 
+    method_names = {req["method_name"] for req in uncertainty_requests}
     deterministic, sampled_raw, deterministic_text = run_generation(
         model, tokenizer, prompt, gen_config, num_samples,
         needs_sampling=any(
             registry[req["method_name"]]["needs_sampling"] for req in uncertainty_requests
         ),
+        needs_attentions="RAUQ" in method_names,
+        needs_hiddens="eigen_score" in method_names,
     )
     sampled = dict(sampled_raw)
     sampled["model_entailment"] = entailment_model if need_semantic_clustering else None

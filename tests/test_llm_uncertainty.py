@@ -412,3 +412,46 @@ class TestHFBackend:
             "RAUQ_original_original",
         ):
             assert name in scores and np.isfinite(scores[name]), name
+
+
+class TestTapPruning:
+    """Disabling attention/hidden taps leaves sequences/log_probs identical
+    (same RNG stream) and returns empty tuples for the pruned keys."""
+
+    def test_pruned_matches_full(self, generator_cls=None):
+        from runia_core_tpu.models.transformer import CausalLM
+
+        model = CausalLM(vocab_size=50, num_layers=2, num_heads=2, d_model=16,
+                         max_len=32)
+        params = model.init(jax.random.key(0), np.zeros((1, 4), np.int32))
+        gen = JaxGenerator(model, params, max_new_tokens=5)
+        key = jax.random.key(9)
+        full = gen.generate([1, 2, 3], do_sample=True, key=key)
+        pruned = gen.generate(
+            [1, 2, 3], do_sample=True, key=key,
+            output_attentions=False, output_hidden_states=False,
+        )
+        np.testing.assert_array_equal(full["sequences"], pruned["sequences"])
+        np.testing.assert_allclose(
+            full["log_probs"], pruned["log_probs"], rtol=1e-6
+        )
+        assert pruned["attentions"] == () and pruned["hidden_states"] == ()
+        assert len(full["attentions"]) == 5
+
+    def test_compute_uncertainties_without_taps(self):
+        """Sequence-level scores work with both taps pruned (no RAUQ or
+        eigen_score requested)."""
+        from runia_core_tpu.models.transformer import CausalLM
+
+        model = CausalLM(vocab_size=50, num_layers=2, num_heads=2, d_model=16,
+                         max_len=32)
+        params = model.init(jax.random.key(0), np.zeros((1, 4), np.int32))
+        gen = JaxGenerator(model, params, max_new_tokens=5)
+        _, scores = compute_uncertainties(
+            gen, IdentityTokenizer(), [1, 2, 3],
+            [{"method_name": "perplexity"},
+             {"method_name": "normalized_entropy"}],
+            num_samples=2,
+        )
+        assert np.isfinite(scores["perplexity"])
+        assert np.isfinite(scores["normalized_entropy"])
