@@ -31,6 +31,7 @@ from runia_core_tpu.ops.linalg import pinvh
 __all__ = [
     "sharded_mean_and_covariance",
     "fit_md_sharded",
+    "fit_pca_sharded",
     "sharded_kde_log_density",
     "sharded_knn_score",
     "data_parallel_scorer",
@@ -71,6 +72,44 @@ def fit_md_sharded(x: jnp.ndarray, mesh: Mesh, axis: str = "data"):
     """LaREM fit over a sharded train set: {"feats_mean", "precision"}."""
     mean, cov = sharded_mean_and_covariance(x, mesh, axis)
     return {"feats_mean": mean[None, :], "precision": pinvh(cov)}
+
+
+def fit_pca_sharded(
+    x: jnp.ndarray,
+    mesh: Mesh,
+    n_components: int,
+    whiten: bool = True,
+    axis: str = "data",
+):
+    """Fit PCA over a sharded train set without gathering it.
+
+    Eigendecomposition of the psum-accumulated (d, d) covariance replaces
+    the SVD of the centered data matrix — identical components (up to the
+    same svd_flip sign convention ``reduction.pca_fit`` applies) as long as
+    the leading eigenvalues are distinct, at O(d^2) communication instead of
+    O(N·d). Returns a :class:`runia_core_tpu.reduction.PCAState`; note
+    explained_variance uses sklearn's 1/(N-1) scaling while the covariance
+    accumulates with 1/N, hence the correction factor.
+    """
+    from runia_core_tpu.reduction import PCAState
+
+    mean, cov = sharded_mean_and_covariance(x, mesh, axis)
+    n = x.shape[0]
+    eigvals, eigvecs = jnp.linalg.eigh(cov)  # ascending
+    order = jnp.argsort(-eigvals)[:n_components]
+    components = eigvecs[:, order].T  # (k, d)
+    explained_variance = eigvals[order] * (n / (n - 1.0))
+    signs = jnp.sign(
+        components[jnp.arange(n_components),
+                   jnp.argmax(jnp.abs(components), axis=1)]
+    )
+    components = components * signs[:, None]
+    return PCAState(
+        mean=mean,
+        components=components,
+        explained_variance=explained_variance,
+        whiten=whiten,
+    )
 
 
 def sharded_kde_log_density(

@@ -133,3 +133,37 @@ class TestInitializeDistributed:
         assert n == len(jax.devices())
         # Explicit single-process call is also a no-op.
         assert initialize_distributed(num_processes=1) == n
+
+
+class TestShardedPCA:
+    def test_matches_single_device_pca(self, rng, mesh):
+        """Distributed covariance-eigh PCA == SVD-based pca_fit: same
+        components/variances (sign convention aligned), same projections."""
+        from runia_core_tpu.parallel.sharded import fit_pca_sharded
+        from runia_core_tpu.reduction import pca_fit, pca_transform
+
+        x = rng.randn(256, 12).astype(np.float32)
+        x_sharded = jnp.asarray(x)
+        state_sharded = fit_pca_sharded(x_sharded, mesh, n_components=5)
+        _, state_single = pca_fit(x, n_components=5, svd_solver="full")
+
+        np.testing.assert_allclose(
+            np.asarray(state_sharded.mean), np.asarray(state_single.mean),
+            rtol=1e-5, atol=1e-6,
+        )
+        np.testing.assert_allclose(
+            np.asarray(state_sharded.explained_variance),
+            np.asarray(state_single.explained_variance),
+            rtol=1e-3,
+        )
+        np.testing.assert_allclose(
+            np.asarray(state_sharded.components),
+            np.asarray(state_single.components),
+            rtol=1e-2, atol=1e-3,
+        )
+        test = jnp.asarray(rng.randn(20, 12).astype(np.float32))
+        np.testing.assert_allclose(
+            np.asarray(pca_transform(state_sharded, test)),
+            np.asarray(pca_transform(state_single, test)),
+            rtol=5e-2, atol=1e-2,
+        )
