@@ -24,7 +24,58 @@ __all__ = [
     "mvn_log_prob",
     "mahalanobis_quadform",
     "pinvh",
+    "StreamingMoments",
 ]
+
+
+class StreamingMoments:
+    """Out-of-core first/second-moment accumulator.
+
+    Fitting LaREM or PCA only needs (sum x, sum x xᵀ, n); this accumulates
+    them batch by batch on device (one rank-``b`` matmul per update, f32
+    HIGHEST precision) so datasets far larger than HBM/host RAM fit in O(d²)
+    state. ``mean``/``covariance`` match ``empirical_covariance`` over the
+    concatenated batches exactly; feed them to
+    ``reduction.pca_from_covariance`` or ``pinvh`` for the detector states.
+    """
+
+    def __init__(self, dim: int, dtype=jnp.float32):
+        self.s1 = jnp.zeros((dim,), dtype)
+        self.s2 = jnp.zeros((dim, dim), dtype)
+        self.n = 0
+
+    @staticmethod
+    @jax.jit
+    def _accumulate(s1, s2, batch):
+        batch = batch.astype(s1.dtype)
+        return (
+            s1 + jnp.sum(batch, axis=0),
+            s2 + jnp.matmul(batch.T, batch, precision=jax.lax.Precision.HIGHEST),
+        )
+
+    def update(self, batch) -> "StreamingMoments":
+        self.s1, self.s2 = self._accumulate(self.s1, self.s2, jnp.asarray(batch))
+        self.n += int(batch.shape[0])
+        return self
+
+    @property
+    def mean(self) -> jnp.ndarray:
+        return self.s1 / self.n
+
+    @property
+    def covariance(self) -> jnp.ndarray:
+        """ML covariance (1/n), as sklearn EmpiricalCovariance."""
+        mean = self.mean
+        return self.s2 / self.n - jnp.outer(mean, mean)
+
+    @property
+    def precision(self) -> jnp.ndarray:
+        return pinvh(self.covariance)
+
+    def md_state(self) -> dict:
+        """LaREM detector state ({"feats_mean", "precision"}), as
+        ``detectors.MDLatentSpace.setup`` would fit on the full data."""
+        return {"feats_mean": self.mean[None, :], "precision": self.precision}
 
 
 def empirical_covariance(x: jnp.ndarray, assume_centered: bool = False) -> jnp.ndarray:

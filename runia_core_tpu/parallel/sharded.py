@@ -91,25 +91,10 @@ def fit_pca_sharded(
     explained_variance uses sklearn's 1/(N-1) scaling while the covariance
     accumulates with 1/N, hence the correction factor.
     """
-    from runia_core_tpu.reduction import PCAState
+    from runia_core_tpu.reduction import pca_from_covariance
 
     mean, cov = sharded_mean_and_covariance(x, mesh, axis)
-    n = x.shape[0]
-    eigvals, eigvecs = jnp.linalg.eigh(cov)  # ascending
-    order = jnp.argsort(-eigvals)[:n_components]
-    components = eigvecs[:, order].T  # (k, d)
-    explained_variance = eigvals[order] * (n / (n - 1.0))
-    signs = jnp.sign(
-        components[jnp.arange(n_components),
-                   jnp.argmax(jnp.abs(components), axis=1)]
-    )
-    components = components * signs[:, None]
-    return PCAState(
-        mean=mean,
-        components=components,
-        explained_variance=explained_variance,
-        whiten=whiten,
-    )
+    return pca_from_covariance(mean, cov, x.shape[0], n_components, whiten)
 
 
 def sharded_kde_log_density(

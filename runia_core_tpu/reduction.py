@@ -29,6 +29,7 @@ import numpy as np
 __all__ = [
     "PCAState",
     "pca_fit",
+    "pca_from_covariance",
     "pca_transform",
     "apply_pca_ds",
     "apply_pca_ds_split",
@@ -116,6 +117,39 @@ def pca_fit(
     else:
         transformed = u * s
     return transformed, state
+
+
+def pca_from_covariance(
+    mean: jnp.ndarray,
+    covariance: jnp.ndarray,
+    n_samples: int,
+    n_components: int,
+    whiten: bool = True,
+) -> PCAState:
+    """Build a PCAState from first/second moments instead of the data matrix.
+
+    Covariance eigenvectors equal the SVD right-singular vectors of the
+    centered data (same svd_flip sign convention applied), so this matches
+    :func:`pca_fit` whenever the leading eigenvalues are distinct — while
+    only needing the O(d^2) moments. Used by streaming fits
+    (``ops.linalg.StreamingMoments``) and the distributed fit
+    (``parallel.sharded.fit_pca_sharded``). ``covariance`` is the ML (1/n)
+    covariance; explained_variance converts to sklearn's 1/(n-1).
+    """
+    eigvals, eigvecs = jnp.linalg.eigh(covariance)  # ascending
+    order = jnp.argsort(-eigvals)[:n_components]
+    components = eigvecs[:, order].T  # (k, d)
+    explained_variance = eigvals[order] * (n_samples / (n_samples - 1.0))
+    signs = jnp.sign(
+        components[jnp.arange(n_components),
+                   jnp.argmax(jnp.abs(components), axis=1)]
+    )
+    return PCAState(
+        mean=mean,
+        components=components * signs[:, None],
+        explained_variance=explained_variance,
+        whiten=whiten,
+    )
 
 
 @jax.jit

@@ -151,3 +151,61 @@ class TestPacmapGate:
             pytest.skip("pacmap installed")
         with pytest.raises((ImportError, ModuleNotFoundError)):
             fit_pacmap(rng.randn(30, 5))
+
+
+class TestStreamingMoments:
+    def test_matches_batch_fit(self, rng):
+        from runia_core_tpu.ops.linalg import StreamingMoments, empirical_covariance
+        from sklearn.covariance import EmpiricalCovariance
+
+        x = rng.randn(200, 8).astype(np.float32)
+        sm = StreamingMoments(8)
+        for start in range(0, 200, 32):  # ragged last chunk (200 % 32 != 0)
+            sm.update(x[start:start + 32])
+        assert sm.n == 200
+        np.testing.assert_allclose(np.asarray(sm.mean), x.mean(0), rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(
+            np.asarray(sm.covariance),
+            np.asarray(empirical_covariance(jnp.asarray(x))),
+            rtol=1e-3, atol=1e-5,
+        )
+        ref_prec = EmpiricalCovariance().fit(x).precision_
+        np.testing.assert_allclose(np.asarray(sm.precision), ref_prec, rtol=5e-2, atol=1e-2)
+
+    def test_md_state_matches_detector(self, rng):
+        from runia_core_tpu.detectors import MDLatentSpace
+        from runia_core_tpu.ops.linalg import StreamingMoments
+
+        x = rng.randn(150, 6).astype(np.float32)
+        sm = StreamingMoments(6)
+        for start in range(0, 150, 50):
+            sm.update(x[start:start + 50])
+        streamed = sm.md_state()
+
+        md = MDLatentSpace()
+        md.setup(x)
+        test = rng.randn(12, 6).astype(np.float32)
+        from runia_core_tpu.detectors.latent import md_score
+
+        ours = np.asarray(md_score(
+            jnp.asarray(test), streamed["feats_mean"], streamed["precision"]
+        ))
+        ref = md.postprocess(test)
+        np.testing.assert_allclose(ours, ref, rtol=1e-3, atol=1e-3)
+
+    def test_pca_from_streaming_moments(self, rng):
+        from runia_core_tpu.ops.linalg import StreamingMoments
+        from runia_core_tpu.reduction import pca_fit, pca_from_covariance, pca_transform
+
+        x = rng.randn(300, 10).astype(np.float32)
+        sm = StreamingMoments(10)
+        for start in range(0, 300, 64):
+            sm.update(x[start:start + 64])
+        state = pca_from_covariance(sm.mean, sm.covariance, sm.n, 4)
+        _, ref_state = pca_fit(x, n_components=4, svd_solver="full")
+        test = jnp.asarray(rng.randn(15, 10).astype(np.float32))
+        np.testing.assert_allclose(
+            np.asarray(pca_transform(state, test)),
+            np.asarray(pca_transform(ref_state, test)),
+            rtol=5e-2, atol=1e-2,
+        )
