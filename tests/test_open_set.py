@@ -309,6 +309,42 @@ class TestEndToEndOSOD:
         )
         assert "AOSE" in df.columns
 
+        # Hierarchical two-dataset dataframe + the bar-chart plotters
+        import matplotlib
+
+        matplotlib.use("Agg")
+        from runia_core_tpu.evaluation.open_set import (
+            convert_osod_results_to_hierarchical_pandas_df,
+            plot_two_osod_datasets_metrics,
+            plot_two_osod_datasets_per_metric,
+        )
+
+        # save_method_as_data=False is the working configuration; True has a
+        # column-count mismatch in the reference too (its columns grow by one
+        # per dataset but the row only gains one Method cell) — preserved
+        # bug-for-bug (reference open_set.py:1509-1527).
+        hier = convert_osod_results_to_hierarchical_pandas_df(
+            results["oodset"], results["oodset"], ["md"],
+            save_method_as_data=False, datasets_names=["a", "b"],
+        )
+        assert ("a", "AOSE") in hier.columns and ("b", "AOSE") in hier.columns
+        with pytest.raises(Exception):
+            convert_osod_results_to_hierarchical_pandas_df(
+                results["oodset"], results["oodset"], ["md"],
+                save_method_as_data=True, datasets_names=["a", "b"],
+            )
+        numeric_cols = [c for c in df.columns
+                        if np.issubdtype(np.asarray(df[c]).dtype, np.number)]
+        metric = numeric_cols[0]
+        plot_two_osod_datasets_metrics(
+            df, df, ["md"], ["a", "b"],
+            metrics_to_plot=[metric], show_plot=False,
+        )
+        plot_two_osod_datasets_per_metric(
+            df, df, ["md"], ["a", "b"],
+            metric_to_plot=metric, show_plot=False,
+        )
+
     def test_labels_and_scores_from_logits_strip(self):
         logits = np.random.RandomState(0).randn(5, 21)
         labels, scores = get_labels_and_scores_from_logits(logits)
