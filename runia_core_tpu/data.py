@@ -31,7 +31,12 @@ except ImportError:  # pragma: no cover
     _native = None
     HAVE_NATIVE = False
 
-__all__ = ["PrefetchLoader", "gather_normalize", "HAVE_NATIVE"]
+__all__ = [
+    "PrefetchLoader",
+    "gather_normalize",
+    "gather_resize_normalize",
+    "HAVE_NATIVE",
+]
 
 
 def gather_normalize(
@@ -73,6 +78,69 @@ def gather_normalize(
     return np.ascontiguousarray(batch)
 
 
+def _resize_bilinear_numpy(
+    images: np.ndarray, h_out: int, w_out: int
+) -> np.ndarray:
+    """Half-pixel bilinear resize of (B, H, W, C) float32 — the native
+    kernel's exact semantics (and jax.image.resize method='bilinear')."""
+    b, h_in, w_in, c = images.shape
+    sy = np.clip((np.arange(h_out) + 0.5) * h_in / h_out - 0.5, 0, h_in - 1)
+    sx = np.clip((np.arange(w_out) + 0.5) * w_in / w_out - 0.5, 0, w_in - 1)
+    y0 = sy.astype(np.int64)
+    x0 = sx.astype(np.int64)
+    y1 = np.minimum(y0 + 1, h_in - 1)
+    x1 = np.minimum(x0 + 1, w_in - 1)
+    fy = (sy - y0).astype(np.float32)[None, :, None, None]
+    fx = (sx - x0).astype(np.float32)[None, None, :, None]
+    p00 = images[:, y0][:, :, x0]
+    p01 = images[:, y0][:, :, x1]
+    p10 = images[:, y1][:, :, x0]
+    p11 = images[:, y1][:, :, x1]
+    top = p00 + fx * (p01 - p00)
+    bot = p10 + fx * (p11 - p10)
+    return top + fy * (bot - top)
+
+
+def gather_resize_normalize(
+    images_u8: np.ndarray,
+    indices: np.ndarray,
+    size: Tuple[int, int],
+    scale: float = 1.0 / 255.0,
+    offset: float = 0.0,
+    num_threads: int = 4,
+) -> np.ndarray:
+    """(N, H, W, C) uint8 + indices -> (B, h, w, C) float32, bilinear-resized
+    with half-pixel centers (jax.image.resize 'bilinear' semantics) and
+    normalized, in one multithreaded GIL-releasing C++ pass. Serving
+    pipelines with arbitrary-size inputs resize on the host, overlapped with
+    TPU compute (numpy fallback is semantically identical).
+    """
+    images_u8 = np.ascontiguousarray(images_u8)
+    indices = np.ascontiguousarray(indices, dtype=np.int64)
+    assert images_u8.ndim == 4, "expect (N, H, W, C) uint8"
+    n, h_in, w_in, channels = images_u8.shape
+    h_out, w_out = size
+    if HAVE_NATIVE:
+        out = np.empty((len(indices), h_out, w_out, channels), np.float32)
+        _native.gather_resize_normalize(
+            images_u8.reshape(n, -1),
+            indices,
+            n,
+            h_in,
+            w_in,
+            channels,
+            h_out,
+            w_out,
+            float(scale),
+            float(offset),
+            int(num_threads),
+            out.reshape(len(indices), -1),
+        )
+        return out
+    batch = images_u8[indices].astype(np.float32)
+    return _resize_bilinear_numpy(batch, h_out, w_out) * scale + offset
+
+
 class PrefetchLoader:
     """Double-buffered batch loader over an in-memory uint8 image bank.
 
@@ -95,8 +163,13 @@ class PrefetchLoader:
         device_put: bool = True,
         drop_remainder: bool = False,
         prefetch_depth: int = 2,
+        resize_to: Optional[Tuple[int, int]] = None,
     ):
         assert images_u8.dtype == np.uint8, "PrefetchLoader expects uint8 images"
+        assert resize_to is None or not bgr_to_rgb, (
+            "resize_to and bgr_to_rgb are mutually exclusive (flip channels "
+            "in the image bank instead)"
+        )
         self.images = np.ascontiguousarray(images_u8)
         self.labels = labels
         self.batch_size = batch_size
@@ -109,6 +182,7 @@ class PrefetchLoader:
         self.device_put = device_put
         self.drop_remainder = drop_remainder
         self.prefetch_depth = prefetch_depth
+        self.resize_to = resize_to
         self._epoch = 0
 
     def __len__(self) -> int:
@@ -134,10 +208,16 @@ class PrefetchLoader:
         def producer():
             try:
                 for idx in self._index_batches():
-                    batch = gather_normalize(
-                        self.images, idx, self.scale, self.offset,
-                        self.bgr_to_rgb, self.num_threads,
-                    )
+                    if self.resize_to is not None:
+                        batch = gather_resize_normalize(
+                            self.images, idx, self.resize_to, self.scale,
+                            self.offset, self.num_threads,
+                        )
+                    else:
+                        batch = gather_normalize(
+                            self.images, idx, self.scale, self.offset,
+                            self.bgr_to_rgb, self.num_threads,
+                        )
                     if self.device_put:
                         import jax
 

@@ -98,3 +98,69 @@ class TestPrefetchLoader:
         )
         out = extractor.get_ls_samples(loader)
         assert out["latent_space_means"].shape == (32 * 4, 8)
+
+
+class TestGatherResizeNormalize:
+    def test_native_matches_numpy_fallback(self, rng):
+        from runia_core_tpu.data import (
+            HAVE_NATIVE,
+            _resize_bilinear_numpy,
+            gather_resize_normalize,
+        )
+
+        if not HAVE_NATIVE:
+            pytest.skip("native extension not built")
+        images = (rng.rand(6, 17, 23, 3) * 255).astype(np.uint8)
+        idx = np.array([4, 0, 2], np.int64)
+        native = gather_resize_normalize(images, idx, (8, 12))
+        ref = _resize_bilinear_numpy(
+            images[idx].astype(np.float32), 8, 12
+        ) / 255.0
+        np.testing.assert_allclose(native, ref, rtol=1e-5, atol=1e-5)
+
+    def test_matches_jax_image_resize(self, rng):
+        """Half-pixel semantics == jax.image.resize(method='bilinear') when
+        upsampling or mildly downsampling (jax antialiases strong
+        downsampling, which plain bilinear intentionally does not)."""
+        import jax
+        import jax.numpy as jnp
+
+        from runia_core_tpu.data import gather_resize_normalize
+
+        images = (rng.rand(2, 10, 14, 3) * 255).astype(np.uint8)
+        idx = np.arange(2, dtype=np.int64)
+        ours = gather_resize_normalize(images, idx, (20, 21), scale=1.0)
+        jref = jax.image.resize(
+            jnp.asarray(images.astype(np.float32)), (2, 20, 21, 3), "bilinear",
+            antialias=False,
+        )
+        np.testing.assert_allclose(ours, np.asarray(jref), rtol=1e-4, atol=1e-3)
+
+    def test_loader_resize_integration(self, rng):
+        from runia_core_tpu.data import PrefetchLoader
+
+        images = (rng.rand(10, 16, 16, 3) * 255).astype(np.uint8)
+        loader = PrefetchLoader(
+            images, batch_size=4, device_put=False, resize_to=(8, 8)
+        )
+        batches = [b for b, _ in loader]
+        assert batches[0].shape == (4, 8, 8, 3)
+        assert batches[-1].shape == (2, 8, 8, 3)  # ragged tail preserved
+
+    def test_resize_excludes_bgr_flip(self, rng):
+        from runia_core_tpu.data import PrefetchLoader
+
+        with pytest.raises(AssertionError):
+            PrefetchLoader(
+                (rng.rand(4, 8, 8, 3) * 255).astype(np.uint8),
+                resize_to=(4, 4), bgr_to_rgb=True,
+            )
+
+    def test_identity_resize_is_normalize(self, rng):
+        from runia_core_tpu.data import gather_normalize, gather_resize_normalize
+
+        images = (rng.rand(4, 9, 9, 3) * 255).astype(np.uint8)
+        idx = np.arange(4, dtype=np.int64)
+        same = gather_resize_normalize(images, idx, (9, 9))
+        plain = gather_normalize(images, idx)
+        np.testing.assert_allclose(same, plain, rtol=1e-6, atol=1e-6)
