@@ -1,0 +1,144 @@
+"""Reproducible micro-benchmarks for the hot kernels.
+
+Each subcommand prints one line with a steady-state rate on the current
+backend (run on the TPU for the numbers in docs/PERFORMANCE.md):
+
+    python benchmarks/microbench.py entropy   # Pallas KL-entropy kernel
+    python benchmarks/microbench.py nms       # fixed-point greedy NMS
+    python benchmarks/microbench.py ring      # sequence-parallel attention
+    python benchmarks/microbench.py moe       # expert-parallel MoE FFN
+    python benchmarks/microbench.py decode    # batched KV-cached LLM decode
+    python benchmarks/microbench.py resize    # native host bilinear resize
+    python benchmarks/microbench.py all
+"""
+
+import sys
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+def _rate(fn, *args, iters=20, warmup=2):
+    """Pipelined steady-state seconds per call."""
+    out = None
+    for _ in range(warmup):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / iters
+
+
+def bench_entropy():
+    from runia_core_tpu.ops.entropy import marginal_entropy
+
+    rng = np.random.RandomState(0)
+    clouds = jnp.asarray(rng.randn(512, 16, 512).astype(np.float32))
+    f = jax.jit(lambda c: marginal_entropy(c, 5))
+    dt = _rate(f, clouds)
+    print(f"entropy: 512 clouds x 16 samples x 512 dims in {dt*1e3:.2f} ms "
+          f"({512/dt:,.0f} clouds/s)")
+
+
+def bench_nms():
+    from runia_core_tpu.ops.nms import nms_mask
+
+    rng = np.random.RandomState(0)
+    n = 4096
+    boxes = jnp.asarray(rng.rand(n, 4).astype(np.float32) * 100)
+    boxes = boxes.at[:, 2:].set(boxes[:, :2] + 5 + boxes[:, 2:] % 20)
+    scores = jnp.asarray(rng.rand(n).astype(np.float32))
+    dt = _rate(lambda: nms_mask(boxes, scores, 0.5))
+    print(f"nms: {n} boxes in {dt*1e3:.2f} ms")
+
+
+def bench_ring():
+    from runia_core_tpu.parallel import make_mesh, ring_attention
+
+    n_dev = len(jax.devices())
+    mesh = make_mesh(n_dev, axis_names=("seq", "unused"))
+    rng = np.random.RandomState(0)
+    q, k, v = (jnp.asarray(rng.randn(4, 8, n_dev * 512, 64).astype(np.float32))
+               for _ in range(3))
+    f = jax.jit(lambda a, b, c: ring_attention(a, b, c, mesh, "seq"))
+    dt = _rate(f, q, k, v, iters=5)
+    tokens = 4 * n_dev * 512
+    print(f"ring attention: {q.shape} causal over {n_dev} device(s) in "
+          f"{dt*1e3:.1f} ms ({tokens/dt:,.0f} tok/s)")
+
+
+def bench_moe():
+    from runia_core_tpu.parallel import init_moe, make_mesh, sharded_moe_ffn
+
+    n_dev = len(jax.devices())
+    ep = max(d for d in (1, 2, 4, 8) if n_dev % d == 0)
+    mesh = make_mesh(n_dev, model_parallel=ep)
+    params = init_moe(jax.random.key(0), 512, 2048, num_experts=2 * ep)
+    tokens = jax.random.normal(jax.random.key(1), (8192, 512))
+    f = jax.jit(lambda p, x: sharded_moe_ffn(p, x, mesh, top_k=2))
+    dt = _rate(f, params, tokens, iters=10)
+    print(f"moe: 8192 tokens, {2*ep} experts over {ep} device(s), top-2: "
+          f"{dt*1e3:.2f} ms ({8192/dt:,.0f} tok/s)")
+
+
+def bench_decode():
+    from runia_core_tpu.llm import JaxGenerator
+    from runia_core_tpu.models.transformer import CausalLM
+
+    model = CausalLM(vocab_size=32000, num_layers=8, num_heads=8,
+                     d_model=512, max_len=256)
+    params = model.init(jax.random.key(0), np.zeros((1, 8), np.int32))
+    rng = np.random.RandomState(0)
+    prompts = [list(rng.randint(1, 32000, rng.randint(4, 17)))
+               for _ in range(32)]
+    gen = JaxGenerator(model, params, max_new_tokens=64)
+    kwargs = dict(do_sample=True, output_scores=False)
+    gen.generate_batch(prompts, key=jax.random.key(1), **kwargs)
+    t0 = time.perf_counter()
+    for i in range(5):
+        gen.generate_batch(prompts, key=jax.random.key(2 + i), **kwargs)
+    dt = (time.perf_counter() - t0) / 5
+    print(f"decode: 32 prompts x 64 tokens (8L x 512d, 32k vocab) in "
+          f"{dt:.2f} s ({32*64/dt:,.0f} tok/s)")
+
+
+def bench_resize():
+    from runia_core_tpu.data import HAVE_NATIVE, gather_resize_normalize
+
+    rng = np.random.RandomState(0)
+    images = (rng.rand(1024, 256, 256, 3) * 255).astype(np.uint8)
+    idx = np.arange(256, dtype=np.int64)
+    gather_resize_normalize(images, idx, (224, 224))  # warm
+    t0 = time.perf_counter()
+    for _ in range(5):
+        gather_resize_normalize(images, idx, (224, 224))
+    dt = (time.perf_counter() - t0) / 5
+    print(f"resize ({'native' if HAVE_NATIVE else 'numpy'}): 256 imgs "
+          f"256->224 in {dt*1e3:.0f} ms ({256/dt:,.0f} img/s host-side)")
+
+
+BENCHES = {
+    "entropy": bench_entropy,
+    "nms": bench_nms,
+    "ring": bench_ring,
+    "moe": bench_moe,
+    "decode": bench_decode,
+    "resize": bench_resize,
+}
+
+
+def main():
+    which = sys.argv[1] if len(sys.argv) > 1 else "all"
+    names = list(BENCHES) if which == "all" else [which]
+    print(f"backend: {jax.devices()[0].platform} ({len(jax.devices())} device(s))")
+    for name in names:
+        BENCHES[name]()
+
+
+if __name__ == "__main__":
+    main()
