@@ -13,9 +13,9 @@ masked reduction per round inside ``lax.while_loop``: after round t the
 first t sorted positions are provably correct and stay correct, so the loop
 converges in (suppression-chain depth) rounds — 3-8 measured on random
 dense box sets up to N=4096, where each round is one vectorized op. Output
-is bit-identical to the sequential greedy loop; measured ~2x faster at
-N=4096 and never slower (both are sub-0.1 ms at realistic post-confidence
-N of a few hundred). Static shapes throughout; the dynamic result is
+is bit-identical to the sequential greedy loop and ~9x faster at N=4096
+(0.13 -> 0.015 ms pipelined on the test chip). Static shapes throughout;
+the dynamic result is
 (sorted_indices, keep_mask) — ``nms_indices`` converts to the
 torchvision-style dynamic index list on the host.
 """
