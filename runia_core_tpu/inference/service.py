@@ -115,13 +115,15 @@ class ScoringService:
         batch_size: int,
         scale: float = 1.0 / 255.0,
         offset: float = 0.0,
+        resize_to: Optional[Tuple[int, int]] = None,
     ) -> Tuple[np.ndarray, np.ndarray]:
         """Score a whole uint8 dataset; returns (logits (N, C), scores (N,)).
 
         Batch assembly runs in the prefetching loader (C++ kernel when
-        built); a short final batch is padded up to ``batch_size`` so the
-        compiled program is reused, and the padding rows are dropped from the
-        output.
+        built); ``resize_to=(h, w)`` bilinear-resizes to the model's input
+        size in the same host pass. A short final batch is padded up to
+        ``batch_size`` so the compiled program is reused, and the padding
+        rows are dropped from the output.
         """
         from runia_core_tpu.data import PrefetchLoader
 
@@ -134,6 +136,7 @@ class ScoringService:
             scale=scale,
             offset=offset,
             device_put=False,  # the tail batch is padded on host first
+            resize_to=resize_to,
         )
 
         def padded():

@@ -176,3 +176,17 @@ class TestServiceHealth:
             rng.rand(B, IMG, IMG, 3).astype(np.float32) for _ in range(2)
         ))
         assert len(out) == 2 and out[0]["mean"].shape == (B,)
+
+
+class TestServiceResize:
+    def test_score_dataset_with_resize(self, scorer, rng):
+        """Arbitrary-size inputs resize on the host to the model size."""
+        images_u8 = (rng.rand(2 * B + 1, 2 * IMG, 2 * IMG, 3) * 255).astype(
+            np.uint8
+        )
+        service = ScoringService(scorer, key=jax.random.key(1))
+        logits, scores = service.score_dataset(
+            images_u8, batch_size=B, resize_to=(IMG, IMG)
+        )
+        assert scores.shape == (2 * B + 1,)
+        assert np.isfinite(scores).all()
