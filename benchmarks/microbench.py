@@ -107,6 +107,38 @@ def bench_decode():
           f"{dt:.2f} s ({32*64/dt:,.0f} tok/s)")
 
 
+def bench_objects():
+    from runia_core_tpu.detectors import MDLatentSpace
+    from runia_core_tpu.extraction import build_object_scorer, pad_detections
+    from runia_core_tpu.models import ResNet18, build_tapped_forward
+
+    b, img, max_det = 64, 256, 20
+    rng = np.random.RandomState(0)
+    model = ResNet18(num_classes=10, dtype=jnp.bfloat16)
+    variables = model.init(jax.random.key(0), jnp.zeros((b, img, img, 3)))
+    forward = build_tapped_forward(model, variables, taps=("pre_pool",))
+    md = MDLatentSpace()
+    md.setup(rng.randn(1024, 512).astype(np.float32))
+
+    def make_dets(n):
+        xy = rng.rand(n, 2) * (img - 40)
+        wh = rng.rand(n, 2) * 30 + 8
+        return {
+            "boxes": np.concatenate([xy, xy + wh], 1).astype(np.float32),
+            "scores": rng.rand(n).astype(np.float32),
+            "classes": rng.randint(0, 10, n),
+        }
+
+    padded = pad_detections([make_dets(max_det) for _ in range(b)],
+                            max_det, (img, img))
+    scorer = build_object_scorer(forward, md.state, output_sizes=(7,),
+                                 img_shape=(img, img))
+    images = jnp.asarray(rng.rand(b, img, img, 3).astype(np.float32))
+    dt = _rate(lambda: scorer(images, padded), iters=50)
+    print(f"objects: {b} imgs x {max_det} dets (256px, ResNet-18 bf16) in "
+          f"{dt*1e3:.2f} ms ({b*max_det/dt:,.0f} det/s)")
+
+
 def bench_resize():
     from runia_core_tpu.data import HAVE_NATIVE, gather_resize_normalize
 
@@ -128,6 +160,7 @@ BENCHES = {
     "ring": bench_ring,
     "moe": bench_moe,
     "decode": bench_decode,
+    "objects": bench_objects,
     "resize": bench_resize,
 }
 
