@@ -102,7 +102,7 @@ def measure_tpu():
     # host<->device sync per window (~30 ms over the tunnel), and the
     # per-batch RNG keys are derived up front so key folding is not in the
     # timed loop. Median over windows is robust to tunnel hiccups.
-    iters = 100
+    iters = 200
     n_windows = 3
     keys = [jax.random.fold_in(key, i) for i in range(n_windows * iters)]
     jax.block_until_ready(keys[-1])
