@@ -92,7 +92,14 @@ class BottleneckResNetBlock(nn.Module):
 
 
 class ResNet(nn.Module):
-    """ResNet with taps; NHWC; bfloat16-friendly compute dtype."""
+    """ResNet with taps; NHWC; bfloat16-friendly compute dtype.
+
+    ``remat=True`` wraps every residual block in ``jax.checkpoint``
+    (rematerialization): block activations are recomputed in the backward
+    pass instead of stored, trading ~1 extra forward of FLOPs for O(depth)
+    less activation HBM — the standard lever for fitting larger
+    batches/models in training. Inference is unaffected.
+    """
 
     stage_sizes: Sequence[int]
     block_cls: ModuleDef
@@ -100,6 +107,7 @@ class ResNet(nn.Module):
     num_filters: int = 64
     cifar_stem: bool = False  # 3x3 stem, no max-pool (CIFAR-sized inputs)
     dtype: Any = jnp.float32
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -125,11 +133,15 @@ class ResNet(nn.Module):
             x = nn.max_pool(x, (3, 3), strides=(2, 2), padding="SAME")
         taps["stem"] = x
 
+        block_cls = nn.remat(self.block_cls) if self.remat else self.block_cls
         for i, block_size in enumerate(self.stage_sizes):
             for j in range(block_size):
                 strides = (2, 2) if i > 0 and j == 0 else (1, 1)
-                x = self.block_cls(
-                    self.num_filters * 2**i, strides=strides, conv=conv, norm=norm
+                # Explicit names keep the param tree identical whether or not
+                # blocks are remat-wrapped (nn.remat changes auto-names).
+                x = block_cls(
+                    self.num_filters * 2**i, strides=strides, conv=conv,
+                    norm=norm, name=f"stage{i + 1}_block{j}",
                 )(x)
             taps[f"block{i + 1}"] = x
 

@@ -110,6 +110,11 @@ class CausalLM(nn.Module):
     max_len: int = 256
     num_experts: int = 0
     moe_capacity_factor: float = 2.0
+    # jax.checkpoint each block for training: recompute activations in the
+    # backward pass (O(L) less activation HBM, ~1 extra forward of FLOPs).
+    # Only applies to the no-cache (training/prefill) path — decode steps
+    # carry no activation memory worth saving.
+    remat: bool = False
 
     @nn.compact
     def __call__(
@@ -166,9 +171,12 @@ class CausalLM(nn.Module):
         hiddens = [x]
         attns = []
         new_layer_caches = []
+        block_cls = Block
+        if self.remat and cache is None:
+            block_cls = nn.remat(Block, static_argnums=())
         for i in range(self.num_layers):
             layer_cache = cache["layers"][i] if cache is not None else None
-            x, attn, new_kv = Block(
+            x, attn, new_kv = block_cls(
                 self.num_heads, self.d_model, self.num_experts,
                 self.moe_capacity_factor, name=f"block_{i}",
             )(x, mask, layer_cache, cache_index)
