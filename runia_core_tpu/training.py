@@ -64,12 +64,21 @@ def make_train_step(
     tx: optax.GradientTransformation,
     loss_fn: Optional[Callable] = None,
     has_batch_stats: Optional[bool] = None,
+    accum_steps: int = 1,
 ) -> Callable:
     """Jitted cross-entropy train step for (logits, taps)-returning models.
 
     Handles BatchNorm: when the model owns a ``batch_stats`` collection the
     forward runs with ``train=True`` and the running statistics are updated
     functionally in the returned state.
+
+    ``accum_steps > 1`` enables gradient accumulation: the batch splits into
+    that many microbatches scanned sequentially, their mean-loss gradients
+    averaged before one optimizer update — activation memory drops by the
+    same factor (pair with the models' ``remat=True`` for the full
+    memory-bound training recipe). With equal microbatch sizes the averaged
+    gradient equals the full-batch gradient exactly (up to float summation
+    order), except that BatchNorm statistics are per-microbatch.
     """
     if loss_fn is None:
         def loss_fn(logits, labels):
@@ -77,29 +86,64 @@ def make_train_step(
                 logits, labels
             ).mean()
 
+    def compute_loss(params, extra_variables, images, labels):
+        use_bn = "batch_stats" in extra_variables
+        variables = {"params": params, **extra_variables}
+        if use_bn:
+            (logits, taps), new_model_state = model.apply(
+                variables, images, train=True, mutable=["batch_stats"]
+            )
+        else:
+            logits, taps = model.apply(variables, images)
+            new_model_state = {}
+        return loss_fn(logits, labels), (logits, new_model_state)
+
+    grad_fn = jax.value_and_grad(compute_loss, has_aux=True)
+
     @jax.jit
     def train_step(state: TrainState, images, labels):
-        use_bn = "batch_stats" in state.extra_variables
+        if accum_steps == 1:
+            (loss, (logits, new_model_state)), grads = grad_fn(
+                state.params, state.extra_variables, images, labels
+            )
+            accuracy = jnp.mean(jnp.argmax(logits, -1) == labels)
+        else:
+            b = images.shape[0]
+            assert b % accum_steps == 0, (
+                f"batch {b} not divisible by accum_steps={accum_steps}"
+            )
+            mb = b // accum_steps
+            micro_images = images.reshape((accum_steps, mb) + images.shape[1:])
+            micro_labels = labels.reshape(accum_steps, mb)
 
-        def compute_loss(params):
-            variables = {"params": params, **state.extra_variables}
-            if use_bn:
-                (logits, taps), new_model_state = model.apply(
-                    variables, images, train=True, mutable=["batch_stats"]
+            def body(carry, micro):
+                grads_acc, loss_acc, acc_acc, extra = carry
+                imgs_i, labs_i = micro
+                (loss_i, (logits_i, new_ms)), grads_i = grad_fn(
+                    state.params, extra, imgs_i, labs_i
                 )
-            else:
-                logits, taps = model.apply(variables, images)
-                new_model_state = {}
-            return loss_fn(logits, labels), (logits, new_model_state)
+                extra = dict(extra)
+                extra.update(new_ms)
+                acc_i = jnp.mean(jnp.argmax(logits_i, -1) == labs_i)
+                grads_acc = jax.tree_util.tree_map(
+                    lambda a, g: a + g, grads_acc, grads_i
+                )
+                return (grads_acc, loss_acc + loss_i, acc_acc + acc_i, extra), None
 
-        (loss, (logits, new_model_state)), grads = jax.value_and_grad(
-            compute_loss, has_aux=True
-        )(state.params)
+            zeros = jax.tree_util.tree_map(jnp.zeros_like, state.params)
+            (grads, loss, accuracy, new_model_state), _ = jax.lax.scan(
+                body,
+                (zeros, jnp.zeros(()), jnp.zeros(()), state.extra_variables),
+                (micro_images, micro_labels),
+            )
+            grads = jax.tree_util.tree_map(lambda g: g / accum_steps, grads)
+            loss = loss / accum_steps
+            accuracy = accuracy / accum_steps
+
         updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
         extra = dict(state.extra_variables)
         extra.update(new_model_state)
-        accuracy = jnp.mean(jnp.argmax(logits, -1) == labels)
         new_state = TrainState(
             params=new_params,
             extra_variables=extra,

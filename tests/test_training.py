@@ -68,3 +68,65 @@ class TestTraining:
         md = MDLatentSpace()
         md.setup(h_z)
         assert np.isfinite(md.postprocess(h_z)).all()
+
+
+class TestGradientAccumulation:
+    def test_accum_matches_full_batch(self, rng):
+        """4-way accumulation == single full-batch step exactly (no-BN model,
+        SGD, equal microbatches)."""
+        import optax
+
+        from runia_core_tpu.models import SimpleConvNet
+        from runia_core_tpu.training import create_train_state, make_train_step
+
+        model = SimpleConvNet(num_classes=3, features=4)
+        images = jnp.asarray(rng.rand(16, 16, 16, 3).astype(np.float32))
+        labels = jnp.asarray(rng.randint(0, 3, 16), jnp.int32)
+        tx = optax.sgd(0.1)
+
+        state1, _ = create_train_state(model, jax.random.key(0), images[:1], tx=tx)
+        state4, _ = create_train_state(model, jax.random.key(0), images[:1], tx=tx)
+        step1 = make_train_step(model, tx)
+        step4 = make_train_step(model, tx, accum_steps=4)
+        state1, m1 = step1(state1, images, labels)
+        state4, m4 = step4(state4, images, labels)
+
+        assert float(m1["loss"]) == pytest.approx(float(m4["loss"]), rel=1e-6)
+        assert float(m1["accuracy"]) == pytest.approx(float(m4["accuracy"]))
+        for a, b in zip(jax.tree_util.tree_leaves(state1.params),
+                        jax.tree_util.tree_leaves(state4.params)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-5, atol=1e-7)
+
+    def test_accum_with_batchnorm_runs(self, rng):
+        import optax
+
+        from runia_core_tpu.models import ResNet
+        from runia_core_tpu.models.resnet import ResNetBlock
+        from runia_core_tpu.training import create_train_state, make_train_step
+
+        model = ResNet(stage_sizes=(1,), block_cls=ResNetBlock, num_classes=3,
+                       num_filters=4, cifar_stem=True, remat=True)
+        images = jnp.asarray(rng.rand(8, 16, 16, 3).astype(np.float32))
+        labels = jnp.asarray(rng.randint(0, 3, 8), jnp.int32)
+        tx = optax.sgd(0.1)
+        state, _ = create_train_state(model, jax.random.key(0), images[:1], tx=tx)
+        step = make_train_step(model, tx, accum_steps=2)
+        state, metrics = step(state, images, labels)
+        assert np.isfinite(float(metrics["loss"]))
+        assert int(state.step) == 1
+
+    def test_indivisible_batch_rejected(self, rng):
+        import optax
+
+        from runia_core_tpu.models import SimpleConvNet
+        from runia_core_tpu.training import create_train_state, make_train_step
+
+        model = SimpleConvNet(num_classes=2, features=4)
+        images = jnp.asarray(rng.rand(6, 16, 16, 3).astype(np.float32))
+        labels = jnp.zeros(6, jnp.int32)
+        tx = optax.sgd(0.1)
+        state, _ = create_train_state(model, jax.random.key(0), images[:1], tx=tx)
+        step = make_train_step(model, tx, accum_steps=4)
+        with pytest.raises(AssertionError):
+            step(state, images, labels)
