@@ -154,6 +154,25 @@ def bench_resize():
           f"256->224 in {dt*1e3:.0f} ms ({256/dt:,.0f} img/s host-side)")
 
 
+def bench_osod():
+    import copy
+
+    from runia_core_tpu.evaluation import open_set
+    from tests.test_open_set import TestNativeOsodParity
+
+    nd = 200_000
+    image_ids, bb, recs = TestNativeOsodParity._random_problem(
+        0, nd=nd, n_img=2000, max_gt=12
+    )
+    npos = int(sum((~r["difficult"]).sum() for r in recs.values()))
+    label = "native" if open_set.HAVE_NATIVE_OSOD else "python"
+    t0 = time.perf_counter()
+    open_set._greedy_match(image_ids, bb, copy.deepcopy(recs), 0.5, npos, False)
+    dt = time.perf_counter() - t0
+    print(f"osod greedy match ({label}): {nd:,} dets in {dt*1e3:.0f} ms "
+          f"({nd/dt:,.0f} det/s host-side)")
+
+
 BENCHES = {
     "entropy": bench_entropy,
     "nms": bench_nms,
@@ -162,6 +181,7 @@ BENCHES = {
     "decode": bench_decode,
     "objects": bench_objects,
     "resize": bench_resize,
+    "osod": bench_osod,
 }
 
 

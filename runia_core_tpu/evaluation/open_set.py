@@ -20,12 +20,21 @@ Conventions preserved exactly:
 from __future__ import annotations
 
 import json
+import os
 from collections import defaultdict
 from typing import Dict, List, Optional, Tuple, Union
 
 import numpy as np
 import pandas as pd
 from scipy.special import softmax
+
+try:  # native greedy-match kernels (built from native/osod_eval.cpp)
+    from runia_core_tpu import _native_osod
+
+    HAVE_NATIVE_OSOD = True
+except ImportError:  # pragma: no cover
+    _native_osod = None
+    HAVE_NATIVE_OSOD = False
 
 __all__ = [
     "COCOParser",
@@ -172,6 +181,46 @@ def _parse_prediction_lines(lines: List[str]):
     )
 
 
+def _flatten_recs(image_ids: List[str], recs: Dict[str, Dict]):
+    """Flatten per-image GT record dicts into contiguous tables for the
+    native kernels: per-detection image index (-1 if the image has no GT
+    record), per-image (offset, count) into a packed (ngt, 4) box array,
+    and packed difficult flags."""
+    keys = list(recs.keys())
+    key_to_idx = {k: i for i, k in enumerate(keys)}
+    counts = np.empty(len(keys), dtype=np.int64)
+    boxes_list = []
+    difficult_list = []
+    for i, k in enumerate(keys):
+        rec = recs[k]
+        box = rec["bbox"]
+        n = box.shape[0] if box.size else 0
+        counts[i] = n
+        if n:
+            boxes_list.append(np.ascontiguousarray(box, dtype=np.float64))
+            difficult_list.append(
+                np.ascontiguousarray(rec["difficult"], dtype=np.uint8)
+            )
+    offsets = np.zeros(len(keys), dtype=np.int64)
+    if len(keys) > 1:
+        offsets[1:] = np.cumsum(counts)[:-1]
+    gt_boxes = (
+        np.concatenate(boxes_list, axis=0)
+        if boxes_list
+        else np.empty((0, 4), dtype=np.float64)
+    )
+    gt_difficult = (
+        np.concatenate(difficult_list)
+        if difficult_list
+        else np.empty((0,), dtype=np.uint8)
+    )
+    det_img_idx = np.fromiter(
+        (key_to_idx.get(im, -1) for im in image_ids), dtype=np.int64,
+        count=len(image_ids),
+    )
+    return det_img_idx, offsets, counts, gt_boxes, gt_difficult
+
+
 def _greedy_match(
     image_ids: List[str],
     bb: np.ndarray,
@@ -180,10 +229,23 @@ def _greedy_match(
     npos: int,
     use_07_metric: bool,
 ):
-    """Greedy TP/FP assignment + PR curve + AP (reference open_set.py:793-863)."""
+    """Greedy TP/FP assignment + PR curve + AP (reference open_set.py:793-863).
+
+    Uses the native C++ kernel (native/osod_eval.cpp) when built; the Python
+    loop below is the semantically identical fallback (tests enforce parity).
+    """
     nd = len(image_ids)
     tp = np.zeros(nd)
     fp = np.zeros(nd)
+    if HAVE_NATIVE_OSOD and nd:
+        det_img_idx, offsets, counts, gt_boxes, gt_difficult = _flatten_recs(
+            image_ids, class_recs
+        )
+        _native_osod.greedy_match(
+            det_img_idx, np.ascontiguousarray(bb, dtype=np.float64),
+            offsets, counts, gt_boxes, gt_difficult, float(ovthresh), tp, fp,
+        )
+        return _finish_match(nd, tp, fp, npos, use_07_metric)
     for d in range(nd):
         rec = class_recs.get(image_ids[d])
         if rec is None:
@@ -204,6 +266,10 @@ def _greedy_match(
                     fp[d] = 1.0
         else:
             fp[d] = 1.0
+    return _finish_match(nd, tp, fp, npos, use_07_metric)
+
+
+def _finish_match(nd, tp, fp, npos, use_07_metric):
     fp = np.cumsum(fp)
     tp = np.cumsum(tp)
     recall = tp / float(npos) if npos > 0 else tp
@@ -222,6 +288,16 @@ def _mark_unknown_overlaps(
     """Flag detections overlapping an unknown GT object
     (reference open_set.py:909-954)."""
     is_unk = np.zeros(nd)
+    if HAVE_NATIVE_OSOD and nd:
+        det_img_idx, offsets, counts, gt_boxes, _ = _flatten_recs(
+            image_ids, unknown_recs
+        )
+        _native_osod.max_overlap_flags(
+            det_img_idx, np.ascontiguousarray(bb, dtype=np.float64),
+            offsets, counts, gt_boxes, float(ovthresh),
+            min(os.cpu_count() or 1, 16), is_unk,
+        )
+        return float(np.sum(is_unk)), np.cumsum(is_unk), is_unk
     for d in range(nd):
         rec = unknown_recs.get(image_ids[d])
         if rec is None:

@@ -1,9 +1,10 @@
 """Build script: package + optional native extension.
 
-The native extension (`runia_core_tpu._native`) provides the multithreaded
-GIL-releasing host data-path kernels (native/dataloader.cpp). The package
-works without it (runia_core_tpu/data.py falls back to numpy); build in-tree
-with:
+The native extensions provide multithreaded GIL-releasing host kernels:
+`runia_core_tpu._native` (data-path batch assembly, native/dataloader.cpp)
+and `runia_core_tpu._native_osod` (open-set greedy matching,
+native/osod_eval.cpp). The package works without them (numpy/Python
+fallbacks are semantically identical); build in-tree with:
 
     python setup.py build_ext --inplace
 """
@@ -18,7 +19,15 @@ ext_modules = [
         extra_compile_args=["-O3", "-std=c++17", "-pthread"],
         extra_link_args=["-pthread"],
         optional=True,  # package installs fine without a compiler
-    )
+    ),
+    Extension(
+        "runia_core_tpu._native_osod",
+        sources=["native/osod_eval.cpp"],
+        language="c++",
+        extra_compile_args=["-O3", "-std=c++17", "-pthread"],
+        extra_link_args=["-pthread"],
+        optional=True,
+    ),
 ]
 
 setup(ext_modules=ext_modules)

@@ -6,6 +6,7 @@ import json
 import numpy as np
 import pytest
 
+from runia_core_tpu.evaluation import open_set
 from runia_core_tpu.evaluation.open_set import (
     COCOParser,
     OpenSetEvaluator,
@@ -353,3 +354,74 @@ class TestEndToEndOSOD:
 
     def test_n_unk(self, ood_gt):
         assert get_n_unk_ood_dataset(ood_gt) == 2
+
+
+class TestNativeOsodParity:
+    """The C++ greedy-match kernels (native/osod_eval.cpp) must be
+    bit-identical to the Python loops they replace."""
+
+    @staticmethod
+    def _random_problem(seed, nd=400, n_img=25, max_gt=6):
+        rng = np.random.RandomState(seed)
+        img_keys = [f"im{i}" for i in range(n_img)]
+        recs = {}
+        for k in img_keys:
+            n = rng.randint(0, max_gt + 1)
+            if n:
+                xy = rng.uniform(0, 80, (n, 2))
+                wh = rng.uniform(4, 40, (n, 2))
+                box = np.concatenate([xy, xy + wh], axis=1)
+            else:
+                box = np.array([])
+            recs[k] = {
+                "bbox": box,
+                "difficult": rng.rand(n) < 0.15,
+                "det": [False] * n,
+            }
+        # some detections reference images absent from the records
+        image_ids = [
+            img_keys[rng.randint(n_img)] if rng.rand() > 0.05 else "missing"
+            for _ in range(nd)
+        ]
+        xy = rng.uniform(0, 80, (nd, 2))
+        wh = rng.uniform(4, 40, (nd, 2))
+        bb = np.concatenate([xy, xy + wh], axis=1)
+        return image_ids, bb, recs
+
+    @pytest.mark.skipif(
+        not open_set.HAVE_NATIVE_OSOD, reason="native extension not built"
+    )
+    @pytest.mark.parametrize("seed", [0, 1, 2])
+    def test_greedy_match_parity(self, seed, monkeypatch):
+        image_ids, bb, recs = self._random_problem(seed)
+        import copy
+
+        npos = int(sum((~r["difficult"]).sum() for r in recs.values()))
+        got = open_set._greedy_match(
+            image_ids, bb, copy.deepcopy(recs), 0.35, npos, False
+        )
+        monkeypatch.setattr(open_set, "HAVE_NATIVE_OSOD", False)
+        want = open_set._greedy_match(image_ids, bb, recs, 0.35, npos, False)
+        for g, w in zip(got, want):
+            np.testing.assert_array_equal(np.asarray(g), np.asarray(w))
+
+    @pytest.mark.skipif(
+        not open_set.HAVE_NATIVE_OSOD, reason="native extension not built"
+    )
+    @pytest.mark.parametrize("seed", [3, 4])
+    def test_mark_unknown_parity(self, seed, monkeypatch):
+        image_ids, bb, recs = self._random_problem(seed, nd=300)
+        nd = len(image_ids)
+        got = open_set._mark_unknown_overlaps(nd, image_ids, bb, recs, 0.5)
+        monkeypatch.setattr(open_set, "HAVE_NATIVE_OSOD", False)
+        want = open_set._mark_unknown_overlaps(nd, image_ids, bb, recs, 0.5)
+        assert got[0] == want[0]
+        np.testing.assert_array_equal(got[1], want[1])
+        np.testing.assert_array_equal(got[2], want[2])
+
+    def test_empty_detections(self):
+        _, _, recs = self._random_problem(7)
+        nd, rec, prec, ap, tp, fp = open_set._greedy_match(
+            [], np.empty((0, 4)), recs, 0.5, 10, False
+        )
+        assert nd == 0 and ap == 0.0
