@@ -77,13 +77,26 @@ def run_batched_rauq_demo():
         print(f"  prompt {i}: original={a:.4f}  mean_heads={b:.4f}")
 
 
-def run_hf_demo(model_name: str, prompt: str, num_samples: int):
+def run_hf_demo(model_name: str, prompt: str, num_samples: int, jax_backend=False):
+    """HF checkpoint demo. ``jax_backend=True`` converts a Llama-family
+    checkpoint onto the TPU-native LlamaLM (models.convert_hf_llama) and
+    decodes with JaxGenerator instead of torch."""
     from transformers import AutoModelForCausalLM, AutoTokenizer, GenerationConfig
 
     tokenizer = AutoTokenizer.from_pretrained(model_name)
     model = AutoModelForCausalLM.from_pretrained(
         model_name, attn_implementation="eager"
     )
+    if jax_backend:
+        from runia_core_tpu.models import convert_hf_llama
+
+        jax_model, params = convert_hf_llama(model)
+        generator = JaxGenerator(jax_model, params, max_new_tokens=50,
+                                 eos_id=tokenizer.eos_token_id)
+        requests = UNCERTAINTY_REQUESTS + [{"method_name": "semantic_entropy"}]
+        return compute_uncertainties(
+            generator, tokenizer, prompt, requests, num_samples=num_samples
+        )
     gen_config = GenerationConfig(
         max_new_tokens=50, do_sample=True, top_p=0.9, temperature=1.0
     )
@@ -99,10 +112,15 @@ def main():
                         help="HF model name (e.g. meta-llama/Llama-3.1-8B-Instruct)")
     parser.add_argument("--prompt", default="What is the capital of France?")
     parser.add_argument("--num-samples", type=int, default=10)
+    parser.add_argument("--jax-backend", action="store_true",
+                        help="convert the (Llama-family) HF checkpoint onto "
+                             "the TPU-native LlamaLM and decode with "
+                             "JaxGenerator")
     args = parser.parse_args()
 
     if args.hf_model:
-        text, scores = run_hf_demo(args.hf_model, args.prompt, args.num_samples)
+        text, scores = run_hf_demo(args.hf_model, args.prompt,
+                                   args.num_samples, args.jax_backend)
     else:
         text, scores = run_jax_demo(args.num_samples)
     print("Generated Text:", text)

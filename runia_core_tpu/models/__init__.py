@@ -10,6 +10,7 @@ from runia_core_tpu.models.resnet import (
     SimpleConvNet,
     build_tapped_forward,
 )
+from runia_core_tpu.models.llama import LlamaLM, convert_hf_llama
 from runia_core_tpu.models.transformer import CausalLM
 from runia_core_tpu.models.vit import ViT
 
@@ -25,4 +26,6 @@ __all__ = [
     "JaxDetectorAdapter",
     "SimpleSegmenter",
     "CausalLM",
+    "LlamaLM",
+    "convert_hf_llama",
 ]

@@ -1,0 +1,258 @@
+"""Llama-family decoder LM (RMSNorm + RoPE + GQA + SwiGLU) with HF weights.
+
+The reference's LLM-uncertainty path drives HF torch causal LMs
+(runia_core/llm_uncertainty/scores.py:439-456, Llama-class models per the
+project docs). This module is the TPU-native equivalent: a flax Llama
+architecture honoring the same model contract as models/transformer.CausalLM
+(``apply(params, tokens, cache, cache_index, token_valid=..., positions=...)
+-> (logits, attentions, hiddens, new_cache)``), so llm/generate.JaxGenerator
+and every downstream score (perplexity, RAUQ, eigen-score, semantic entropy)
+run on it unchanged — plus ``convert_hf_llama`` which maps a
+``transformers.LlamaForCausalLM`` checkpoint onto it (logits parity vs torch
+is pinned by tests/test_llama.py).
+
+Architecture notes (matching HF ``modeling_llama`` semantics):
+  - RMSNorm in float32 with learned scale, no bias;
+  - rotary position embeddings with the rotate-half convention
+    (x1 = x[..., :d/2], x2 = x[..., d/2:], rotated = [-x2, x1]);
+  - grouped-query attention: ``num_kv_heads`` K/V heads shared by
+    ``num_heads // num_kv_heads`` query heads each;
+  - SwiGLU MLP: down(silu(gate(x)) * up(x)), no biases;
+  - optional tied embeddings (``tie_word_embeddings``).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+__all__ = ["LlamaLM", "convert_hf_llama"]
+
+
+def _rope_cos_sin(positions: jnp.ndarray, head_dim: int, theta: float):
+    """cos/sin tables (B, T, head_dim) for the rotate-half convention."""
+    inv_freq = 1.0 / (
+        theta ** (jnp.arange(0, head_dim, 2, dtype=jnp.float32) / head_dim)
+    )
+    angles = positions[..., None].astype(jnp.float32) * inv_freq  # (B, T, d/2)
+    emb = jnp.concatenate([angles, angles], axis=-1)
+    return jnp.cos(emb), jnp.sin(emb)
+
+
+def _apply_rope(x: jnp.ndarray, cos: jnp.ndarray, sin: jnp.ndarray):
+    """x: (B, T, H, d). cos/sin: (B, T, d) broadcast over heads."""
+    half = x.shape[-1] // 2
+    x1, x2 = x[..., :half], x[..., half:]
+    rotated = jnp.concatenate([-x2, x1], axis=-1)
+    return x * cos[:, :, None, :] + rotated * sin[:, :, None, :]
+
+
+class _LlamaBlock(nn.Module):
+    num_heads: int
+    num_kv_heads: int
+    head_dim: int
+    d_model: int
+    hidden_dim: int
+    rms_eps: float
+
+    @nn.compact
+    def __call__(self, x, mask, cos, sin, cache=None, cache_index=None):
+        b, t, _ = x.shape
+        h = nn.RMSNorm(epsilon=self.rms_eps, name="input_norm")(x)
+
+        q = nn.Dense(self.num_heads * self.head_dim, use_bias=False, name="q")(h)
+        k = nn.Dense(self.num_kv_heads * self.head_dim, use_bias=False, name="k")(h)
+        v = nn.Dense(self.num_kv_heads * self.head_dim, use_bias=False, name="v")(h)
+        q = q.reshape(b, t, self.num_heads, self.head_dim)
+        k = k.reshape(b, t, self.num_kv_heads, self.head_dim)
+        v = v.reshape(b, t, self.num_kv_heads, self.head_dim)
+
+        q = _apply_rope(q, cos, sin)
+        k = _apply_rope(k, cos, sin)
+
+        if cache is not None:
+            k_cache = jax.lax.dynamic_update_slice(
+                cache["k"], k, (0, cache_index, 0, 0)
+            )
+            v_cache = jax.lax.dynamic_update_slice(
+                cache["v"], v, (0, cache_index, 0, 0)
+            )
+            k_all, v_all = k_cache, v_cache
+            new_kv = {"k": k_cache, "v": v_cache}
+        else:
+            k_all, v_all = k, v
+            new_kv = None
+
+        # GQA: expand query heads into (kv_head, rep) groups.
+        rep = self.num_heads // self.num_kv_heads
+        qg = q.reshape(b, t, self.num_kv_heads, rep, self.head_dim)
+        logits = jnp.einsum("bqgrd,bkgd->bgrqk", qg, k_all) / jnp.sqrt(
+            self.head_dim * 1.0
+        )
+        logits = logits.reshape(b, self.num_heads, t, k_all.shape[1])
+        logits = jnp.where(mask, logits, -1e30)
+        attn = jax.nn.softmax(logits, axis=-1)
+        attn = jnp.where(mask, attn, 0.0)
+        ag = attn.reshape(b, self.num_kv_heads, rep, t, k_all.shape[1])
+        out = jnp.einsum("bgrqk,bkgd->bqgrd", ag, v_all).reshape(
+            b, t, self.num_heads * self.head_dim
+        )
+        x = x + nn.Dense(self.d_model, use_bias=False, name="o")(out)
+
+        h2 = nn.RMSNorm(epsilon=self.rms_eps, name="post_attn_norm")(x)
+        gate = nn.Dense(self.hidden_dim, use_bias=False, name="gate")(h2)
+        up = nn.Dense(self.hidden_dim, use_bias=False, name="up")(h2)
+        mlp = nn.Dense(self.d_model, use_bias=False, name="down")(
+            nn.silu(gate) * up
+        )
+        return x + mlp, attn, new_kv
+
+
+class LlamaLM(nn.Module):
+    """Llama-family causal LM, drop-in for CausalLM in llm/generate.py.
+
+    ``head_dim`` defaults to ``d_model // num_heads``; models like
+    Llama-3.x set it explicitly in their HF config.
+    """
+
+    vocab_size: int
+    num_layers: int = 2
+    num_heads: int = 4
+    num_kv_heads: int = 4
+    d_model: int = 64
+    hidden_dim: int = 128
+    max_len: int = 256
+    head_dim: Optional[int] = None
+    rope_theta: float = 10000.0
+    rms_eps: float = 1e-6
+    tie_embeddings: bool = False
+
+    def _head_dim(self) -> int:
+        return self.head_dim or self.d_model // self.num_heads
+
+    @nn.compact
+    def __call__(
+        self,
+        tokens: jnp.ndarray,
+        cache: Optional[Dict] = None,
+        cache_index: Optional[jnp.ndarray] = None,
+        token_valid: Optional[jnp.ndarray] = None,
+        positions: Optional[jnp.ndarray] = None,
+    ):
+        """Same contract as CausalLM.__call__ (see models/transformer.py)."""
+        b, t = tokens.shape
+        if cache is None:
+            if positions is None:
+                if token_valid is not None:
+                    positions = jnp.maximum(
+                        jnp.cumsum(token_valid.astype(jnp.int32), axis=1) - 1, 0
+                    )
+                else:
+                    positions = jnp.broadcast_to(jnp.arange(t)[None, :], (b, t))
+            mask = jnp.tril(jnp.ones((t, t), bool))[None, None, :, :]
+            if token_valid is not None:
+                mask = mask & token_valid[:, None, None, :]
+        else:
+            kv_len = cache["layers"][0]["k"].shape[1]
+            q_phys = cache_index + jnp.arange(t)
+            if positions is None:
+                positions = jnp.broadcast_to(q_phys[None, :], (b, t))
+            mask = (
+                jnp.arange(kv_len)[None, None, None, :] <= q_phys[None, None, :, None]
+            )
+            if token_valid is not None:
+                mask = mask & token_valid[:, None, None, :]
+
+        cos, sin = _rope_cos_sin(positions, self._head_dim(), self.rope_theta)
+
+        embed = nn.Embed(self.vocab_size, self.d_model, name="embed")
+        x = embed(tokens)
+        hiddens = [x]
+        attns = []
+        new_layer_caches = []
+        for i in range(self.num_layers):
+            layer_cache = cache["layers"][i] if cache is not None else None
+            x, attn, new_kv = _LlamaBlock(
+                self.num_heads, self.num_kv_heads, self._head_dim(),
+                self.d_model, self.hidden_dim, self.rms_eps,
+                name=f"block_{i}",
+            )(x, mask, cos, sin, layer_cache, cache_index)
+            hiddens.append(x)
+            attns.append(attn)
+            if new_kv is not None:
+                new_layer_caches.append(new_kv)
+        x = nn.RMSNorm(epsilon=self.rms_eps, name="norm_f")(x)
+        if self.tie_embeddings:
+            logits = embed.attend(x)
+        else:
+            logits = nn.Dense(self.vocab_size, use_bias=False, name="lm_head")(x)
+
+        new_cache = {"layers": new_layer_caches} if cache is not None else None
+        return logits, jnp.stack(attns), jnp.stack(hiddens), new_cache
+
+
+def _t(w) -> np.ndarray:
+    """torch (out, in) weight -> flax (in, out) kernel."""
+    return np.asarray(w.detach().cpu().numpy().T, dtype=np.float32)
+
+
+def _vec(w) -> np.ndarray:
+    return np.asarray(w.detach().cpu().numpy(), dtype=np.float32)
+
+
+def convert_hf_llama(hf_model, max_len: Optional[int] = None):
+    """Map a ``transformers.LlamaForCausalLM`` onto (LlamaLM, params).
+
+    Reads the HF config for the architecture hyperparameters and transposes
+    each torch ``(out, in)`` projection into a flax ``(in, out)`` kernel.
+    Works for any Llama-family checkpoint (TinyLlama, Llama-2/3.x, Vicuna…);
+    rope scaling variants beyond plain ``rope_theta`` are not implemented and
+    raise. Logits parity vs the torch forward is pinned by tests.
+    """
+    cfg = hf_model.config
+    scaling = getattr(cfg, "rope_scaling", None)
+    if scaling not in (None, {}) and scaling.get("rope_type", scaling.get("type")) not in (
+        None, "default",
+    ):
+        raise NotImplementedError(f"rope_scaling {scaling!r} not supported")
+    model = LlamaLM(
+        vocab_size=cfg.vocab_size,
+        num_layers=cfg.num_hidden_layers,
+        num_heads=cfg.num_attention_heads,
+        num_kv_heads=cfg.num_key_value_heads,
+        d_model=cfg.hidden_size,
+        hidden_dim=cfg.intermediate_size,
+        max_len=max_len or cfg.max_position_embeddings,
+        head_dim=getattr(cfg, "head_dim", None)
+        or cfg.hidden_size // cfg.num_attention_heads,
+        rope_theta=float(getattr(cfg, "rope_theta", 10000.0)),
+        rms_eps=float(cfg.rms_norm_eps),
+        tie_embeddings=bool(cfg.tie_word_embeddings),
+    )
+
+    hf = hf_model.model  # LlamaModel inside LlamaForCausalLM
+    p: Dict = {
+        "embed": {"embedding": _vec(hf.embed_tokens.weight)},
+        "norm_f": {"scale": _vec(hf.norm.weight)},
+    }
+    for i, layer in enumerate(hf.layers):
+        p[f"block_{i}"] = {
+            "input_norm": {"scale": _vec(layer.input_layernorm.weight)},
+            "post_attn_norm": {
+                "scale": _vec(layer.post_attention_layernorm.weight)
+            },
+            "q": {"kernel": _t(layer.self_attn.q_proj.weight)},
+            "k": {"kernel": _t(layer.self_attn.k_proj.weight)},
+            "v": {"kernel": _t(layer.self_attn.v_proj.weight)},
+            "o": {"kernel": _t(layer.self_attn.o_proj.weight)},
+            "gate": {"kernel": _t(layer.mlp.gate_proj.weight)},
+            "up": {"kernel": _t(layer.mlp.up_proj.weight)},
+            "down": {"kernel": _t(layer.mlp.down_proj.weight)},
+        }
+    if not model.tie_embeddings:
+        p["lm_head"] = {"kernel": _t(hf_model.lm_head.weight)}
+    return model, {"params": p}

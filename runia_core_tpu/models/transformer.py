@@ -191,11 +191,17 @@ class CausalLM(nn.Module):
         return logits, jnp.stack(attns), jnp.stack(hiddens), new_cache
 
 
-def init_cache(model: CausalLM, batch: int, max_len: int) -> Dict:
-    """Allocate an all-zero KV cache pytree."""
-    head_dim = model.d_model // model.num_heads
+def init_cache(model, batch: int, max_len: int) -> Dict:
+    """Allocate an all-zero KV cache pytree.
+
+    Works for any decoder honoring the CausalLM cache contract; models with
+    grouped-query attention declare ``num_kv_heads`` / ``head_dim`` (see
+    models/llama.py) — absent attributes fall back to MHA dimensions.
+    """
+    head_dim = getattr(model, "head_dim", None) or model.d_model // model.num_heads
+    kv_heads = getattr(model, "num_kv_heads", None) or model.num_heads
     layer = lambda: {
-        "k": jnp.zeros((batch, max_len, model.num_heads, head_dim)),
-        "v": jnp.zeros((batch, max_len, model.num_heads, head_dim)),
+        "k": jnp.zeros((batch, max_len, kv_heads, head_dim)),
+        "v": jnp.zeros((batch, max_len, kv_heads, head_dim)),
     }
     return {"layers": [layer() for _ in range(model.num_layers)]}

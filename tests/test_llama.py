@@ -1,0 +1,163 @@
+"""LlamaLM architecture + HF weight-converter parity tests.
+
+The converter must reproduce ``transformers.LlamaForCausalLM`` logits on the
+same tokens (this is what makes real Llama-family checkpoints runnable on
+the TPU-native generation path). A tiny random-init HF Llama keeps the test
+hermetic (no downloads)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from runia_core_tpu.models import LlamaLM, convert_hf_llama
+from runia_core_tpu.models.transformer import init_cache
+
+transformers = pytest.importorskip("transformers")
+torch = pytest.importorskip("torch")
+
+
+def tiny_hf_llama(tie=False, kv_heads=2):
+    cfg = transformers.LlamaConfig(
+        vocab_size=97,
+        hidden_size=32,
+        intermediate_size=64,
+        num_hidden_layers=2,
+        num_attention_heads=4,
+        num_key_value_heads=kv_heads,
+        max_position_embeddings=64,
+        rms_norm_eps=1e-6,
+        rope_theta=10000.0,
+        tie_word_embeddings=tie,
+        attn_implementation="eager",
+    )
+    torch.manual_seed(0)
+    return transformers.LlamaForCausalLM(cfg).eval()
+
+
+@pytest.fixture(scope="module")
+def converted():
+    hf = tiny_hf_llama()
+    model, params = convert_hf_llama(hf)
+    return hf, model, params
+
+
+class TestHFParity:
+    def test_logits_match_torch(self, converted):
+        hf, model, params = converted
+        rng = np.random.RandomState(0)
+        tokens = rng.randint(0, 97, (3, 12))
+        with torch.no_grad():
+            want = hf(torch.tensor(tokens)).logits.numpy()
+        got, attns, hiddens, _ = model.apply(params, jnp.asarray(tokens))
+        np.testing.assert_allclose(np.asarray(got), want, atol=2e-4, rtol=1e-4)
+        assert attns.shape == (2, 3, 4, 12, 12)
+        assert hiddens.shape == (3, 3, 12, 32)
+
+    def test_attentions_match_torch(self, converted):
+        hf, model, params = converted
+        rng = np.random.RandomState(1)
+        tokens = rng.randint(0, 97, (2, 8))
+        with torch.no_grad():
+            out = hf(torch.tensor(tokens), output_attentions=True)
+        want = np.stack([a.numpy() for a in out.attentions])  # (L, B, H, T, T)
+        _, got, _, _ = model.apply(params, jnp.asarray(tokens))
+        np.testing.assert_allclose(np.asarray(got), want, atol=2e-5)
+
+    def test_tied_embeddings(self):
+        hf = tiny_hf_llama(tie=True)
+        model, params = convert_hf_llama(hf)
+        assert model.tie_embeddings
+        tokens = np.arange(10)[None, :] % 97
+        with torch.no_grad():
+            want = hf(torch.tensor(tokens)).logits.numpy()
+        got, *_ = model.apply(params, jnp.asarray(tokens))
+        np.testing.assert_allclose(np.asarray(got), want, atol=2e-4, rtol=1e-4)
+
+    def test_mha_no_gqa(self):
+        hf = tiny_hf_llama(kv_heads=4)
+        model, params = convert_hf_llama(hf)
+        tokens = np.arange(6)[None, :]
+        with torch.no_grad():
+            want = hf(torch.tensor(tokens)).logits.numpy()
+        got, *_ = model.apply(params, jnp.asarray(tokens))
+        np.testing.assert_allclose(np.asarray(got), want, atol=2e-4, rtol=1e-4)
+
+    def test_rope_scaling_rejected(self):
+        hf = tiny_hf_llama()
+        hf.config.rope_scaling = {"rope_type": "linear", "factor": 2.0}
+        with pytest.raises(NotImplementedError):
+            convert_hf_llama(hf)
+
+
+class TestDecodeCache:
+    def test_prefill_plus_steps_equals_full_forward(self, converted):
+        _, model, params = converted
+        rng = np.random.RandomState(2)
+        tokens = jnp.asarray(rng.randint(0, 97, (2, 10)))
+        full_logits, *_ = model.apply(params, tokens)
+
+        cache = init_cache(model, 2, 10)
+        logits, _, _, cache = model.apply(
+            params, tokens[:, :6], cache, jnp.int32(0)
+        )
+        np.testing.assert_allclose(
+            np.asarray(logits), np.asarray(full_logits[:, :6]), atol=1e-4
+        )
+        for i in range(6, 10):
+            logits, _, _, cache = model.apply(
+                params, tokens[:, i : i + 1], cache, jnp.int32(i)
+            )
+            np.testing.assert_allclose(
+                np.asarray(logits[:, 0]), np.asarray(full_logits[:, i]),
+                atol=1e-4,
+            )
+
+    def test_gqa_cache_shape(self, converted):
+        _, model, _ = converted
+        cache = init_cache(model, 2, 16)
+        assert cache["layers"][0]["k"].shape == (2, 16, 2, 8)  # kv heads, head_dim
+
+
+class TestGeneratorIntegration:
+    def test_jax_generator_runs_llama(self, converted):
+        from runia_core_tpu.llm.generate import JaxGenerator
+
+        _, model, params = converted
+        gen = JaxGenerator(model, params, max_new_tokens=5)
+        out = gen.generate(prompt_tokens=[3, 1, 4, 1, 5], do_sample=False)
+        assert len(out["sequences"][0]) == 10  # 5 prompt + 5 new
+        assert np.isfinite(np.asarray(out["log_probs"])).all()
+
+    def test_compute_uncertainties_on_llama(self, converted):
+        from runia_core_tpu.llm import compute_uncertainties
+        from runia_core_tpu.llm.generate import JaxGenerator
+
+        _, model, params = converted
+        gen = JaxGenerator(model, params, max_new_tokens=4)
+
+        class IdTok:
+            def encode(self, s):
+                return [ord(c) % 97 for c in s]
+
+            def decode(self, ids):
+                return "".join(chr(65 + (i % 26)) for i in ids)
+
+        text, res = compute_uncertainties(
+            gen, IdTok(), "hello",
+            [
+                {"method_name": "perplexity"},
+                {
+                    "method_name": "RAUQ",
+                    "token_aggregation": "mean_all_tokens",
+                    "head_aggregation": "original",
+                },
+            ],
+            num_samples=2,
+        )
+        assert isinstance(text[0], str)
+        assert np.isfinite(res["perplexity"])
+        rauq = res["RAUQ_mean_all_tokens_original"]
+        vals = list(rauq.values()) if isinstance(rauq, dict) else [rauq]
+        assert np.all(np.isfinite(np.asarray(vals, dtype=float)))
