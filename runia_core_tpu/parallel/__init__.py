@@ -1,5 +1,6 @@
 """Device-mesh parallelism: sharded scoring, fitting, and training helpers."""
 
+from runia_core_tpu.parallel.llama_tp import llama_tp_specs, shard_llama_params
 from runia_core_tpu.parallel.mesh import (
     initialize_distributed,
     make_mesh,
@@ -32,4 +33,6 @@ __all__ = [
     "moe_ffn",
     "sharded_moe_ffn",
     "pipeline_apply",
+    "llama_tp_specs",
+    "shard_llama_params",
 ]

@@ -161,3 +161,57 @@ class TestGeneratorIntegration:
         rauq = res["RAUQ_mean_all_tokens_original"]
         vals = list(rauq.values()) if isinstance(rauq, dict) else [rauq]
         assert np.all(np.isfinite(np.asarray(vals, dtype=float)))
+
+
+class TestTensorParallel:
+    """Megatron-style TP shardings must not change the numbers."""
+
+    def test_sharded_forward_matches_unsharded(self):
+        from jax.sharding import Mesh
+        from runia_core_tpu.parallel import llama_tp_specs, shard_llama_params
+
+        model = LlamaLM(
+            vocab_size=64, num_layers=2, num_heads=4, num_kv_heads=2,
+            d_model=32, hidden_dim=64, max_len=32,
+        )
+        rng = np.random.RandomState(0)
+        tokens = jnp.asarray(rng.randint(0, 64, (2, 9)))
+        params = model.init(jax.random.key(0), tokens)
+        want, *_ = model.apply(params, tokens)
+
+        mesh = Mesh(np.array(jax.devices()[:8]).reshape(8), ("model",))
+        specs = llama_tp_specs(params)
+        # every q/k/v/gate/up/lm_head kernel column-sharded, o/down row-sharded
+        p = specs["params"]["block_0"]
+        assert p["q"]["kernel"] == jax.sharding.PartitionSpec(None, "model")
+        assert p["o"]["kernel"] == jax.sharding.PartitionSpec("model", None)
+        assert p["input_norm"]["scale"] == jax.sharding.PartitionSpec()
+
+        sharded = shard_llama_params(params, mesh)
+        got, *_ = jax.jit(lambda pr, t: model.apply(pr, t))(sharded, tokens)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+
+    def test_sharded_decode_via_generator(self):
+        from jax.sharding import Mesh
+        from runia_core_tpu.llm.generate import JaxGenerator
+        from runia_core_tpu.parallel import shard_llama_params
+
+        model = LlamaLM(
+            vocab_size=64, num_layers=2, num_heads=4, num_kv_heads=2,
+            d_model=32, hidden_dim=64, max_len=32,
+        )
+        tokens = jnp.asarray(np.arange(8)[None, :] % 64)
+        params = model.init(jax.random.key(0), tokens)
+        ref = JaxGenerator(model, params, max_new_tokens=4).generate(
+            prompt_tokens=list(range(8)), do_sample=False
+        )
+
+        mesh = Mesh(np.array(jax.devices()[:8]).reshape(8), ("model",))
+        sharded = shard_llama_params(params, mesh)
+        got = JaxGenerator(model, sharded, max_new_tokens=4).generate(
+            prompt_tokens=list(range(8)), do_sample=False
+        )
+        np.testing.assert_array_equal(ref["sequences"], got["sequences"])
+        np.testing.assert_allclose(
+            np.asarray(ref["log_probs"]), np.asarray(got["log_probs"]), atol=1e-5
+        )
