@@ -107,6 +107,30 @@ def bench_decode():
           f"{dt:.2f} s ({32*64/dt:,.0f} tok/s)")
 
 
+def bench_llama():
+    import jax.numpy as jnp
+
+    from runia_core_tpu.llm import JaxGenerator
+    from runia_core_tpu.models import LlamaLM
+
+    model = LlamaLM(vocab_size=32000, num_layers=8, num_heads=8,
+                    num_kv_heads=4, d_model=512, hidden_dim=1408,
+                    max_len=256, dtype=jnp.bfloat16)
+    params = model.init(jax.random.key(0), np.zeros((1, 8), np.int32))
+    rng = np.random.RandomState(0)
+    prompts = [list(rng.randint(1, 32000, rng.randint(4, 17)))
+               for _ in range(32)]
+    gen = JaxGenerator(model, params, max_new_tokens=64)
+    kwargs = dict(do_sample=True, output_scores=False)
+    gen.generate_batch(prompts, key=jax.random.key(1), **kwargs)
+    t0 = time.perf_counter()
+    for i in range(5):
+        gen.generate_batch(prompts, key=jax.random.key(2 + i), **kwargs)
+    dt = (time.perf_counter() - t0) / 5
+    print(f"llama decode: 32 prompts x 64 tokens (8L x 512d GQA bf16) in "
+          f"{dt:.2f} s ({32*64/dt:,.0f} tok/s)")
+
+
 def bench_objects():
     from runia_core_tpu.detectors import MDLatentSpace
     from runia_core_tpu.extraction import build_object_scorer, pad_detections
@@ -179,6 +203,7 @@ BENCHES = {
     "ring": bench_ring,
     "moe": bench_moe,
     "decode": bench_decode,
+    "llama": bench_llama,
     "objects": bench_objects,
     "resize": bench_resize,
     "osod": bench_osod,

@@ -58,21 +58,29 @@ class _LlamaBlock(nn.Module):
     d_model: int
     hidden_dim: int
     rms_eps: float
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, mask, cos, sin, cache=None, cache_index=None):
         b, t, _ = x.shape
-        h = nn.RMSNorm(epsilon=self.rms_eps, name="input_norm")(x)
+        # Norms always run in f32 (HF semantics); matmuls in self.dtype so
+        # bf16 serving rides the MXU.
+        h = nn.RMSNorm(epsilon=self.rms_eps, name="input_norm")(
+            x.astype(jnp.float32)
+        ).astype(self.dtype)
 
-        q = nn.Dense(self.num_heads * self.head_dim, use_bias=False, name="q")(h)
-        k = nn.Dense(self.num_kv_heads * self.head_dim, use_bias=False, name="k")(h)
-        v = nn.Dense(self.num_kv_heads * self.head_dim, use_bias=False, name="v")(h)
+        dense = lambda f, name: nn.Dense(
+            f, use_bias=False, dtype=self.dtype, name=name
+        )
+        q = dense(self.num_heads * self.head_dim, "q")(h)
+        k = dense(self.num_kv_heads * self.head_dim, "k")(h)
+        v = dense(self.num_kv_heads * self.head_dim, "v")(h)
         q = q.reshape(b, t, self.num_heads, self.head_dim)
         k = k.reshape(b, t, self.num_kv_heads, self.head_dim)
         v = v.reshape(b, t, self.num_kv_heads, self.head_dim)
 
-        q = _apply_rope(q, cos, sin)
-        k = _apply_rope(k, cos, sin)
+        q = _apply_rope(q, cos, sin).astype(self.dtype)
+        k = _apply_rope(k, cos, sin).astype(self.dtype)
 
         if cache is not None:
             k_cache = jax.lax.dynamic_update_slice(
@@ -94,21 +102,25 @@ class _LlamaBlock(nn.Module):
             self.head_dim * 1.0
         )
         logits = logits.reshape(b, self.num_heads, t, k_all.shape[1])
-        logits = jnp.where(mask, logits, -1e30)
-        attn = jax.nn.softmax(logits, axis=-1)
+        logits = jnp.where(mask, logits.astype(jnp.float32), -1e30)
+        attn = jax.nn.softmax(logits, axis=-1)  # f32 softmax regardless of dtype
         attn = jnp.where(mask, attn, 0.0)
-        ag = attn.reshape(b, self.num_kv_heads, rep, t, k_all.shape[1])
+        ag = attn.astype(self.dtype).reshape(
+            b, self.num_kv_heads, rep, t, k_all.shape[1]
+        )
         out = jnp.einsum("bgrqk,bkgd->bqgrd", ag, v_all).reshape(
             b, t, self.num_heads * self.head_dim
         )
-        x = x + nn.Dense(self.d_model, use_bias=False, name="o")(out)
+        x = x + nn.Dense(
+            self.d_model, use_bias=False, dtype=self.dtype, name="o"
+        )(out)
 
-        h2 = nn.RMSNorm(epsilon=self.rms_eps, name="post_attn_norm")(x)
-        gate = nn.Dense(self.hidden_dim, use_bias=False, name="gate")(h2)
-        up = nn.Dense(self.hidden_dim, use_bias=False, name="up")(h2)
-        mlp = nn.Dense(self.d_model, use_bias=False, name="down")(
-            nn.silu(gate) * up
-        )
+        h2 = nn.RMSNorm(epsilon=self.rms_eps, name="post_attn_norm")(
+            x.astype(jnp.float32)
+        ).astype(self.dtype)
+        gate = dense(self.hidden_dim, "gate")(h2)
+        up = dense(self.hidden_dim, "up")(h2)
+        mlp = dense(self.d_model, "down")(nn.silu(gate) * up)
         return x + mlp, attn, new_kv
 
 
@@ -130,6 +142,11 @@ class LlamaLM(nn.Module):
     rope_theta: float = 10000.0
     rms_eps: float = 1e-6
     tie_embeddings: bool = False
+    # Matmul compute dtype. bf16 is the production serving config (MXU-
+    # native); norms, softmax, RoPE tables, and the returned logits /
+    # attentions / hiddens stay f32 so downstream uncertainty numerics are
+    # unaffected by the choice.
+    dtype: jnp.dtype = jnp.float32
 
     def _head_dim(self) -> int:
         return self.head_dim or self.d_model // self.num_heads
@@ -169,7 +186,9 @@ class LlamaLM(nn.Module):
 
         cos, sin = _rope_cos_sin(positions, self._head_dim(), self.rope_theta)
 
-        embed = nn.Embed(self.vocab_size, self.d_model, name="embed")
+        embed = nn.Embed(
+            self.vocab_size, self.d_model, dtype=self.dtype, name="embed"
+        )
         x = embed(tokens)
         hiddens = [x]
         attns = []
@@ -178,21 +197,28 @@ class LlamaLM(nn.Module):
             layer_cache = cache["layers"][i] if cache is not None else None
             x, attn, new_kv = _LlamaBlock(
                 self.num_heads, self.num_kv_heads, self._head_dim(),
-                self.d_model, self.hidden_dim, self.rms_eps,
+                self.d_model, self.hidden_dim, self.rms_eps, self.dtype,
                 name=f"block_{i}",
             )(x, mask, cos, sin, layer_cache, cache_index)
             hiddens.append(x)
             attns.append(attn)
             if new_kv is not None:
                 new_layer_caches.append(new_kv)
-        x = nn.RMSNorm(epsilon=self.rms_eps, name="norm_f")(x)
+        x = nn.RMSNorm(epsilon=self.rms_eps, name="norm_f")(
+            x.astype(jnp.float32)
+        ).astype(self.dtype)
         if self.tie_embeddings:
             logits = embed.attend(x)
         else:
-            logits = nn.Dense(self.vocab_size, use_bias=False, name="lm_head")(x)
+            logits = nn.Dense(
+                self.vocab_size, use_bias=False, dtype=self.dtype,
+                name="lm_head",
+            )(x)
+        logits = logits.astype(jnp.float32)
 
         new_cache = {"layers": new_layer_caches} if cache is not None else None
-        return logits, jnp.stack(attns), jnp.stack(hiddens), new_cache
+        hiddens_out = jnp.stack(hiddens).astype(jnp.float32)
+        return logits, jnp.stack(attns), hiddens_out, new_cache
 
 
 def _t(w) -> np.ndarray:
@@ -204,14 +230,17 @@ def _vec(w) -> np.ndarray:
     return np.asarray(w.detach().cpu().numpy(), dtype=np.float32)
 
 
-def convert_hf_llama(hf_model, max_len: Optional[int] = None):
+def convert_hf_llama(hf_model, max_len: Optional[int] = None,
+                     dtype=jnp.float32):
     """Map a ``transformers.LlamaForCausalLM`` onto (LlamaLM, params).
 
     Reads the HF config for the architecture hyperparameters and transposes
-    each torch ``(out, in)`` projection into a flax ``(in, out)`` kernel.
-    Works for any Llama-family checkpoint (TinyLlama, Llama-2/3.x, Vicuna…);
-    rope scaling variants beyond plain ``rope_theta`` are not implemented and
-    raise. Logits parity vs the torch forward is pinned by tests.
+    each torch ``(out, in)`` projection into a flax ``(in, out)`` kernel
+    (params stored f32; ``dtype=jnp.bfloat16`` selects the MXU-native matmul
+    compute dtype for serving). Works for any Llama-family checkpoint
+    (TinyLlama, Llama-2/3.x, Vicuna…); rope scaling variants beyond plain
+    ``rope_theta`` are not implemented and raise. Logits parity vs the torch
+    forward is pinned by tests.
     """
     cfg = hf_model.config
     scaling = getattr(cfg, "rope_scaling", None)
@@ -232,6 +261,7 @@ def convert_hf_llama(hf_model, max_len: Optional[int] = None):
         rope_theta=float(getattr(cfg, "rope_theta", 10000.0)),
         rms_eps=float(cfg.rms_norm_eps),
         tie_embeddings=bool(cfg.tie_word_embeddings),
+        dtype=dtype,
     )
 
     hf = hf_model.model  # LlamaModel inside LlamaForCausalLM

@@ -200,8 +200,9 @@ def init_cache(model, batch: int, max_len: int) -> Dict:
     """
     head_dim = getattr(model, "head_dim", None) or model.d_model // model.num_heads
     kv_heads = getattr(model, "num_kv_heads", None) or model.num_heads
+    dtype = getattr(model, "dtype", jnp.float32)
     layer = lambda: {
-        "k": jnp.zeros((batch, max_len, kv_heads, head_dim)),
-        "v": jnp.zeros((batch, max_len, kv_heads, head_dim)),
+        "k": jnp.zeros((batch, max_len, kv_heads, head_dim), dtype),
+        "v": jnp.zeros((batch, max_len, kv_heads, head_dim), dtype),
     }
     return {"layers": [layer() for _ in range(model.num_layers)]}

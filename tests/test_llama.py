@@ -215,3 +215,31 @@ class TestTensorParallel:
         np.testing.assert_allclose(
             np.asarray(ref["log_probs"]), np.asarray(got["log_probs"]), atol=1e-5
         )
+
+
+class TestBf16Serving:
+    def test_bf16_close_to_f32_and_outputs_f32(self, converted):
+        hf, _, _ = converted
+        model16, params16 = convert_hf_llama(hf, dtype=jnp.bfloat16)
+        model32, params32 = convert_hf_llama(hf)
+        tokens = jnp.asarray(np.random.RandomState(5).randint(0, 97, (2, 10)))
+        got16, attn16, hid16, _ = model16.apply(params16, tokens)
+        got32, *_ = model32.apply(params32, tokens)
+        assert got16.dtype == jnp.float32  # logits always f32
+        assert attn16.dtype == jnp.float32
+        assert hid16.dtype == jnp.float32
+        # bf16 matmuls, f32 norms/softmax: small logit drift only
+        assert np.abs(np.asarray(got16) - np.asarray(got32)).max() < 0.1
+
+    def test_bf16_decode_cache(self, converted):
+        hf, _, _ = converted
+        model, params = convert_hf_llama(hf, dtype=jnp.bfloat16)
+        cache = init_cache(model, 1, 8)
+        assert cache["layers"][0]["k"].dtype == jnp.bfloat16
+        tokens = jnp.asarray(np.arange(4)[None, :])
+        logits, _, _, cache = model.apply(params, tokens, cache, jnp.int32(0))
+        logits2, _, _, _ = model.apply(
+            params, jnp.asarray([[7]]), cache, jnp.int32(4)
+        )
+        assert np.isfinite(np.asarray(logits)).all()
+        assert np.isfinite(np.asarray(logits2)).all()
