@@ -51,6 +51,22 @@ def _apply_rope(x: jnp.ndarray, cos: jnp.ndarray, sin: jnp.ndarray):
     return x * cos[:, :, None, :] + rotated * sin[:, :, None, :]
 
 
+def _flash_available(t: int) -> bool:
+    """Pallas flash attention engages on TPU for prefill lengths that tile
+    into 128-row query blocks (shorter/ragged prompts: dense is cheap)."""
+    return t >= 128 and t % 128 == 0 and jax.default_backend() == "tpu"
+
+
+def _flash_blocks(t: int):
+    """Largest power-of-two block sizes dividing the sequence (tuned on
+    v5e: 512-query x 1024-key blocks are ~3x the default 128x128 at 8k)."""
+    from jax.experimental.pallas.ops.tpu.flash_attention import BlockSizes
+
+    bq = next(b for b in (512, 256, 128) if t % b == 0)
+    bk = next(b for b in (1024, 512, 256, 128) if t % b == 0)
+    return BlockSizes(block_q=bq, block_k_major=bk, block_k=bk, block_b=1)
+
+
 class _LlamaBlock(nn.Module):
     num_heads: int
     num_kv_heads: int
@@ -59,9 +75,11 @@ class _LlamaBlock(nn.Module):
     hidden_dim: int
     rms_eps: float
     dtype: jnp.dtype = jnp.float32
+    use_flash: bool = False
 
     @nn.compact
-    def __call__(self, x, mask, cos, sin, cache=None, cache_index=None):
+    def __call__(self, x, mask, cos, sin, cache=None, cache_index=None,
+                 flash_ok=False):
         b, t, _ = x.shape
         # Norms always run in f32 (HF semantics); matmuls in self.dtype so
         # bf16 serving rides the MXU.
@@ -97,20 +115,42 @@ class _LlamaBlock(nn.Module):
 
         # GQA: expand query heads into (kv_head, rep) groups.
         rep = self.num_heads // self.num_kv_heads
-        qg = q.reshape(b, t, self.num_kv_heads, rep, self.head_dim)
-        logits = jnp.einsum("bqgrd,bkgd->bgrqk", qg, k_all) / jnp.sqrt(
-            self.head_dim * 1.0
-        )
-        logits = logits.reshape(b, self.num_heads, t, k_all.shape[1])
-        logits = jnp.where(mask, logits.astype(jnp.float32), -1e30)
-        attn = jax.nn.softmax(logits, axis=-1)  # f32 softmax regardless of dtype
-        attn = jnp.where(mask, attn, 0.0)
-        ag = attn.astype(self.dtype).reshape(
-            b, self.num_kv_heads, rep, t, k_all.shape[1]
-        )
-        out = jnp.einsum("bgrqk,bkgd->bqgrd", ag, v_all).reshape(
-            b, t, self.num_heads * self.head_dim
-        )
+        if self.use_flash and flash_ok and cache is None and _flash_available(t):
+            # Pallas flash attention: O(T) memory, no (B,H,T,T) tensor.
+            # Attention probabilities are not materialized — a zero-width
+            # placeholder keeps the tap layout; decode steps (cache path)
+            # still emit real rows for RAUQ.
+            from jax.experimental.pallas.ops.tpu.flash_attention import (
+                flash_attention,
+            )
+
+            qh = jnp.moveaxis(q, 1, 2)  # (B, H, T, d)
+            kh = jnp.repeat(jnp.moveaxis(k_all, 1, 2), rep, axis=1)
+            vh = jnp.repeat(jnp.moveaxis(v_all, 1, 2), rep, axis=1)
+            ctx = flash_attention(
+                qh, kh, vh, causal=True,
+                sm_scale=1.0 / float(np.sqrt(self.head_dim)),
+                block_sizes=_flash_blocks(t),
+            )
+            out = jnp.moveaxis(ctx, 1, 2).reshape(
+                b, t, self.num_heads * self.head_dim
+            )
+            attn = jnp.zeros((b, self.num_heads, 0, k_all.shape[1]), jnp.float32)
+        else:
+            qg = q.reshape(b, t, self.num_kv_heads, rep, self.head_dim)
+            logits = jnp.einsum("bqgrd,bkgd->bgrqk", qg, k_all) / jnp.sqrt(
+                self.head_dim * 1.0
+            )
+            logits = logits.reshape(b, self.num_heads, t, k_all.shape[1])
+            logits = jnp.where(mask, logits.astype(jnp.float32), -1e30)
+            attn = jax.nn.softmax(logits, axis=-1)  # f32 regardless of dtype
+            attn = jnp.where(mask, attn, 0.0)
+            ag = attn.astype(self.dtype).reshape(
+                b, self.num_kv_heads, rep, t, k_all.shape[1]
+            )
+            out = jnp.einsum("bgrqk,bkgd->bqgrd", ag, v_all).reshape(
+                b, t, self.num_heads * self.head_dim
+            )
         x = x + nn.Dense(
             self.d_model, use_bias=False, dtype=self.dtype, name="o"
         )(out)
@@ -147,6 +187,12 @@ class LlamaLM(nn.Module):
     # attentions / hiddens stay f32 so downstream uncertainty numerics are
     # unaffected by the choice.
     dtype: jnp.dtype = jnp.float32
+    # Pallas flash attention for purely-causal prefill on TPU (prompts
+    # >= 128 tokens). Prefill attention probabilities are then NOT emitted
+    # (zero-width placeholder); decode steps still produce real rows, so
+    # per-step RAUQ aggregations keep working — leave False when the full
+    # prompt attention matrix is needed (RAUQ rollout over the prompt).
+    use_flash: bool = False
 
     def _head_dim(self) -> int:
         return self.head_dim or self.d_model // self.num_heads
@@ -162,6 +208,10 @@ class LlamaLM(nn.Module):
     ):
         """Same contract as CausalLM.__call__ (see models/transformer.py)."""
         b, t = tokens.shape
+        # Flash prefill only for the plain causal case: default positions,
+        # no padding mask (custom positions would desync flash's built-in
+        # causal structure from the RoPE phases).
+        flash_ok = token_valid is None and positions is None
         if cache is None:
             if positions is None:
                 if token_valid is not None:
@@ -198,8 +248,8 @@ class LlamaLM(nn.Module):
             x, attn, new_kv = _LlamaBlock(
                 self.num_heads, self.num_kv_heads, self._head_dim(),
                 self.d_model, self.hidden_dim, self.rms_eps, self.dtype,
-                name=f"block_{i}",
-            )(x, mask, cos, sin, layer_cache, cache_index)
+                self.use_flash, name=f"block_{i}",
+            )(x, mask, cos, sin, layer_cache, cache_index, flash_ok=flash_ok)
             hiddens.append(x)
             attns.append(attn)
             if new_kv is not None:
@@ -231,7 +281,7 @@ def _vec(w) -> np.ndarray:
 
 
 def convert_hf_llama(hf_model, max_len: Optional[int] = None,
-                     dtype=jnp.float32):
+                     dtype=jnp.float32, use_flash: bool = False):
     """Map a ``transformers.LlamaForCausalLM`` onto (LlamaLM, params).
 
     Reads the HF config for the architecture hyperparameters and transposes
@@ -262,6 +312,7 @@ def convert_hf_llama(hf_model, max_len: Optional[int] = None,
         rms_eps=float(cfg.rms_norm_eps),
         tie_embeddings=bool(cfg.tie_word_embeddings),
         dtype=dtype,
+        use_flash=use_flash,
     )
 
     hf = hf_model.model  # LlamaModel inside LlamaForCausalLM

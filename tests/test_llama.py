@@ -243,3 +243,25 @@ class TestBf16Serving:
         )
         assert np.isfinite(np.asarray(logits)).all()
         assert np.isfinite(np.asarray(logits2)).all()
+
+
+class TestFlashOption:
+    def test_flash_model_falls_back_to_dense_off_tpu(self, converted):
+        # On the CPU test backend _flash_available is False, so a
+        # use_flash=True model must be bit-identical to the dense one.
+        hf, _, _ = converted
+        m_dense, params = convert_hf_llama(hf)
+        m_flash, _ = convert_hf_llama(hf, use_flash=True)
+        tokens = jnp.asarray(np.arange(12)[None, :] % 97)
+        a, *_ = m_dense.apply(params, tokens)
+        b, *_ = m_flash.apply(params, tokens)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_flash_block_sizes(self):
+        from runia_core_tpu.models.llama import _flash_available, _flash_blocks
+
+        assert not _flash_available(100)  # not 128-tileable
+        bs = _flash_blocks(2048)
+        assert bs.block_q == 512 and bs.block_k == 1024
+        bs = _flash_blocks(384)
+        assert bs.block_q == 128 and bs.block_k == 128
