@@ -17,11 +17,12 @@
 #include <algorithm>
 #include <cstdint>
 #include <cstring>
-#include <functional>
-#include <thread>
-#include <vector>
+
+#include "parallel_util.h"
 
 namespace {
+
+using runia_native::parallel_for;
 
 // Convert a contiguous uint8 HWC image block to float32 with scale/offset,
 // optionally flipping the channel order (BGR -> RGB for C == 3).
@@ -43,23 +44,6 @@ void convert_block(const uint8_t* src, float* dst, int64_t pixels, int64_t chann
   }
 }
 
-void parallel_for(int64_t n_items, int num_threads,
-                  const std::function<void(int64_t, int64_t)>& fn) {
-  if (num_threads <= 1 || n_items <= 1) {
-    fn(0, n_items);
-    return;
-  }
-  std::vector<std::thread> threads;
-  const int64_t chunk = (n_items + num_threads - 1) / num_threads;
-  for (int t = 0; t < num_threads; ++t) {
-    const int64_t begin = t * chunk;
-    const int64_t end = std::min<int64_t>(begin + chunk, n_items);
-    if (begin >= end) break;
-    threads.emplace_back(fn, begin, end);
-  }
-  for (auto& th : threads) th.join();
-}
-
 // gather_normalize(src_bytes, indices_bytes, n_total, img_elems, channels,
 //                  scale, offset, bgr_to_rgb, num_threads, out_bytes)
 //
@@ -70,7 +54,7 @@ PyObject* gather_normalize(PyObject*, PyObject* args) {
   Py_ssize_t n_total, img_elems, channels;
   double scale, offset;
   int bgr_to_rgb, num_threads;
-  if (!PyArg_ParseTuple(args, "y*y*nnnddii" "y*", &src, &idx, &n_total, &img_elems,
+  if (!PyArg_ParseTuple(args, "y*y*nnnddii" "w*", &src, &idx, &n_total, &img_elems,
                         &channels, &scale, &offset, &bgr_to_rgb, &num_threads,
                         &out)) {
     return nullptr;
@@ -124,7 +108,7 @@ PyObject* normalize_u8(PyObject*, PyObject* args) {
   Py_ssize_t pixels, channels;
   double scale, offset;
   int bgr_to_rgb, num_threads;
-  if (!PyArg_ParseTuple(args, "y*nnddii" "y*", &src, &pixels, &channels, &scale,
+  if (!PyArg_ParseTuple(args, "y*nnddii" "w*", &src, &pixels, &channels, &scale,
                         &offset, &bgr_to_rgb, &num_threads, &out)) {
     return nullptr;
   }
@@ -195,7 +179,7 @@ PyObject* gather_resize_normalize(PyObject*, PyObject* args) {
   Py_ssize_t n_total, h_in, w_in, channels, h_out, w_out;
   double scale, offset;
   int num_threads;
-  if (!PyArg_ParseTuple(args, "y*y*nnnnnnddi" "y*", &src, &idx, &n_total, &h_in,
+  if (!PyArg_ParseTuple(args, "y*y*nnnnnnddi" "w*", &src, &idx, &n_total, &h_in,
                         &w_in, &channels, &h_out, &w_out, &scale, &offset,
                         &num_threads, &out)) {
     return nullptr;

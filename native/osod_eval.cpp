@@ -24,11 +24,13 @@
 
 #include <algorithm>
 #include <cstdint>
-#include <functional>
-#include <thread>
 #include <vector>
 
+#include "parallel_util.h"
+
 namespace {
+
+using runia_native::parallel_for;
 
 // IoU of one box vs one GT box with the VOC +1 pixel convention.
 inline double voc_iou(const double* gt, const double* bb) {
@@ -56,23 +58,6 @@ inline void max_iou(const double* gt_boxes, int64_t begin, int64_t count,
       *best_j = j;
     }
   }
-}
-
-void parallel_for(int64_t n_items, int num_threads,
-                  const std::function<void(int64_t, int64_t)>& fn) {
-  if (num_threads <= 1 || n_items <= 1) {
-    fn(0, n_items);
-    return;
-  }
-  std::vector<std::thread> threads;
-  const int64_t chunk = (n_items + num_threads - 1) / num_threads;
-  for (int t = 0; t < num_threads; ++t) {
-    const int64_t begin = t * chunk;
-    const int64_t end = std::min<int64_t>(begin + chunk, n_items);
-    if (begin >= end) break;
-    threads.emplace_back(fn, begin, end);
-  }
-  for (auto& th : threads) th.join();
 }
 
 struct GtTable {
@@ -121,7 +106,7 @@ bool parse_table(Py_buffer* img_idx, Py_buffer* det_boxes, Py_buffer* offsets,
 PyObject* greedy_match(PyObject*, PyObject* args) {
   Py_buffer img_idx, det_boxes, offsets, counts, gt_boxes, difficult, tp, fp;
   double ovthresh;
-  if (!PyArg_ParseTuple(args, "y*y*y*y*y*y*d" "y*y*", &img_idx, &det_boxes,
+  if (!PyArg_ParseTuple(args, "y*y*y*y*y*y*d" "w*w*", &img_idx, &det_boxes,
                         &offsets, &counts, &gt_boxes, &difficult, &ovthresh,
                         &tp, &fp)) {
     return nullptr;
@@ -195,7 +180,7 @@ PyObject* max_overlap_flags(PyObject*, PyObject* args) {
   Py_buffer img_idx, det_boxes, offsets, counts, gt_boxes, flags;
   double ovthresh;
   int num_threads;
-  if (!PyArg_ParseTuple(args, "y*y*y*y*y*di" "y*", &img_idx, &det_boxes,
+  if (!PyArg_ParseTuple(args, "y*y*y*y*y*di" "w*", &img_idx, &det_boxes,
                         &offsets, &counts, &gt_boxes, &ovthresh, &num_threads,
                         &flags)) {
     return nullptr;

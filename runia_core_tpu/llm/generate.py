@@ -21,6 +21,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+import warnings
+
 from runia_core_tpu.models.transformer import CausalLM, init_cache
 
 __all__ = ["JaxGenerator", "run_generation"]
@@ -50,13 +52,40 @@ class JaxGenerator:
         self.use_scan = use_scan
         self._rng = rng if rng is not None else jax.random.key(0)
 
+        # Models opting into flash attention (LlamaLM(use_flash=True)) take a
+        # static assume_prefill flag so the Pallas kernel can engage on the
+        # cache-filling prefill call. Flash prefill does not materialize the
+        # prompt attention rows, so it is only used when the caller did not
+        # ask for attentions; other models keep the plain signature.
+        self._flash_model = bool(getattr(model, "use_flash", False))
         self._prefill = jax.jit(
             lambda tokens, cache: model.apply(params, tokens, cache, jnp.int32(0))
+        )
+        self._prefill_fast = (
+            jax.jit(
+                lambda tokens, cache: model.apply(
+                    params, tokens, cache, jnp.int32(0), assume_prefill=True
+                )
+            )
+            if self._flash_model
+            else self._prefill
         )
         self._step = jax.jit(
             lambda tokens, cache, idx: model.apply(params, tokens, cache, idx)
         )
         self._decode_cache = {}
+
+    def _check_context(self, total: int) -> None:
+        """Warn when prompt + generation exceeds the model's trained context
+        window (``model.max_len``): position embeddings index out of table
+        range (CausalLM) or RoPE extrapolates untrained phases (LlamaLM)."""
+        limit = getattr(self.model, "max_len", None)
+        if limit and total > limit:
+            warnings.warn(
+                f"generation length {total} exceeds the model's trained "
+                f"context window max_len={limit}; quality degrades beyond it",
+                stacklevel=3,
+            )
 
     def _scanned_decode(self, p: int, max_new: int, s: int, do_sample: bool,
                         temperature: float, out_attn: bool = True,
@@ -79,11 +108,15 @@ class JaxGenerator:
         eos = self.eos_id
         zero = jnp.zeros((), jnp.float32)
 
+        prefill_kwargs = (
+            {"assume_prefill": True} if self._flash_model and not out_attn else {}
+        )
+
         @jax.jit
         def run(prompt, rng_key):
             cache = init_cache(model, s, total)
             logits, attn0, hiddens0, cache = model.apply(
-                params, prompt, cache, jnp.int32(0)
+                params, prompt, cache, jnp.int32(0), **prefill_kwargs
             )
             step_logits = logits[:, -1, :]
 
@@ -184,6 +217,7 @@ class JaxGenerator:
         prompt = jnp.asarray(tokens)
         prompt_valid = jnp.asarray(valid)
         total = p + max_new
+        self._check_context(total)
         if key is None:
             key = self._rng
             self._rng = jax.random.fold_in(self._rng, 1)
@@ -317,6 +351,7 @@ class JaxGenerator:
         prompt = jnp.broadcast_to(prompt, (s, prompt.shape[1]))
         p = prompt.shape[1]
         total = p + max_new
+        self._check_context(total)
         if key is None:
             key = self._rng
             self._rng = jax.random.fold_in(self._rng, 1)
@@ -363,7 +398,8 @@ class JaxGenerator:
             }
 
         cache = init_cache(self.model, s, total)
-        logits, attn, hiddens, cache = self._prefill(prompt, cache)
+        prefill = self._prefill if output_attentions else self._prefill_fast
+        logits, attn, hiddens, cache = prefill(prompt, cache)
         # attn: (L, S, H, P, total) in cache mode -> trim to (S, H, P, P)
         attentions: List[Tuple[np.ndarray, ...]] = []
         hidden_states: List[Tuple[np.ndarray, ...]] = []

@@ -79,7 +79,7 @@ class _LlamaBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, mask, cos, sin, cache=None, cache_index=None,
-                 flash_ok=False):
+                 flash_ok=False, assume_prefill=False):
         b, t, _ = x.shape
         # Norms always run in f32 (HF semantics); matmuls in self.dtype so
         # bf16 serving rides the MXU.
@@ -115,18 +115,23 @@ class _LlamaBlock(nn.Module):
 
         # GQA: expand query heads into (kv_head, rep) groups.
         rep = self.num_heads // self.num_kv_heads
-        if self.use_flash and flash_ok and cache is None and _flash_available(t):
+        if (
+            self.use_flash and flash_ok and _flash_available(t)
+            and (cache is None or assume_prefill)
+        ):
             # Pallas flash attention: O(T) memory, no (B,H,T,T) tensor.
             # Attention probabilities are not materialized — a zero-width
             # placeholder keeps the tap layout; decode steps (cache path)
-            # still emit real rows for RAUQ.
+            # still emit real rows for RAUQ. With assume_prefill the cache
+            # beyond this call's tokens is empty, so attending over just
+            # (k, v) equals attending over the masked cache.
             from jax.experimental.pallas.ops.tpu.flash_attention import (
                 flash_attention,
             )
 
             qh = jnp.moveaxis(q, 1, 2)  # (B, H, T, d)
-            kh = jnp.repeat(jnp.moveaxis(k_all, 1, 2), rep, axis=1)
-            vh = jnp.repeat(jnp.moveaxis(v_all, 1, 2), rep, axis=1)
+            kh = jnp.repeat(jnp.moveaxis(k, 1, 2), rep, axis=1)
+            vh = jnp.repeat(jnp.moveaxis(v, 1, 2), rep, axis=1)
             ctx = flash_attention(
                 qh, kh, vh, causal=True,
                 sm_scale=1.0 / float(np.sqrt(self.head_dim)),
@@ -168,7 +173,10 @@ class LlamaLM(nn.Module):
     """Llama-family causal LM, drop-in for CausalLM in llm/generate.py.
 
     ``head_dim`` defaults to ``d_model // num_heads``; models like
-    Llama-3.x set it explicitly in their HF config.
+    Llama-3.x set it explicitly in their HF config. ``max_len`` is the
+    checkpoint's trained context window (HF ``max_position_embeddings``) —
+    RoPE extrapolates mechanically beyond it, so JaxGenerator warns rather
+    than fails when a generation would exceed it.
     """
 
     vocab_size: int
@@ -205,8 +213,16 @@ class LlamaLM(nn.Module):
         cache_index: Optional[jnp.ndarray] = None,
         token_valid: Optional[jnp.ndarray] = None,
         positions: Optional[jnp.ndarray] = None,
+        assume_prefill: bool = False,
     ):
-        """Same contract as CausalLM.__call__ (see models/transformer.py)."""
+        """Same contract as CausalLM.__call__ (see models/transformer.py).
+
+        ``assume_prefill=True`` (static) asserts this call fills an EMPTY
+        cache from slot 0 — the flash path may then attend over just this
+        call's K/V instead of the whole cache buffer. JaxGenerator passes it
+        on its prefill call for ``use_flash`` models; passing it on a
+        chunked/mid-cache prefill silently drops the earlier context.
+        """
         b, t = tokens.shape
         # Flash prefill only for the plain causal case: default positions,
         # no padding mask (custom positions would desync flash's built-in
@@ -249,7 +265,8 @@ class LlamaLM(nn.Module):
                 self.num_heads, self.num_kv_heads, self._head_dim(),
                 self.d_model, self.hidden_dim, self.rms_eps, self.dtype,
                 self.use_flash, name=f"block_{i}",
-            )(x, mask, cos, sin, layer_cache, cache_index, flash_ok=flash_ok)
+            )(x, mask, cos, sin, layer_cache, cache_index,
+              flash_ok=flash_ok, assume_prefill=assume_prefill)
             hiddens.append(x)
             attns.append(attn)
             if new_kv is not None:

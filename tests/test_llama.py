@@ -265,3 +265,30 @@ class TestFlashOption:
         assert bs.block_q == 512 and bs.block_k == 1024
         bs = _flash_blocks(384)
         assert bs.block_q == 128 and bs.block_k == 128
+
+    def test_generator_with_flash_model_matches_dense_off_tpu(self, converted):
+        # The generator passes assume_prefill to use_flash models; on the CPU
+        # backend flash never engages, so outputs must be identical to the
+        # dense model's (pins the kwarg plumbing and the fallback).
+        from runia_core_tpu.llm.generate import JaxGenerator
+
+        hf, _, _ = converted
+        m_dense, params = convert_hf_llama(hf)
+        m_flash, _ = convert_hf_llama(hf, use_flash=True)
+        kw = dict(prompt_tokens=list(range(8)), do_sample=False,
+                  output_attentions=False, output_hidden_states=False)
+        a = JaxGenerator(m_dense, params, max_new_tokens=4).generate(**kw)
+        b = JaxGenerator(m_flash, params, max_new_tokens=4).generate(**kw)
+        np.testing.assert_array_equal(a["sequences"], b["sequences"])
+        np.testing.assert_allclose(
+            np.asarray(a["log_probs"]), np.asarray(b["log_probs"]), atol=1e-6
+        )
+
+    def test_context_window_warning(self, converted):
+        from runia_core_tpu.llm.generate import JaxGenerator
+
+        _, model, params = converted  # max_len=64
+        gen = JaxGenerator(model, params, max_new_tokens=60)
+        with pytest.warns(UserWarning, match="context window"):
+            gen.generate(prompt_tokens=list(range(10)), do_sample=False,
+                         output_attentions=False, output_hidden_states=False)
