@@ -10,7 +10,11 @@ from runia_core_tpu.models.resnet import (
     SimpleConvNet,
     build_tapped_forward,
 )
-from runia_core_tpu.models.llama import LlamaLM, convert_hf_llama
+from runia_core_tpu.models.llama import (
+    LlamaLM,
+    convert_hf_llama,
+    quantize_llama_params,
+)
 from runia_core_tpu.models.transformer import CausalLM
 from runia_core_tpu.models.vit import ViT
 
@@ -28,4 +32,5 @@ __all__ = [
     "CausalLM",
     "LlamaLM",
     "convert_hf_llama",
+    "quantize_llama_params",
 ]

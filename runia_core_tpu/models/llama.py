@@ -30,7 +30,29 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
-__all__ = ["LlamaLM", "convert_hf_llama"]
+__all__ = ["LlamaLM", "convert_hf_llama", "quantize_llama_params"]
+
+
+class QDense(nn.Module):
+    """Weight-only int8 linear: kernel stored (in, out) int8 with a
+    per-output-channel f32 scale; dequantized into the matmul dtype on the
+    fly. Halves weight bytes vs bf16 — KV-cached decode is weight-bound, so
+    this is HBM bandwidth, not just memory footprint."""
+
+    features: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        kernel_q = self.param(
+            "kernel_q", nn.initializers.zeros_init(), (x.shape[-1], self.features),
+            jnp.int8,
+        )
+        scale = self.param(
+            "scale", nn.initializers.ones_init(), (self.features,), jnp.float32
+        )
+        w = kernel_q.astype(self.dtype) * scale.astype(self.dtype)[None, :]
+        return x.astype(self.dtype) @ w
 
 
 def _rope_cos_sin(positions: jnp.ndarray, head_dim: int, theta: float):
@@ -76,6 +98,7 @@ class _LlamaBlock(nn.Module):
     rms_eps: float
     dtype: jnp.dtype = jnp.float32
     use_flash: bool = False
+    quantized: bool = False
 
     @nn.compact
     def __call__(self, x, mask, cos, sin, cache=None, cache_index=None,
@@ -87,9 +110,12 @@ class _LlamaBlock(nn.Module):
             x.astype(jnp.float32)
         ).astype(self.dtype)
 
-        dense = lambda f, name: nn.Dense(
-            f, use_bias=False, dtype=self.dtype, name=name
-        )
+        if self.quantized:
+            dense = lambda f, name: QDense(f, dtype=self.dtype, name=name)
+        else:
+            dense = lambda f, name: nn.Dense(
+                f, use_bias=False, dtype=self.dtype, name=name
+            )
         q = dense(self.num_heads * self.head_dim, "q")(h)
         k = dense(self.num_kv_heads * self.head_dim, "k")(h)
         v = dense(self.num_kv_heads * self.head_dim, "v")(h)
@@ -156,9 +182,7 @@ class _LlamaBlock(nn.Module):
             out = jnp.einsum("bgrqk,bkgd->bqgrd", ag, v_all).reshape(
                 b, t, self.num_heads * self.head_dim
             )
-        x = x + nn.Dense(
-            self.d_model, use_bias=False, dtype=self.dtype, name="o"
-        )(out)
+        x = x + dense(self.d_model, "o")(out)
 
         h2 = nn.RMSNorm(epsilon=self.rms_eps, name="post_attn_norm")(
             x.astype(jnp.float32)
@@ -201,6 +225,9 @@ class LlamaLM(nn.Module):
     # per-step RAUQ aggregations keep working — leave False when the full
     # prompt attention matrix is needed (RAUQ rollout over the prompt).
     use_flash: bool = False
+    # Weight-only int8: projection kernels stored int8 with per-channel
+    # scales (see quantize_llama_params). Embeddings stay full precision.
+    quantized: bool = False
 
     def _head_dim(self) -> int:
         return self.head_dim or self.d_model // self.num_heads
@@ -264,7 +291,7 @@ class LlamaLM(nn.Module):
             x, attn, new_kv = _LlamaBlock(
                 self.num_heads, self.num_kv_heads, self._head_dim(),
                 self.d_model, self.hidden_dim, self.rms_eps, self.dtype,
-                self.use_flash, name=f"block_{i}",
+                self.use_flash, self.quantized, name=f"block_{i}",
             )(x, mask, cos, sin, layer_cache, cache_index,
               flash_ok=flash_ok, assume_prefill=assume_prefill)
             hiddens.append(x)
@@ -276,6 +303,8 @@ class LlamaLM(nn.Module):
         ).astype(self.dtype)
         if self.tie_embeddings:
             logits = embed.attend(x)
+        elif self.quantized:
+            logits = QDense(self.vocab_size, dtype=self.dtype, name="lm_head")(x)
         else:
             logits = nn.Dense(
                 self.vocab_size, use_bias=False, dtype=self.dtype,
@@ -298,7 +327,8 @@ def _vec(w) -> np.ndarray:
 
 
 def convert_hf_llama(hf_model, max_len: Optional[int] = None,
-                     dtype=jnp.float32, use_flash: bool = False):
+                     dtype=jnp.float32, use_flash: bool = False,
+                     quantize: bool = False):
     """Map a ``transformers.LlamaForCausalLM`` onto (LlamaLM, params).
 
     Reads the HF config for the architecture hyperparameters and transposes
@@ -330,6 +360,7 @@ def convert_hf_llama(hf_model, max_len: Optional[int] = None,
         tie_embeddings=bool(cfg.tie_word_embeddings),
         dtype=dtype,
         use_flash=use_flash,
+        quantized=quantize,
     )
 
     hf = hf_model.model  # LlamaModel inside LlamaForCausalLM
@@ -353,4 +384,37 @@ def convert_hf_llama(hf_model, max_len: Optional[int] = None,
         }
     if not model.tie_embeddings:
         p["lm_head"] = {"kernel": _t(hf_model.lm_head.weight)}
-    return model, {"params": p}
+    params = {"params": p}
+    if quantize:
+        params = quantize_llama_params(params)
+    return model, params
+
+
+_QUANT_KERNELS = {"q", "k", "v", "o", "gate", "up", "down", "lm_head"}
+
+
+def quantize_llama_params(params):
+    """Symmetric per-output-channel int8 quantization of LlamaLM projection
+    kernels: scale = max|w| / 127 per column, kernel_q = round(w / scale).
+
+    Returns a params pytree for ``LlamaLM(quantized=True)`` (same config
+    otherwise). Embeddings and RMSNorm scales stay full precision. Weight
+    bytes drop 4x vs f32 / 2x vs bf16 — decode is weight-bound, so this is
+    HBM bandwidth, not just footprint.
+    """
+
+    def quantize_subtree(tree):
+        out = {}
+        for name, sub in tree.items():
+            if name in _QUANT_KERNELS and isinstance(sub, dict) and "kernel" in sub:
+                w = np.asarray(sub["kernel"], dtype=np.float32)
+                scale = np.maximum(np.abs(w).max(axis=0), 1e-12) / 127.0
+                q = np.clip(np.round(w / scale[None, :]), -127, 127).astype(np.int8)
+                out[name] = {"kernel_q": q, "scale": scale.astype(np.float32)}
+            elif isinstance(sub, dict):
+                out[name] = quantize_subtree(sub)
+            else:
+                out[name] = sub
+        return out
+
+    return {"params": quantize_subtree(params["params"])}

@@ -292,3 +292,46 @@ class TestFlashOption:
         with pytest.warns(UserWarning, match="context window"):
             gen.generate(prompt_tokens=list(range(10)), do_sample=False,
                          output_attentions=False, output_hidden_states=False)
+
+
+class TestInt8Quantization:
+    def test_quantized_logits_close(self, converted):
+        hf, _, _ = converted
+        m32, p32 = convert_hf_llama(hf)
+        mq, pq = convert_hf_llama(hf, quantize=True)
+        assert mq.quantized
+        tokens = jnp.asarray(np.random.RandomState(9).randint(0, 97, (2, 10)))
+        want, *_ = m32.apply(p32, tokens)
+        got, *_ = mq.apply(pq, tokens)
+        # per-channel int8: small relative logit drift
+        rel = np.abs(np.asarray(got) - np.asarray(want)).max() / (
+            np.abs(np.asarray(want)).max()
+        )
+        assert rel < 0.05, rel
+
+    def test_weight_bytes_halved_vs_bf16(self, converted):
+        hf, _, _ = converted
+        _, p32 = convert_hf_llama(hf)
+        _, pq = convert_hf_llama(hf, quantize=True)
+        def proj_bytes(tree, pred):
+            return sum(
+                np.asarray(l).nbytes
+                for l in jax.tree_util.tree_leaves(tree)
+                if pred(np.asarray(l))
+            )
+        q_bytes = proj_bytes(pq["params"]["block_0"], lambda a: a.dtype == np.int8)
+        f_bytes = proj_bytes(
+            p32["params"]["block_0"], lambda a: a.ndim == 2
+        )
+        assert q_bytes * 4 <= f_bytes + 1  # int8 vs f32 kernels
+
+    def test_quantized_decode_runs(self, converted):
+        from runia_core_tpu.llm.generate import JaxGenerator
+
+        hf, _, _ = converted
+        mq, pq = convert_hf_llama(hf, quantize=True)
+        out = JaxGenerator(mq, pq, max_new_tokens=4).generate(
+            prompt_tokens=[1, 2, 3, 4], do_sample=False,
+            output_attentions=False, output_hidden_states=False,
+        )
+        assert np.isfinite(np.asarray(out["log_probs"])).all()
