@@ -37,10 +37,15 @@ def llama_tp_specs(params, axis: str = "model"):
     def spec(path, leaf):
         names = tuple(getattr(p, "key", None) for p in path)
         parent = names[-2] if len(names) >= 2 else None
-        if names[-1] == "kernel" and parent in _COLUMN:
+        leaf_name = names[-1]
+        # int8-quantized layers (models.llama.QDense): kernel_q shards like
+        # kernel; the per-output-channel scale follows the output dim.
+        if leaf_name in ("kernel", "kernel_q") and parent in _COLUMN:
             return P(None, axis)
-        if names[-1] == "kernel" and parent in _ROW:
+        if leaf_name in ("kernel", "kernel_q") and parent in _ROW:
             return P(axis, None)
+        if leaf_name == "scale" and parent in _COLUMN:
+            return P(axis)
         return P()
 
     return jax.tree_util.tree_map_with_path(spec, params)

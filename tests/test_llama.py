@@ -335,3 +335,37 @@ class TestInt8Quantization:
             output_attentions=False, output_hidden_states=False,
         )
         assert np.isfinite(np.asarray(out["log_probs"])).all()
+
+    def test_tp_shards_quantized_params(self):
+        from jax.sharding import Mesh, PartitionSpec as P
+        from runia_core_tpu.models import quantize_llama_params
+        from runia_core_tpu.parallel import llama_tp_specs, shard_llama_params
+
+        model = LlamaLM(
+            vocab_size=64, num_layers=2, num_heads=4, num_kv_heads=2,
+            d_model=32, hidden_dim=64, max_len=32, quantized=True,
+        )
+        base = LlamaLM(
+            vocab_size=64, num_layers=2, num_heads=4, num_kv_heads=2,
+            d_model=32, hidden_dim=64, max_len=32,
+        )
+        fparams = base.init(jax.random.key(0), jnp.zeros((1, 4), jnp.int32))
+        params = quantize_llama_params(
+            jax.tree_util.tree_map(np.asarray, fparams)
+        )
+        specs = llama_tp_specs(params)
+        blk = specs["params"]["block_0"]
+        assert blk["q"]["kernel_q"] == P(None, "model")
+        assert blk["q"]["scale"] == P("model")
+        assert blk["o"]["kernel_q"] == P("model", None)
+        assert blk["o"]["scale"] == P()
+
+        mesh = Mesh(np.array(jax.devices()[:8]).reshape(8), ("model",))
+        want, *_ = model.apply(params, jnp.asarray(np.arange(8)[None, :]))
+        sharded = shard_llama_params(params, mesh)
+        got, *_ = jax.jit(lambda p, t: model.apply(p, t))(
+            sharded, jnp.asarray(np.arange(8)[None, :])
+        )
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), atol=1e-5
+        )
