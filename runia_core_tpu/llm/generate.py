@@ -224,27 +224,41 @@ class JaxGenerator:
 
         model, params = self.model, self.params
         eos = self.eos_id
+        # Uniform-length batches need no padding mask or custom positions —
+        # the defaults are equivalent, and dropping them lets a use_flash
+        # model run its Pallas flash prefill (flash requires the plain
+        # causal case).
+        uniform = bool((lengths == p).all())
         cfg = (
             "batch", b, p, max_new, do_sample, float(temperature),
-            output_attentions, output_scores,
+            output_attentions, output_scores, uniform,
         )
         if cfg not in self._decode_cache:
+            flash_model = self._flash_model
 
             @jax.jit
             def run(prompt, prompt_valid, lengths, rng_key):
                 cache = init_cache(model, b, total)
-                # Cache-mode masks span the full KV length; future slots are
-                # already excluded by the causal (q_phys) condition.
-                prefill_valid = jnp.concatenate(
-                    [prompt_valid, jnp.ones((b, max_new), bool)], axis=1
-                )
-                # Logical positions of the left-padded prompt tokens.
-                prompt_positions = jnp.maximum(
-                    jnp.cumsum(prompt_valid.astype(jnp.int32), axis=1) - 1, 0
-                )
+                if uniform:
+                    prefill_kwargs = (
+                        {"assume_prefill": True} if flash_model else {}
+                    )
+                else:
+                    # Cache-mode masks span the full KV length; future slots
+                    # are already excluded by the causal (q_phys) condition.
+                    prefill_valid = jnp.concatenate(
+                        [prompt_valid, jnp.ones((b, max_new), bool)], axis=1
+                    )
+                    # Logical positions of the left-padded prompt tokens.
+                    prompt_positions = jnp.maximum(
+                        jnp.cumsum(prompt_valid.astype(jnp.int32), axis=1) - 1, 0
+                    )
+                    prefill_kwargs = {
+                        "token_valid": prefill_valid,
+                        "positions": prompt_positions,
+                    }
                 logits, _, _, cache = model.apply(
-                    params, prompt, cache, jnp.int32(0),
-                    token_valid=prefill_valid, positions=prompt_positions,
+                    params, prompt, cache, jnp.int32(0), **prefill_kwargs
                 )
                 step_logits = logits[:, -1, :]
 

@@ -74,9 +74,10 @@ def _apply_rope(x: jnp.ndarray, cos: jnp.ndarray, sin: jnp.ndarray):
 
 
 def _flash_available(t: int) -> bool:
-    """Pallas flash attention engages on TPU for prefill lengths that tile
-    into 128-row query blocks (shorter/ragged prompts: dense is cheap)."""
-    return t >= 128 and t % 128 == 0 and jax.default_backend() == "tpu"
+    """Pallas flash attention engages on TPU for prefill lengths >= one
+    128-row query block; non-multiples are zero-padded up to the next block
+    (shorter prompts: dense is cheap)."""
+    return t >= 128 and jax.default_backend() == "tpu"
 
 
 def _flash_blocks(t: int):
@@ -155,15 +156,33 @@ class _LlamaBlock(nn.Module):
                 flash_attention,
             )
 
-            qh = jnp.moveaxis(q, 1, 2)  # (B, H, T, d)
-            kh = jnp.repeat(jnp.moveaxis(k, 1, 2), rep, axis=1)
-            vh = jnp.repeat(jnp.moveaxis(v, 1, 2), rep, axis=1)
-            ctx = flash_attention(
-                qh, kh, vh, causal=True,
-                sm_scale=1.0 / float(np.sqrt(self.head_dim)),
-                block_sizes=_flash_blocks(t),
-            )
-            out = jnp.moveaxis(ctx, 1, 2).reshape(
+            # Zero-pad to a 128-row block multiple: causality keeps real
+            # queries (< t) from seeing padded keys (>= t); padded query
+            # rows are sliced off below.
+            tp_len = -(-t // 128) * 128
+            pad = tp_len - t
+            qp = jnp.pad(q, ((0, 0), (0, pad), (0, 0), (0, 0)))
+            kp = jnp.pad(k, ((0, 0), (0, pad), (0, 0), (0, 0)))
+            vp = jnp.pad(v, ((0, 0), (0, pad), (0, 0), (0, 0)))
+            kh = jnp.moveaxis(kp, 1, 2)  # (B, G, T', d) — never head-expanded
+            vh = jnp.moveaxis(vp, 1, 2)
+            qg = jnp.moveaxis(
+                qp.reshape(b, tp_len, self.num_kv_heads, rep, self.head_dim),
+                1, 3,
+            )  # (B, G, rep, T', d)
+            sm = 1.0 / float(np.sqrt(self.head_dim))
+            blocks = _flash_blocks(tp_len)
+            # One kernel call per query-head-in-group: K/V stay at GQA width
+            # instead of being repeat-materialized to the full head count.
+            ctx = jnp.stack(
+                [
+                    flash_attention(qg[:, :, r], kh, vh, causal=True,
+                                    sm_scale=sm, block_sizes=blocks)
+                    for r in range(rep)
+                ],
+                axis=2,
+            )  # (B, G, rep, T', d)
+            out = jnp.moveaxis(ctx, 3, 1)[:, :t].reshape(
                 b, t, self.num_heads * self.head_dim
             )
             attn = jnp.zeros((b, self.num_heads, 0, k_all.shape[1]), jnp.float32)
@@ -301,6 +320,10 @@ class LlamaLM(nn.Module):
         x = nn.RMSNorm(epsilon=self.rms_eps, name="norm_f")(
             x.astype(jnp.float32)
         ).astype(self.dtype)
+        # HF convention: the LAST hidden_states entry is the post-final-norm
+        # output (modeling_llama appends norm(h) after the layer loop) —
+        # eigen_score's layer indexing must agree across backends.
+        hiddens[-1] = x
         if self.tie_embeddings:
             logits = embed.attend(x)
         elif self.quantized:
@@ -317,13 +340,13 @@ class LlamaLM(nn.Module):
         return logits, jnp.stack(attns), hiddens_out, new_cache
 
 
-def _t(w) -> np.ndarray:
+def _t(w, dtype=np.float32) -> np.ndarray:
     """torch (out, in) weight -> flax (in, out) kernel."""
-    return np.asarray(w.detach().cpu().numpy().T, dtype=np.float32)
+    return np.asarray(w.detach().cpu().float().numpy().T).astype(dtype)
 
 
-def _vec(w) -> np.ndarray:
-    return np.asarray(w.detach().cpu().numpy(), dtype=np.float32)
+def _vec(w, dtype=np.float32) -> np.ndarray:
+    return np.asarray(w.detach().cpu().float().numpy()).astype(dtype)
 
 
 def convert_hf_llama(hf_model, max_len: Optional[int] = None,
@@ -364,8 +387,12 @@ def convert_hf_llama(hf_model, max_len: Optional[int] = None,
     )
 
     hf = hf_model.model  # LlamaModel inside LlamaForCausalLM
+    # Kernels and embeddings are STORED in the compute dtype (bf16 halves
+    # weight HBM footprint and decode bandwidth — decode is weight-bound);
+    # RMSNorm scales stay f32 since the norms always compute in f32.
+    wd = dtype if dtype != jnp.float32 else np.float32  # ml_dtypes-compatible
     p: Dict = {
-        "embed": {"embedding": _vec(hf.embed_tokens.weight)},
+        "embed": {"embedding": _vec(hf.embed_tokens.weight, wd)},
         "norm_f": {"scale": _vec(hf.norm.weight)},
     }
     for i, layer in enumerate(hf.layers):
@@ -374,16 +401,16 @@ def convert_hf_llama(hf_model, max_len: Optional[int] = None,
             "post_attn_norm": {
                 "scale": _vec(layer.post_attention_layernorm.weight)
             },
-            "q": {"kernel": _t(layer.self_attn.q_proj.weight)},
-            "k": {"kernel": _t(layer.self_attn.k_proj.weight)},
-            "v": {"kernel": _t(layer.self_attn.v_proj.weight)},
-            "o": {"kernel": _t(layer.self_attn.o_proj.weight)},
-            "gate": {"kernel": _t(layer.mlp.gate_proj.weight)},
-            "up": {"kernel": _t(layer.mlp.up_proj.weight)},
-            "down": {"kernel": _t(layer.mlp.down_proj.weight)},
+            "q": {"kernel": _t(layer.self_attn.q_proj.weight, wd)},
+            "k": {"kernel": _t(layer.self_attn.k_proj.weight, wd)},
+            "v": {"kernel": _t(layer.self_attn.v_proj.weight, wd)},
+            "o": {"kernel": _t(layer.self_attn.o_proj.weight, wd)},
+            "gate": {"kernel": _t(layer.mlp.gate_proj.weight, wd)},
+            "up": {"kernel": _t(layer.mlp.up_proj.weight, wd)},
+            "down": {"kernel": _t(layer.mlp.down_proj.weight, wd)},
         }
     if not model.tie_embeddings:
-        p["lm_head"] = {"kernel": _t(hf_model.lm_head.weight)}
+        p["lm_head"] = {"kernel": _t(hf_model.lm_head.weight, wd)}
     params = {"params": p}
     if quantize:
         params = quantize_llama_params(params)

@@ -46,6 +46,11 @@ def llama_tp_specs(params, axis: str = "model"):
             return P(axis, None)
         if leaf_name == "scale" and parent in _COLUMN:
             return P(axis)
+        # Embedding table vocab-sharded (Megatron): large-vocab checkpoints
+        # are exactly the ones TP exists to serve; XLA partitions the
+        # lookup (and the tied lm_head matmul) across the vocab shards.
+        if leaf_name == "embedding" and parent == "embed":
+            return P(axis, None)
         return P()
 
     return jax.tree_util.tree_map_with_path(spec, params)

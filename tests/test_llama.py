@@ -369,3 +369,14 @@ class TestInt8Quantization:
         np.testing.assert_allclose(
             np.asarray(got), np.asarray(want), atol=1e-5
         )
+
+
+class TestHiddenStatesParity:
+    def test_last_hidden_is_post_norm_like_hf(self, converted):
+        hf, model, params = converted
+        tokens = np.random.RandomState(11).randint(0, 97, (2, 7))
+        with torch.no_grad():
+            out = hf(torch.tensor(tokens), output_hidden_states=True)
+        want = np.stack([h.numpy() for h in out.hidden_states])  # (L+1, B, T, D)
+        _, _, got, _ = model.apply(params, jnp.asarray(tokens))
+        np.testing.assert_allclose(np.asarray(got), want, atol=2e-5)
