@@ -127,7 +127,42 @@ class _LlamaBlock(nn.Module):
         q = _apply_rope(q, cos, sin).astype(self.dtype)
         k = _apply_rope(k, cos, sin).astype(self.dtype)
 
-        if cache is not None:
+        if cache is not None and "k_scale" in cache:
+            # KV8 cache: insert int8 values + per-(B, pos, G) scales, then
+            # dequantize on read (the cast*scale fuses into the attention
+            # einsum — the cache is only ever touched at int8 width).
+            def quant(x):
+                s = jnp.maximum(
+                    jnp.max(jnp.abs(x), axis=-1), 1e-8
+                ).astype(jnp.float32) / 127.0
+                xq = jnp.clip(
+                    jnp.round(x.astype(jnp.float32) / s[..., None]), -127, 127
+                ).astype(jnp.int8)
+                return xq, s
+
+            k_q, k_s = quant(k)
+            v_q, v_s = quant(v)
+            new_kv = {
+                "k": jax.lax.dynamic_update_slice(
+                    cache["k"], k_q, (0, cache_index, 0, 0)
+                ),
+                "v": jax.lax.dynamic_update_slice(
+                    cache["v"], v_q, (0, cache_index, 0, 0)
+                ),
+                "k_scale": jax.lax.dynamic_update_slice(
+                    cache["k_scale"], k_s, (0, cache_index, 0)
+                ),
+                "v_scale": jax.lax.dynamic_update_slice(
+                    cache["v_scale"], v_s, (0, cache_index, 0)
+                ),
+            }
+            k_all = new_kv["k"].astype(self.dtype) * new_kv["k_scale"][
+                ..., None
+            ].astype(self.dtype)
+            v_all = new_kv["v"].astype(self.dtype) * new_kv["v_scale"][
+                ..., None
+            ].astype(self.dtype)
+        elif cache is not None:
             k_cache = jax.lax.dynamic_update_slice(
                 cache["k"], k, (0, cache_index, 0, 0)
             )
@@ -247,6 +282,11 @@ class LlamaLM(nn.Module):
     # Weight-only int8: projection kernels stored int8 with per-channel
     # scales (see quantize_llama_params). Embeddings stay full precision.
     quantized: bool = False
+    # KV8: store the KV cache int8 with one scale per (batch, position,
+    # kv-head) — halves cache HBM vs bf16 (4x vs f32), which is the decode
+    # bandwidth at long context. Dequantization fuses into the attention
+    # reads; Q stays full precision.
+    quantized_kv: bool = False
 
     def _head_dim(self) -> int:
         return self.head_dim or self.d_model // self.num_heads
@@ -351,12 +391,13 @@ def _vec(w, dtype=np.float32) -> np.ndarray:
 
 def convert_hf_llama(hf_model, max_len: Optional[int] = None,
                      dtype=jnp.float32, use_flash: bool = False,
-                     quantize: bool = False):
+                     quantize: bool = False, quantize_kv: bool = False):
     """Map a ``transformers.LlamaForCausalLM`` onto (LlamaLM, params).
 
     Reads the HF config for the architecture hyperparameters and transposes
     each torch ``(out, in)`` projection into a flax ``(in, out)`` kernel
-    (params stored f32; ``dtype=jnp.bfloat16`` selects the MXU-native matmul
+    (``dtype=jnp.bfloat16`` stores kernels/embeddings in bf16 — half the
+    weight HBM — and selects the MXU-native matmul
     compute dtype for serving). Works for any Llama-family checkpoint
     (TinyLlama, Llama-2/3.x, Vicuna…); rope scaling variants beyond plain
     ``rope_theta`` are not implemented and raise. Logits parity vs the torch
@@ -384,6 +425,7 @@ def convert_hf_llama(hf_model, max_len: Optional[int] = None,
         dtype=dtype,
         use_flash=use_flash,
         quantized=quantize,
+        quantized_kv=quantize_kv,
     )
 
     hf = hf_model.model  # LlamaModel inside LlamaForCausalLM

@@ -201,8 +201,18 @@ def init_cache(model, batch: int, max_len: int) -> Dict:
     head_dim = getattr(model, "head_dim", None) or model.d_model // model.num_heads
     kv_heads = getattr(model, "num_kv_heads", None) or model.num_heads
     dtype = getattr(model, "dtype", jnp.float32)
-    layer = lambda: {
-        "k": jnp.zeros((batch, max_len, kv_heads, head_dim), dtype),
-        "v": jnp.zeros((batch, max_len, kv_heads, head_dim), dtype),
-    }
+    if getattr(model, "quantized_kv", False):
+        # KV8 layout (models/llama.py): int8 values + per-(B, pos, head)
+        # f32 scales.
+        layer = lambda: {
+            "k": jnp.zeros((batch, max_len, kv_heads, head_dim), jnp.int8),
+            "v": jnp.zeros((batch, max_len, kv_heads, head_dim), jnp.int8),
+            "k_scale": jnp.zeros((batch, max_len, kv_heads), jnp.float32),
+            "v_scale": jnp.zeros((batch, max_len, kv_heads), jnp.float32),
+        }
+    else:
+        layer = lambda: {
+            "k": jnp.zeros((batch, max_len, kv_heads, head_dim), dtype),
+            "v": jnp.zeros((batch, max_len, kv_heads, head_dim), dtype),
+        }
     return {"layers": [layer() for _ in range(model.num_layers)]}

@@ -380,3 +380,47 @@ class TestHiddenStatesParity:
         want = np.stack([h.numpy() for h in out.hidden_states])  # (L+1, B, T, D)
         _, _, got, _ = model.apply(params, jnp.asarray(tokens))
         np.testing.assert_allclose(np.asarray(got), want, atol=2e-5)
+
+
+class TestKV8Cache:
+    def test_cache_layout_int8(self, converted):
+        hf, _, _ = converted
+        model, _ = convert_hf_llama(hf, quantize_kv=True)
+        cache = init_cache(model, 2, 16)
+        layer = cache["layers"][0]
+        assert layer["k"].dtype == jnp.int8
+        assert layer["k_scale"].shape == (2, 16, 2)
+        # int8 values + f32 scales: ~half the f32 cache bytes
+        kv8 = sum(np.asarray(x).nbytes for x in jax.tree_util.tree_leaves(layer))
+        f32 = 2 * 2 * 16 * 2 * 8 * 4
+        assert kv8 < 0.6 * f32
+
+    def test_decode_drift_small(self, converted):
+        hf, m32, p32 = converted
+        mq, _ = convert_hf_llama(hf, quantize_kv=True)
+        rng = np.random.RandomState(3)
+        tokens = jnp.asarray(rng.randint(0, 97, (2, 12)))
+        want, *_ = m32.apply(p32, tokens)
+
+        cache = init_cache(mq, 2, 12)
+        got, _, _, cache = mq.apply(p32, tokens[:, :8], cache, jnp.int32(0))
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want[:, :8]), atol=0.05, rtol=0.05
+        )
+        for i in range(8, 12):
+            got, _, _, cache = mq.apply(
+                p32, tokens[:, i : i + 1], cache, jnp.int32(i)
+            )
+            rel = np.abs(np.asarray(got[:, 0]) - np.asarray(want[:, i])).max()
+            assert rel < 0.1, (i, rel)
+
+    def test_generator_runs_kv8(self, converted):
+        from runia_core_tpu.llm.generate import JaxGenerator
+
+        hf, _, _ = converted
+        mq, pq = convert_hf_llama(hf, quantize_kv=True)
+        out = JaxGenerator(mq, pq, max_new_tokens=4).generate(
+            prompt_tokens=[1, 2, 3, 4, 5], do_sample=False,
+            output_attentions=False, output_hidden_states=False,
+        )
+        assert np.isfinite(np.asarray(out["log_probs"])).all()
