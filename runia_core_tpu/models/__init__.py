@@ -15,6 +15,7 @@ from runia_core_tpu.models.llama import (
     convert_hf_llama,
     quantize_llama_params,
 )
+from runia_core_tpu.models.torch_convert import convert_torch_resnet
 from runia_core_tpu.models.transformer import CausalLM
 from runia_core_tpu.models.vit import ViT
 
@@ -33,4 +34,5 @@ __all__ = [
     "LlamaLM",
     "convert_hf_llama",
     "quantize_llama_params",
+    "convert_torch_resnet",
 ]

@@ -108,10 +108,23 @@ class ResNet(nn.Module):
     cifar_stem: bool = False  # 3x3 stem, no max-pool (CIFAR-sized inputs)
     dtype: Any = jnp.float32
     remat: bool = False
+    # Symmetric torch-style conv/pool padding (k//2 each side) instead of
+    # XLA "SAME" (which pads asymmetrically for stride 2 on even inputs).
+    # Needed for spatial parity when loading torchvision checkpoints via
+    # convert_torch_resnet; default off to keep existing goldens.
+    torch_padding: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        conv = partial(nn.Conv, use_bias=False, dtype=self.dtype)
+        if self.torch_padding:
+            def conv(features, kernel_size=(1, 1), strides=(1, 1), **kw):
+                kw.setdefault(
+                    "padding", [(k // 2, k // 2) for k in kernel_size]
+                )
+                return nn.Conv(features, kernel_size, strides, use_bias=False,
+                               dtype=self.dtype, **kw)
+        else:
+            conv = partial(nn.Conv, use_bias=False, dtype=self.dtype)
         norm = partial(
             nn.BatchNorm,
             use_running_average=not train,
@@ -130,7 +143,8 @@ class ResNet(nn.Module):
                      name="conv_init")(x)
             x = norm(name="bn_init")(x)
             x = nn.relu(x)
-            x = nn.max_pool(x, (3, 3), strides=(2, 2), padding="SAME")
+            pool_pad = ((1, 1), (1, 1)) if self.torch_padding else "SAME"
+            x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=pool_pad)
         taps["stem"] = x
 
         block_cls = nn.remat(self.block_cls) if self.remat else self.block_cls
