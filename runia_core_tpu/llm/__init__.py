@@ -8,6 +8,7 @@ from runia_core_tpu.llm.attention import (
     _reconstruct_attention_matrix,
 )
 from runia_core_tpu.llm.generate import JaxGenerator, run_generation
+from runia_core_tpu.llm.speculative import SpeculativeGenerator
 from runia_core_tpu.llm.scores import (
     RAUQ,
     batched_rauq,
@@ -40,6 +41,7 @@ __all__ = [
     "batched_rauq",
     "compute_uncertainties",
     "JaxGenerator",
+    "SpeculativeGenerator",
     "run_generation",
     "StreamingAttentionAggregator",
     "make_nli_equivalence",

@@ -1,0 +1,174 @@
+"""Speculative decoding: a small draft model proposes, the target verifies.
+
+Capability the reference cannot express (its LLM path is HF ``generate``
+over one torch model, runia_core/llm_uncertainty/scores.py:439-456); this is
+the standard production-serving accelerator for the TPU-native decode path:
+each round the draft model emits ``gamma`` greedy tokens autoregressively,
+then ONE target forward scores all of them (gamma+1 positions) and the
+longest agreeing prefix plus the target's correction token are accepted —
+so the expensive model runs once per ``n_accepted + 1`` tokens instead of
+once per token. With greedy acceptance the output matches plain greedy
+decoding of the target exactly, up to f32/bf16 argmax near-ties between the
+batched verify forward and sequential 1-token forwards (XLA reassociates
+the sums differently; tests pin exact equality on fixed f32 seeds).
+
+TPU-native structure: the ENTIRE generation — draft scans, verify forwards,
+acceptance bookkeeping, early exit — runs as one compiled program
+(``lax.while_loop``), so there are zero host round-trips per round (a
+host-driven loop pays one RTT per round, which over a tunneled link costs
+more than the compute it saves). Cache bookkeeping: both KV caches are
+written optimistically during speculation; rejected slots are simply left
+stale — the causal q_phys mask (models/llama.py, models/transformer.py)
+ignores slots beyond the current index, and sequential writes overwrite
+them later. Rewind is therefore free (an index decrement, no cache
+surgery).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from runia_core_tpu.models.transformer import init_cache
+
+__all__ = ["SpeculativeGenerator"]
+
+
+class SpeculativeGenerator:
+    """Greedy speculative decoding over two models sharing one vocabulary.
+
+    ``target``/``draft`` follow the CausalLM model contract (LlamaLM or
+    CausalLM). Worst case (every proposal rejected) each round still emits
+    the target's correction token, so cost is bounded by one target forward
+    plus ``gamma`` draft steps per token; best case (gamma+1) tokens per
+    target forward.
+    """
+
+    def __init__(self, target, target_params, draft, draft_params,
+                 gamma: int = 4, max_new_tokens: int = 16,
+                 eos_id: Optional[int] = None):
+        self.target, self.target_params = target, target_params
+        self.draft, self.draft_params = draft, draft_params
+        self.gamma = int(gamma)
+        self.max_new_tokens = max_new_tokens
+        self.eos_id = eos_id
+        self._run_cache: Dict[int, Any] = {}
+
+    def _build_run(self, p: int):
+        target, tp = self.target, self.target_params
+        draft, dp = self.draft, self.draft_params
+        gamma, max_new, eos = self.gamma, self.max_new_tokens, self.eos_id
+        total = p + max_new + gamma + 1  # slack for the last round
+        buf_len = max_new + gamma + 1
+        t_prefill_kwargs = (
+            {"assume_prefill": True} if getattr(target, "use_flash", False) else {}
+        )
+        d_prefill_kwargs = (
+            {"assume_prefill": True} if getattr(draft, "use_flash", False) else {}
+        )
+
+        @jax.jit
+        def run(prompt):
+            t_cache = init_cache(target, 1, total)
+            d_cache = init_cache(draft, 1, total)
+            logits, _, _, t_cache = target.apply(
+                tp, prompt, t_cache, jnp.int32(0), **t_prefill_kwargs
+            )
+            d_cache = draft.apply(
+                dp, prompt, d_cache, jnp.int32(0), **d_prefill_kwargs
+            )[3]
+            last = jnp.argmax(logits[:, -1, :], axis=-1).astype(jnp.int32)
+            first_lp = jax.nn.log_softmax(logits[0, -1, :])[last[0]]
+
+            buf = jnp.zeros((buf_len,), jnp.int32).at[0].set(last[0])
+            lpb = jnp.zeros((buf_len,), jnp.float32).at[0].set(first_lp)
+            finished = (
+                (last[0] == eos) if eos is not None else jnp.asarray(False)
+            )
+            state = (t_cache, d_cache, last, jnp.int32(p), jnp.int32(1),
+                     buf, lpb, finished, jnp.int32(0), jnp.int32(0))
+
+            def cond(s):
+                _, _, _, _, n_gen, _, _, fin, _, _ = s
+                return (n_gen < max_new) & ~fin
+
+            def body(s):
+                (t_cache, d_cache, last, index, n_gen, buf, lpb, fin,
+                 rounds, accepted) = s
+
+                def draft_step(carry, _):
+                    tok, dc, idx = carry
+                    lg, _, _, dc = draft.apply(dp, tok[:, None], dc, idx)
+                    nxt = jnp.argmax(lg[:, 0, :], axis=-1).astype(jnp.int32)
+                    return (nxt, dc, idx + 1), nxt[0]
+
+                (_, d_cache, _), proposals = jax.lax.scan(
+                    draft_step, (last, d_cache, index), None, length=gamma
+                )
+
+                block = jnp.concatenate([last, proposals])[None, :]
+                lg, _, _, t_cache = target.apply(tp, block, t_cache, index)
+                preds = jnp.argmax(lg[0], axis=-1).astype(jnp.int32)
+                logp = jax.nn.log_softmax(lg[0], axis=-1)
+                agree = jnp.cumprod((proposals == preds[:-1]).astype(jnp.int32))
+                n_acc = jnp.sum(agree)
+                idxs = jnp.arange(gamma + 1)
+                emitted = jnp.where(
+                    idxs < n_acc,
+                    jnp.concatenate([proposals, proposals[-1:]]),
+                    preds[jnp.minimum(idxs, n_acc)],
+                )
+                tok_lp = jnp.take_along_axis(logp, emitted[:, None], axis=-1)[:, 0]
+
+                cand = n_acc + 1
+                if eos is not None:
+                    in_range = idxs < cand
+                    is_eos = (emitted == eos) & in_range
+                    has_eos = jnp.any(is_eos)
+                    cand = jnp.where(has_eos, jnp.argmax(is_eos) + 1, cand)
+                    fin = fin | has_eos
+                take = jnp.minimum(cand, max_new - n_gen)
+                # Writes start at the first unwritten slot; entries past
+                # `take` are slack and overwritten by later rounds.
+                buf = jax.lax.dynamic_update_slice(buf, emitted, (n_gen,))
+                lpb = jax.lax.dynamic_update_slice(lpb, tok_lp, (n_gen,))
+                n_gen = n_gen + take
+                last = jax.lax.dynamic_slice(buf, (n_gen - 1,), (1,))
+                return (t_cache, d_cache, last, index + n_acc + 1, n_gen,
+                        buf, lpb, fin, rounds + 1, accepted + n_acc)
+
+            (_, _, _, _, n_gen, buf, lpb, _, rounds, accepted) = (
+                jax.lax.while_loop(cond, body, state)
+            )
+            return buf, lpb, n_gen, rounds, accepted
+
+        return run
+
+    def generate(self, prompt_tokens: Sequence[int]) -> Dict[str, Any]:
+        """Greedy decode; one fused device program for the whole generation.
+
+        Returns sequences (1, P+T), tokens (T,), log_probs (T,) — the
+        target's log-probs of the emitted tokens — plus rounds and
+        acceptance_rate diagnostics.
+        """
+        prompt = jnp.asarray(np.asarray(prompt_tokens, np.int32))[None, :]
+        p = prompt.shape[1]
+        if p not in self._run_cache:
+            self._run_cache[p] = self._build_run(p)
+        buf, lpb, n_gen, rounds, accepted = jax.tree_util.tree_map(
+            np.asarray, self._run_cache[p](prompt)
+        )
+        n = int(n_gen)
+        out = buf[:n].tolist()
+        seq = list(map(int, np.asarray(prompt[0]))) + out
+        rounds = int(rounds)
+        return {
+            "sequences": np.asarray([seq]),
+            "tokens": buf[:n],
+            "log_probs": lpb[:n],
+            "rounds": rounds,
+            "acceptance_rate": float(accepted) / max(1, rounds * self.gamma),
+        }

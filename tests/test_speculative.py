@@ -1,0 +1,107 @@
+"""Speculative decoding tests.
+
+The core property: greedy speculative output is EXACTLY the target model's
+plain greedy decode — the draft only changes how many target forwards it
+takes, never the tokens."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from runia_core_tpu.llm import JaxGenerator, SpeculativeGenerator
+from runia_core_tpu.models import LlamaLM
+from runia_core_tpu.models.transformer import CausalLM
+
+
+def make(model_cls, key, **kw):
+    model = model_cls(**kw)
+    params = model.init(jax.random.key(key), jnp.zeros((1, 8), jnp.int32))
+    return model, params
+
+
+@pytest.fixture(scope="module")
+def models():
+    target, tp = make(
+        LlamaLM, 0, vocab_size=64, num_layers=3, num_heads=4, num_kv_heads=2,
+        d_model=48, hidden_dim=96, max_len=128,
+    )
+    draft, dp = make(
+        LlamaLM, 1, vocab_size=64, num_layers=1, num_heads=2, num_kv_heads=2,
+        d_model=16, hidden_dim=32, max_len=128,
+    )
+    return target, tp, draft, dp
+
+
+class TestSpeculative:
+    @pytest.mark.parametrize("gamma", [1, 3, 5])
+    def test_matches_plain_greedy(self, models, gamma):
+        target, tp, draft, dp = models
+        prompt = [3, 14, 15, 9, 2, 6]
+        want = JaxGenerator(target, tp, max_new_tokens=12).generate(
+            prompt_tokens=prompt, do_sample=False,
+            output_attentions=False, output_hidden_states=False,
+        )
+        spec = SpeculativeGenerator(
+            target, tp, draft, dp, gamma=gamma, max_new_tokens=12
+        )
+        got = spec.generate(prompt)
+        np.testing.assert_array_equal(
+            got["sequences"][0], np.asarray(want["sequences"][0])
+        )
+
+    def test_self_draft_accepts_nearly_everything(self, models):
+        # Draft == target: greedy proposals agree except where the 1-token
+        # and (gamma+1)-token forwards reassociate f32 sums across an
+        # argmax near-tie — so acceptance is near 1, not pinned to 1.
+        target, tp, *_ = models
+        spec = SpeculativeGenerator(
+            target, tp, target, tp, gamma=4, max_new_tokens=12
+        )
+        out = spec.generate([5, 1, 7])
+        assert out["acceptance_rate"] >= 0.75
+        assert out["rounds"] <= 5  # vs 11 target forwards without speculation
+
+    def test_log_probs_match_target(self, models):
+        target, tp, draft, dp = models
+        prompt = [10, 20, 30]
+        want = JaxGenerator(target, tp, max_new_tokens=8).generate(
+            prompt_tokens=prompt, do_sample=False,
+            output_attentions=False, output_hidden_states=False,
+        )
+        got = SpeculativeGenerator(
+            target, tp, draft, dp, gamma=3, max_new_tokens=8
+        ).generate(prompt)
+        # 1-token vs multi-token forward reassociation: small f32 drift
+        np.testing.assert_allclose(
+            got["log_probs"], np.asarray(want["log_probs"]).ravel(), atol=2e-2
+        )
+
+    def test_eos_stops(self, models):
+        target, tp, draft, dp = models
+        probe = SpeculativeGenerator(
+            target, tp, draft, dp, gamma=2, max_new_tokens=10
+        ).generate([1, 2, 3])
+        eos = int(probe["tokens"][2])  # force stop at the 3rd emitted token
+        out = SpeculativeGenerator(
+            target, tp, draft, dp, gamma=2, max_new_tokens=10, eos_id=eos
+        ).generate([1, 2, 3])
+        assert int(out["tokens"][-1]) == eos
+        assert len(out["tokens"]) <= 4
+
+    def test_works_with_causallm(self):
+        target, tp = make(CausalLM, 0, vocab_size=64, num_layers=2,
+                          num_heads=2, d_model=32, max_len=64)
+        draft, dp = make(CausalLM, 1, vocab_size=64, num_layers=1,
+                         num_heads=2, d_model=16, max_len=64)
+        want = JaxGenerator(target, tp, max_new_tokens=6).generate(
+            prompt_tokens=[4, 8, 15], do_sample=False,
+            output_attentions=False, output_hidden_states=False,
+        )
+        got = SpeculativeGenerator(
+            target, tp, draft, dp, gamma=2, max_new_tokens=6
+        ).generate([4, 8, 15])
+        np.testing.assert_array_equal(
+            got["sequences"][0], np.asarray(want["sequences"][0])
+        )
