@@ -34,7 +34,50 @@ import numpy as np
 
 from runia_core_tpu.models.transformer import init_cache
 
-__all__ = ["SpeculativeGenerator"]
+__all__ = ["SpeculativeGenerator", "speculative_sample_round"]
+
+
+def speculative_sample_round(proposals, draft_probs, target_probs, key):
+    """One rejection-sampling verify round (Leviathan et al. scheme).
+
+    proposals: (g,) draft-sampled tokens; draft_probs: (g, V) the draft's
+    sampling distributions; target_probs: (g+1, V) the target's
+    distributions at every position of the verify forward. Accept proposal
+    i with prob min(1, p_t/p_d); at the first rejection sample from the
+    residual max(p_t - p_d, 0) (renormalized), and if everything is
+    accepted sample the bonus token from the target's last distribution.
+    The emitted tokens are then EXACT samples from the target distribution
+    — the draft only changes how many come per target forward.
+
+    Returns (n_acc, emitted (g+1,)); emitted[i] is valid for i <= n_acc.
+    """
+    g = proposals.shape[0]
+    ku, kc = jax.random.split(key)
+    p_t_prop = jnp.take_along_axis(
+        target_probs[:-1], proposals[:, None], axis=-1
+    )[:, 0]
+    p_d_prop = jnp.take_along_axis(draft_probs, proposals[:, None], axis=-1)[:, 0]
+    u = jax.random.uniform(ku, (g,))
+    accept = u < jnp.minimum(1.0, p_t_prop / jnp.maximum(p_d_prop, 1e-20))
+    agree = jnp.cumprod(accept.astype(jnp.int32))
+    n_acc = jnp.sum(agree)
+    # Residual at the rejection position (draft probs extended with a zero
+    # row for the all-accepted bonus position: residual = p_t there).
+    draft_ext = jnp.concatenate(
+        [draft_probs, jnp.zeros_like(target_probs[-1:])], axis=0
+    )
+    residual = jnp.maximum(target_probs[n_acc] - draft_ext[n_acc], 0.0)
+    residual = jnp.where(
+        jnp.sum(residual) > 0, residual, target_probs[n_acc]
+    )
+    correction = jax.random.categorical(kc, jnp.log(residual + 1e-30))
+    idxs = jnp.arange(g + 1)
+    emitted = jnp.where(
+        idxs < n_acc,
+        jnp.concatenate([proposals, proposals[-1:]]),
+        jnp.full((g + 1,), correction, proposals.dtype),
+    )
+    return n_acc, emitted.astype(jnp.int32)
 
 
 class SpeculativeGenerator:
@@ -49,18 +92,22 @@ class SpeculativeGenerator:
 
     def __init__(self, target, target_params, draft, draft_params,
                  gamma: int = 4, max_new_tokens: int = 16,
-                 eos_id: Optional[int] = None):
+                 eos_id: Optional[int] = None, do_sample: bool = False,
+                 temperature: float = 1.0):
         self.target, self.target_params = target, target_params
         self.draft, self.draft_params = draft, draft_params
         self.gamma = int(gamma)
         self.max_new_tokens = max_new_tokens
         self.eos_id = eos_id
+        self.do_sample = bool(do_sample)
+        self.temperature = float(temperature)
         self._run_cache: Dict[int, Any] = {}
 
     def _build_run(self, p: int):
         target, tp = self.target, self.target_params
         draft, dp = self.draft, self.draft_params
         gamma, max_new, eos = self.gamma, self.max_new_tokens, self.eos_id
+        do_sample, temp = self.do_sample, self.temperature
         total = p + max_new + gamma + 1  # slack for the last round
         buf_len = max_new + gamma + 1
         t_prefill_kwargs = (
@@ -71,7 +118,7 @@ class SpeculativeGenerator:
         )
 
         @jax.jit
-        def run(prompt):
+        def run(prompt, rng_key):
             t_cache = init_cache(target, 1, total)
             d_cache = init_cache(draft, 1, total)
             logits, _, _, t_cache = target.apply(
@@ -80,7 +127,13 @@ class SpeculativeGenerator:
             d_cache = draft.apply(
                 dp, prompt, d_cache, jnp.int32(0), **d_prefill_kwargs
             )[3]
-            last = jnp.argmax(logits[:, -1, :], axis=-1).astype(jnp.int32)
+            rng_key, k0 = jax.random.split(rng_key)
+            if do_sample:
+                last = jax.random.categorical(
+                    k0, logits[:, -1, :] / temp, axis=-1
+                ).astype(jnp.int32)
+            else:
+                last = jnp.argmax(logits[:, -1, :], axis=-1).astype(jnp.int32)
             first_lp = jax.nn.log_softmax(logits[0, -1, :])[last[0]]
 
             buf = jnp.zeros((buf_len,), jnp.int32).at[0].set(last[0])
@@ -89,38 +142,53 @@ class SpeculativeGenerator:
                 (last[0] == eos) if eos is not None else jnp.asarray(False)
             )
             state = (t_cache, d_cache, last, jnp.int32(p), jnp.int32(1),
-                     buf, lpb, finished, jnp.int32(0), jnp.int32(0))
+                     buf, lpb, finished, jnp.int32(0), jnp.int32(0), rng_key)
 
             def cond(s):
-                _, _, _, _, n_gen, _, _, fin, _, _ = s
-                return (n_gen < max_new) & ~fin
+                return (s[4] < max_new) & ~s[7]
 
             def body(s):
                 (t_cache, d_cache, last, index, n_gen, buf, lpb, fin,
-                 rounds, accepted) = s
+                 rounds, accepted, key) = s
+                key, k_draft, k_round = jax.random.split(key, 3)
 
-                def draft_step(carry, _):
+                def draft_step(carry, k):
                     tok, dc, idx = carry
                     lg, _, _, dc = draft.apply(dp, tok[:, None], dc, idx)
-                    nxt = jnp.argmax(lg[:, 0, :], axis=-1).astype(jnp.int32)
-                    return (nxt, dc, idx + 1), nxt[0]
+                    row = lg[0, 0, :] / temp
+                    if do_sample:
+                        nxt = jax.random.categorical(k, row[None, :], axis=-1)
+                    else:
+                        nxt = jnp.argmax(row[None, :], axis=-1)
+                    return (nxt.astype(jnp.int32), dc, idx + 1), (
+                        nxt[0].astype(jnp.int32), jax.nn.softmax(row)
+                    )
 
-                (_, d_cache, _), proposals = jax.lax.scan(
-                    draft_step, (last, d_cache, index), None, length=gamma
+                (_, d_cache, _), (proposals, draft_probs) = jax.lax.scan(
+                    draft_step, (last, d_cache, index),
+                    jax.random.split(k_draft, gamma),
                 )
 
                 block = jnp.concatenate([last, proposals])[None, :]
                 lg, _, _, t_cache = target.apply(tp, block, t_cache, index)
-                preds = jnp.argmax(lg[0], axis=-1).astype(jnp.int32)
                 logp = jax.nn.log_softmax(lg[0], axis=-1)
-                agree = jnp.cumprod((proposals == preds[:-1]).astype(jnp.int32))
-                n_acc = jnp.sum(agree)
                 idxs = jnp.arange(gamma + 1)
-                emitted = jnp.where(
-                    idxs < n_acc,
-                    jnp.concatenate([proposals, proposals[-1:]]),
-                    preds[jnp.minimum(idxs, n_acc)],
-                )
+                if do_sample:
+                    target_probs = jax.nn.softmax(lg[0] / temp, axis=-1)
+                    n_acc, emitted = speculative_sample_round(
+                        proposals, draft_probs, target_probs, k_round
+                    )
+                else:
+                    preds = jnp.argmax(lg[0], axis=-1).astype(jnp.int32)
+                    agree = jnp.cumprod(
+                        (proposals == preds[:-1]).astype(jnp.int32)
+                    )
+                    n_acc = jnp.sum(agree)
+                    emitted = jnp.where(
+                        idxs < n_acc,
+                        jnp.concatenate([proposals, proposals[-1:]]),
+                        preds[jnp.minimum(idxs, n_acc)],
+                    )
                 tok_lp = jnp.take_along_axis(logp, emitted[:, None], axis=-1)[:, 0]
 
                 cand = n_acc + 1
@@ -138,17 +206,17 @@ class SpeculativeGenerator:
                 n_gen = n_gen + take
                 last = jax.lax.dynamic_slice(buf, (n_gen - 1,), (1,))
                 return (t_cache, d_cache, last, index + n_acc + 1, n_gen,
-                        buf, lpb, fin, rounds + 1, accepted + n_acc)
+                        buf, lpb, fin, rounds + 1, accepted + n_acc, key)
 
-            (_, _, _, _, n_gen, buf, lpb, _, rounds, accepted) = (
-                jax.lax.while_loop(cond, body, state)
-            )
-            return buf, lpb, n_gen, rounds, accepted
+            final = jax.lax.while_loop(cond, body, state)
+            return final[5], final[6], final[4], final[8], final[9]
 
         return run
 
-    def generate(self, prompt_tokens: Sequence[int]) -> Dict[str, Any]:
-        """Greedy decode; one fused device program for the whole generation.
+    def generate(self, prompt_tokens: Sequence[int],
+                 key: Optional[jax.Array] = None) -> Dict[str, Any]:
+        """Decode (greedy or sampled per the constructor flags); one fused
+        device program for the whole generation.
 
         Returns sequences (1, P+T), tokens (T,), log_probs (T,) — the
         target's log-probs of the emitted tokens — plus rounds and
@@ -158,8 +226,10 @@ class SpeculativeGenerator:
         p = prompt.shape[1]
         if p not in self._run_cache:
             self._run_cache[p] = self._build_run(p)
+        if key is None:
+            key = jax.random.key(0)
         buf, lpb, n_gen, rounds, accepted = jax.tree_util.tree_map(
-            np.asarray, self._run_cache[p](prompt)
+            np.asarray, self._run_cache[p](prompt, key)
         )
         n = int(n_gen)
         out = buf[:n].tolist()

@@ -105,3 +105,56 @@ class TestSpeculative:
         np.testing.assert_array_equal(
             got["sequences"][0], np.asarray(want["sequences"][0])
         )
+
+
+class TestSampledSpeculative:
+    def test_round_emits_exact_target_distribution(self):
+        """The canonical correctness property of rejection-based
+        speculative sampling: the FIRST emitted token of a round is an
+        exact sample from the target distribution, whatever the draft is."""
+        from runia_core_tpu.llm.speculative import speculative_sample_round
+
+        V, g = 8, 3
+        rng = np.random.RandomState(0)
+        draft_p = rng.dirichlet(np.ones(V), size=g).astype(np.float32)
+        target_p = rng.dirichlet(np.ones(V), size=g + 1).astype(np.float32)
+
+        n = 20000
+        keys = jax.random.split(jax.random.key(1), n)
+
+        def one(key):
+            kp, kr = jax.random.split(key)
+            proposals = jax.random.categorical(
+                kp, jnp.log(draft_p), axis=-1
+            ).astype(jnp.int32)
+            _, emitted = speculative_sample_round(
+                proposals, jnp.asarray(draft_p), jnp.asarray(target_p), kr
+            )
+            return emitted[0]
+
+        first = np.asarray(jax.jit(jax.vmap(one))(keys))
+        freq = np.bincount(first, minlength=V) / n
+        tv = 0.5 * np.abs(freq - target_p[0]).sum()
+        assert tv < 0.02, (tv, freq, target_p[0])
+
+    def test_sampled_generate_runs_and_differs_by_key(self, models):
+        target, tp, draft, dp = models
+        spec = SpeculativeGenerator(
+            target, tp, draft, dp, gamma=3, max_new_tokens=10,
+            do_sample=True, temperature=1.0,
+        )
+        a = spec.generate([3, 1, 4], key=jax.random.key(0))
+        b = spec.generate([3, 1, 4], key=jax.random.key(1))
+        assert np.isfinite(a["log_probs"]).all()
+        assert len(a["tokens"]) == 10
+        assert not np.array_equal(a["tokens"], b["tokens"])
+
+    def test_sampled_self_draft_accepts_mostly(self, models):
+        target, tp, *_ = models
+        spec = SpeculativeGenerator(
+            target, tp, target, tp, gamma=4, max_new_tokens=12,
+            do_sample=True,
+        )
+        out = spec.generate([5, 1, 7], key=jax.random.key(2))
+        # p_t == p_d -> acceptance prob 1 up to float drift
+        assert out["acceptance_rate"] >= 0.75
