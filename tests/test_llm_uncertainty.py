@@ -455,3 +455,34 @@ class TestTapPruning:
         )
         assert np.isfinite(scores["perplexity"])
         assert np.isfinite(scores["normalized_entropy"])
+
+
+class TestUniformBatchPath:
+    """Uniform-length generate_batch drops the padding mask / custom
+    positions (so flash prefill can engage); results must equal both the
+    ragged code path and per-prompt decodes."""
+
+    def test_uniform_matches_single_and_cfg_key(self):
+        import jax
+        from runia_core_tpu.llm import JaxGenerator
+        from runia_core_tpu.models import LlamaLM
+
+        model = LlamaLM(vocab_size=64, num_layers=2, num_heads=4,
+                        num_kv_heads=2, d_model=32, hidden_dim=64, max_len=64)
+        import jax.numpy as jnp
+
+        params = model.init(jax.random.key(0), jnp.zeros((1, 4), jnp.int32))
+        gen = JaxGenerator(model, params, max_new_tokens=5)
+        prompts = [[1, 2, 3, 4], [9, 8, 7, 6], [5, 5, 5, 5]]
+        batch = gen.generate_batch(prompts, do_sample=False)
+        key = next(k for k in gen._decode_cache if k[0] == "batch")
+        assert key[-1] is True  # uniform path taken
+        for i, pr in enumerate(prompts):
+            single = gen.generate(
+                pr, do_sample=False,
+                output_attentions=False, output_hidden_states=False,
+            )
+            np.testing.assert_array_equal(
+                np.asarray(single["sequences"][0, len(pr):]),
+                batch["sequences"][i, -5:],
+            )
