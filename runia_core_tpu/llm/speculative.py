@@ -213,6 +213,54 @@ class SpeculativeGenerator:
 
         return run
 
+    def generate_samples(self, prompt_tokens: Sequence[int],
+                         num_samples: int,
+                         key: Optional[jax.Array] = None) -> Dict[str, Any]:
+        """N sampled continuations of one prompt — vmapped fused loops.
+
+        The reference's multi-sample uncertainty pattern (N sampled
+        generations feeding normalized/semantic entropy and eigen-score,
+        runia_core/llm_uncertainty/scores.py:478-504) with speculative
+        acceleration: vmap batches every per-sample while_loop (JAX runs
+        rounds until all samples finish; each sample's cache index advances
+        independently). Requires ``do_sample=True``.
+
+        Returns sequences (N, P+T_max) (right-padded with the last token),
+        tokens (N, T_max), log_probs (N, T_max) (-inf past each sample's
+        end), lengths (N,), acceptance_rate.
+        """
+        if not self.do_sample:
+            raise ValueError("generate_samples requires do_sample=True")
+        prompt = jnp.asarray(np.asarray(prompt_tokens, np.int32))[None, :]
+        p = prompt.shape[1]
+        if p not in self._run_cache:
+            self._run_cache[p] = self._build_run(p)
+        run = self._run_cache[p]
+        if key is None:
+            key = jax.random.key(0)
+        keys = jax.random.split(key, num_samples)
+        buf, lpb, n_gen, rounds, accepted = jax.tree_util.tree_map(
+            np.asarray,
+            jax.vmap(run, in_axes=(None, 0))(prompt, keys),
+        )
+        t_max = int(n_gen.max())
+        mask = np.arange(t_max)[None, :] < n_gen[:, None]
+        tokens = np.where(mask, buf[:, :t_max], buf[:, :t_max])
+        lps = np.where(mask, lpb[:, :t_max], -np.inf)
+        seqs = np.concatenate(
+            [np.repeat(np.asarray(prompt), num_samples, axis=0),
+             tokens], axis=1,
+        )
+        total_rounds = int(rounds.sum())
+        return {
+            "sequences": seqs,
+            "tokens": tokens,
+            "log_probs": lps,
+            "lengths": n_gen,
+            "acceptance_rate": float(accepted.sum())
+            / max(1, total_rounds * self.gamma),
+        }
+
     def generate(self, prompt_tokens: Sequence[int],
                  key: Optional[jax.Array] = None) -> Dict[str, Any]:
         """Decode (greedy or sampled per the constructor flags); one fused

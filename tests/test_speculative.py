@@ -158,3 +158,23 @@ class TestSampledSpeculative:
         out = spec.generate([5, 1, 7], key=jax.random.key(2))
         # p_t == p_d -> acceptance prob 1 up to float drift
         assert out["acceptance_rate"] >= 0.75
+
+    def test_generate_samples_vmapped(self, models):
+        target, tp, draft, dp = models
+        spec = SpeculativeGenerator(
+            target, tp, draft, dp, gamma=3, max_new_tokens=8, do_sample=True
+        )
+        out = spec.generate_samples([2, 7, 1], num_samples=6,
+                                    key=jax.random.key(3))
+        assert out["sequences"].shape == (6, 3 + 8)
+        assert out["tokens"].shape == (6, 8)
+        assert (out["lengths"] == 8).all()  # no eos configured
+        # samples differ across rows
+        assert len({tuple(r) for r in out["tokens"].tolist()}) > 1
+        assert np.isfinite(out["log_probs"]).all()
+
+    def test_generate_samples_requires_sampling(self, models):
+        target, tp, draft, dp = models
+        spec = SpeculativeGenerator(target, tp, draft, dp, max_new_tokens=4)
+        with pytest.raises(ValueError):
+            spec.generate_samples([1, 2], num_samples=2)
