@@ -21,7 +21,10 @@ written optimistically during speculation; rejected slots are simply left
 stale — the causal q_phys mask (models/llama.py, models/transformer.py)
 ignores slots beyond the current index, and sequential writes overwrite
 them later. Rewind is therefore free (an index decrement, no cache
-surgery).
+surgery). One slot is NOT covered by that argument: after a fully-accepted
+round the last proposal's position is behind the new index but was never
+consumed by the draft — the draft scan runs one extra step purely to write
+that K/V (a zero there silently halves the acceptance rate).
 """
 
 from __future__ import annotations
@@ -102,6 +105,28 @@ class SpeculativeGenerator:
         self.do_sample = bool(do_sample)
         self.temperature = float(temperature)
         self._run_cache: Dict[int, Any] = {}
+        self._rng = jax.random.key(0)
+
+    def _next_key(self, key: Optional[jax.Array]) -> jax.Array:
+        """Explicit key wins; otherwise advance the internal stream so
+        repeated sampled calls yield DIFFERENT continuations (matching
+        JaxGenerator's per-call rng fold)."""
+        if key is not None:
+            return key
+        self._rng, sub = jax.random.split(self._rng)
+        return sub
+
+    def _warn_context(self, p: int) -> None:
+        limit = getattr(self.target, "max_len", None)
+        if limit and p + self.max_new_tokens > limit:
+            import warnings
+
+            warnings.warn(
+                f"generation length {p + self.max_new_tokens} exceeds the "
+                f"target's trained context window max_len={limit}; quality "
+                "degrades beyond it",
+                stacklevel=3,
+            )
 
     def _build_run(self, p: int):
         target, tp = self.target, self.target_params
@@ -164,10 +189,17 @@ class SpeculativeGenerator:
                         nxt[0].astype(jnp.int32), jax.nn.softmax(row)
                     )
 
-                (_, d_cache, _), (proposals, draft_probs) = jax.lax.scan(
+                # gamma+1 steps: the extra step consumes the LAST proposal so
+                # its K/V lands in the draft cache — without it, a fully
+                # accepted round leaves a permanent zero-K/V hole at slot
+                # index+gamma that poisons every later draft forward (the
+                # extra step's own sampled token is discarded).
+                (_, d_cache, _), (proposals_x, draft_probs_x) = jax.lax.scan(
                     draft_step, (last, d_cache, index),
-                    jax.random.split(k_draft, gamma),
+                    jax.random.split(k_draft, gamma + 1),
                 )
+                proposals = proposals_x[:gamma]
+                draft_probs = draft_probs_x[:gamma]
 
                 block = jnp.concatenate([last, proposals])[None, :]
                 lg, _, _, t_cache = target.apply(tp, block, t_cache, index)
@@ -233,19 +265,19 @@ class SpeculativeGenerator:
             raise ValueError("generate_samples requires do_sample=True")
         prompt = jnp.asarray(np.asarray(prompt_tokens, np.int32))[None, :]
         p = prompt.shape[1]
+        self._warn_context(p)
         if p not in self._run_cache:
             self._run_cache[p] = self._build_run(p)
         run = self._run_cache[p]
-        if key is None:
-            key = jax.random.key(0)
-        keys = jax.random.split(key, num_samples)
+        keys = jax.random.split(self._next_key(key), num_samples)
         buf, lpb, n_gen, rounds, accepted = jax.tree_util.tree_map(
             np.asarray,
             jax.vmap(run, in_axes=(None, 0))(prompt, keys),
         )
         t_max = int(n_gen.max())
         mask = np.arange(t_max)[None, :] < n_gen[:, None]
-        tokens = np.where(mask, buf[:, :t_max], buf[:, :t_max])
+        last_tok = buf[np.arange(len(n_gen)), n_gen - 1]
+        tokens = np.where(mask, buf[:, :t_max], last_tok[:, None])
         lps = np.where(mask, lpb[:, :t_max], -np.inf)
         seqs = np.concatenate(
             [np.repeat(np.asarray(prompt), num_samples, axis=0),
@@ -272,12 +304,11 @@ class SpeculativeGenerator:
         """
         prompt = jnp.asarray(np.asarray(prompt_tokens, np.int32))[None, :]
         p = prompt.shape[1]
+        self._warn_context(p)
         if p not in self._run_cache:
             self._run_cache[p] = self._build_run(p)
-        if key is None:
-            key = jax.random.key(0)
         buf, lpb, n_gen, rounds, accepted = jax.tree_util.tree_map(
-            np.asarray, self._run_cache[p](prompt, key)
+            np.asarray, self._run_cache[p](prompt, self._next_key(key))
         )
         n = int(n_gen)
         out = buf[:n].tolist()

@@ -60,8 +60,19 @@ class TestSpeculative:
             target, tp, target, tp, gamma=4, max_new_tokens=12
         )
         out = spec.generate([5, 1, 7])
-        assert out["acceptance_rate"] >= 0.75
-        assert out["rounds"] <= 5  # vs 11 target forwards without speculation
+        assert out["acceptance_rate"] >= 0.9
+        assert out["rounds"] <= 4  # vs 11 target forwards without speculation
+
+    def test_long_self_draft_no_cache_hole_decay(self, models):
+        # Regression: fully-accepted rounds used to leave a zero-K/V hole
+        # in the draft cache at the last proposal's slot, decaying
+        # acceptance over long generations.
+        target, tp, *_ = models
+        spec = SpeculativeGenerator(
+            target, tp, target, tp, gamma=4, max_new_tokens=40
+        )
+        out = spec.generate([5, 1, 7])
+        assert out["acceptance_rate"] >= 0.9, out["acceptance_rate"]
 
     def test_log_probs_match_target(self, models):
         target, tp, draft, dp = models
@@ -178,3 +189,37 @@ class TestSampledSpeculative:
         spec = SpeculativeGenerator(target, tp, draft, dp, max_new_tokens=4)
         with pytest.raises(ValueError):
             spec.generate_samples([1, 2], num_samples=2)
+
+    def test_repeated_sampled_calls_differ(self, models):
+        target, tp, draft, dp = models
+        spec = SpeculativeGenerator(
+            target, tp, draft, dp, gamma=2, max_new_tokens=8, do_sample=True
+        )
+        a = spec.generate([3, 1, 4])
+        b = spec.generate([3, 1, 4])
+        assert not np.array_equal(a["tokens"], b["tokens"])
+
+    def test_context_window_warning(self, models):
+        target, tp, draft, dp = models  # max_len=128
+        spec = SpeculativeGenerator(
+            target, tp, draft, dp, gamma=2, max_new_tokens=126
+        )
+        with pytest.warns(UserWarning, match="context window"):
+            spec.generate(list(range(8)))
+
+    def test_samples_padding_uses_last_token(self, models):
+        target, tp, draft, dp = models
+        probe = SpeculativeGenerator(
+            target, tp, draft, dp, gamma=2, max_new_tokens=10, do_sample=True
+        ).generate_samples([1, 2, 3], num_samples=4, key=jax.random.key(0))
+        eos = int(probe["tokens"][0][3])
+        out = SpeculativeGenerator(
+            target, tp, draft, dp, gamma=2, max_new_tokens=10,
+            do_sample=True, eos_id=eos,
+        ).generate_samples([1, 2, 3], num_samples=4, key=jax.random.key(0))
+        for i in range(4):
+            n = int(out["lengths"][i])
+            if n < out["tokens"].shape[1]:
+                # padding repeats the sample's own final token
+                assert (out["tokens"][i, n:] == out["tokens"][i, n - 1]).all()
+                assert np.isneginf(out["log_probs"][i, n:]).all()
