@@ -293,6 +293,42 @@ class SpeculativeGenerator:
             / max(1, total_rounds * self.gamma),
         }
 
+    def generate_prompts(self, prompts: Sequence[Sequence[int]],
+                         key: Optional[jax.Array] = None) -> Dict[str, Any]:
+        """B equal-length prompts decoded in parallel — the same vmap as
+        ``generate_samples`` but over prompts (serving batch shape). For
+        ragged prompt lengths use JaxGenerator.generate_batch (left-padded
+        masking) — the fused speculative loop requires the plain causal
+        case."""
+        lens = {len(p) for p in prompts}
+        if len(lens) != 1:
+            raise ValueError(
+                f"generate_prompts requires equal-length prompts, got {sorted(lens)}"
+            )
+        p = lens.pop()
+        batch = jnp.asarray(np.asarray(prompts, np.int32))[:, None, :]  # (B,1,p)
+        if p not in self._run_cache:
+            self._run_cache[p] = self._build_run(p)
+        self._warn_context(p)
+        keys = jax.random.split(self._next_key(key), len(prompts))
+        buf, lpb, n_gen, rounds, accepted = jax.tree_util.tree_map(
+            np.asarray,
+            jax.vmap(self._run_cache[p])(batch, keys),
+        )
+        t_max = int(n_gen.max())
+        mask = np.arange(t_max)[None, :] < n_gen[:, None]
+        last_tok = buf[np.arange(len(n_gen)), n_gen - 1]
+        tokens = np.where(mask, buf[:, :t_max], last_tok[:, None])
+        lps = np.where(mask, lpb[:, :t_max], -np.inf)
+        return {
+            "sequences": np.concatenate([np.asarray(batch[:, 0]), tokens], axis=1),
+            "tokens": tokens,
+            "log_probs": lps,
+            "lengths": n_gen,
+            "acceptance_rate": float(accepted.sum())
+            / max(1, int(rounds.sum()) * self.gamma),
+        }
+
     def generate(self, prompt_tokens: Sequence[int],
                  key: Optional[jax.Array] = None) -> Dict[str, Any]:
         """Decode (greedy or sampled per the constructor flags); one fused

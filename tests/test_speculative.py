@@ -223,3 +223,21 @@ class TestSampledSpeculative:
                 # padding repeats the sample's own final token
                 assert (out["tokens"][i, n:] == out["tokens"][i, n - 1]).all()
                 assert np.isneginf(out["log_probs"][i, n:]).all()
+
+    def test_generate_prompts_matches_per_prompt_greedy(self, models):
+        target, tp, draft, dp = models
+        spec = SpeculativeGenerator(
+            target, tp, draft, dp, gamma=2, max_new_tokens=6
+        )
+        prompts = [[1, 2, 3, 4], [9, 8, 7, 6], [4, 4, 4, 4]]
+        out = spec.generate_prompts(prompts)
+        assert out["sequences"].shape == (3, 4 + 6)
+        for i, pr in enumerate(prompts):
+            single = spec.generate(pr)
+            np.testing.assert_array_equal(out["tokens"][i], single["tokens"])
+
+    def test_generate_prompts_rejects_ragged(self, models):
+        target, tp, draft, dp = models
+        spec = SpeculativeGenerator(target, tp, draft, dp, max_new_tokens=4)
+        with pytest.raises(ValueError):
+            spec.generate_prompts([[1, 2], [1, 2, 3]])
