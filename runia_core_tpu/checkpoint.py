@@ -31,6 +31,8 @@ __all__ = [
     "load_state_dict_orbax",
     "save_larex_pipeline",
     "load_larex_scorer",
+    "save_llm",
+    "load_llm",
 ]
 
 _META_KEY = "__runia_meta__"
@@ -216,3 +218,76 @@ def load_larex_scorer(path: Union[str, os.PathLike], apply_fn) -> Any:
         channel_axis=int(state["__channel_axis__"]),
         detector=str(state["__detector__"]),
     )
+
+
+def save_llm(path: Union[str, os.PathLike], model, params) -> None:
+    """Persist a CausalLM/LlamaLM (architecture config + params) to one .npz.
+
+    Completes the serving lifecycle for converted checkpoints: run
+    ``models.convert_hf_llama`` (or ``quantize_llama_params``) once on a
+    build host, ``save_llm``, then ``load_llm`` on serving hosts — no
+    torch/transformers needed at serve time. int8/bf16 leaves round-trip
+    at their stored dtypes.
+    """
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    cfg = {}
+    for f in dataclasses.fields(model):
+        v = getattr(model, f.name)
+        if f.name in ("dtype",):
+            v = jnp.dtype(v).name
+        cfg[f.name] = v
+    flat = {}
+    for p, leaf in _tree_items(params):
+        key = "/".join(str(getattr(k, "key", k)) for k in p)
+        arr = np.asarray(leaf)
+        if arr.dtype == jnp.bfloat16:
+            # npy format has no bf16: store the raw bits + a key tag
+            flat[key + "::bf16"] = arr.view(np.uint16)
+        else:
+            flat[key] = arr
+    flat["__llm_config__"] = np.frombuffer(
+        json.dumps({"class": type(model).__name__, "config": cfg}).encode(),
+        dtype=np.uint8,
+    )
+    np.savez(path, **flat)
+
+
+def _tree_items(tree, prefix=()):
+    if isinstance(tree, dict):
+        for k, v in tree.items():
+            yield from _tree_items(v, prefix + (k,))
+    else:
+        yield prefix, tree
+
+
+def load_llm(path: Union[str, os.PathLike]):
+    """Inverse of :func:`save_llm` -> (model, params)."""
+    import jax.numpy as jnp
+
+    from runia_core_tpu.models import LlamaLM
+    from runia_core_tpu.models.transformer import CausalLM
+
+    classes = {"LlamaLM": LlamaLM, "CausalLM": CausalLM}
+    with np.load(path, allow_pickle=False) as npz:
+        meta = json.loads(bytes(npz["__llm_config__"]).decode())
+        cfg = meta["config"]
+        if "dtype" in cfg:
+            cfg["dtype"] = jnp.dtype(cfg["dtype"])
+        model = classes[meta["class"]](**cfg)
+        params: Dict[str, Any] = {}
+        for key in npz.files:
+            if key == "__llm_config__":
+                continue
+            arr = npz[key]
+            if key.endswith("::bf16"):
+                key = key[: -len("::bf16")]
+                arr = arr.view(jnp.bfloat16)
+            node = params
+            *parents, leaf = key.split("/")
+            for part in parents:
+                node = node.setdefault(part, {})
+            node[leaf] = arr
+    return model, params

@@ -424,3 +424,35 @@ class TestKV8Cache:
             output_attentions=False, output_hidden_states=False,
         )
         assert np.isfinite(np.asarray(out["log_probs"])).all()
+
+
+class TestLLMCheckpoint:
+    def test_save_load_roundtrip(self, converted, tmp_path):
+        from runia_core_tpu.checkpoint import load_llm, save_llm
+
+        hf, model, params = converted
+        path = tmp_path / "llm.npz"
+        save_llm(path, model, params)
+        m2, p2 = load_llm(path)
+        assert type(m2).__name__ == "LlamaLM"
+        assert m2.num_kv_heads == model.num_kv_heads
+        tokens = jnp.asarray(np.arange(9)[None, :] % 97)
+        a, *_ = model.apply(params, tokens)
+        b, *_ = m2.apply(p2, tokens)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_quantized_roundtrip_keeps_int8(self, converted, tmp_path):
+        from runia_core_tpu.checkpoint import load_llm, save_llm
+
+        hf, _, _ = converted
+        model, params = convert_hf_llama(hf, quantize=True, dtype=jnp.bfloat16)
+        path = tmp_path / "llm_q.npz"
+        save_llm(path, model, params)
+        m2, p2 = load_llm(path)
+        assert m2.quantized and m2.dtype == jnp.bfloat16
+        blk = p2["params"]["block_0"]["q"]
+        assert blk["kernel_q"].dtype == np.int8
+        tokens = jnp.asarray(np.arange(6)[None, :])
+        a, *_ = model.apply(params, tokens)
+        b, *_ = m2.apply(p2, tokens)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
