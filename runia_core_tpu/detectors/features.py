@@ -112,8 +112,11 @@ class KNN(OodPostprocessor):
         train_activations = normalizer(_as_np(ind_train_data)).astype(np.float32)
         self.index = jnp.asarray(train_activations)
         self._state = {"index": self.index, "k_neighbors": self.k_neighbors}
+        # postprocess() already applies flip_sign_fn — re-flipping here (as
+        # the reference does, postprocessors.py:850-854) would threshold on
+        # UNflipped scores while test-time scores are flipped, inverting
+        # every decision under flip_sign=True. Deliberate deviation.
         ind_scores = self.postprocess(kwargs["valid_feats"], _skip_setup_check=True)
-        ind_scores = self.flip_sign_fn(ind_scores)
         self.set_threshold(ind_scores)
 
     def postprocess(self, test_data: ndarray, **kwargs) -> ndarray:
@@ -230,7 +233,11 @@ class ViM(OodPostprocessor):
         logits = jnp.asarray(_as_np(kwargs["logits"]))
         vlogit = jnp.linalg.norm(jnp.matmul(feats - self.u, self.NS), axis=-1) * self.alpha
         score = np.asarray(-vlogit + energy_score(logits))
-        return score
+        # The reference omits this flip (postprocessors.py:1104-1112) while
+        # thresholding on flipped scores in setup — sign conventions would
+        # disagree under flip_sign=True. Deliberate deviation for
+        # consistency with every other OodPostprocessor.
+        return self.flip_sign_fn(score)
 
 
 @register_postprocessor("ash", postprocessor_input=["features"])

@@ -23,6 +23,7 @@ from runia_core_tpu.ops.linalg import (
     empirical_precision,
     mvn_fit_cholesky,
     mvn_log_prob,
+    shared_class_precision,
 )
 
 __all__ = [
@@ -58,15 +59,7 @@ def mahalanobis_preprocess(
     """
     x = jnp.asarray(ind_data["train features"])
     labels = jnp.asarray(ind_data["train labels"])
-    counts = np.bincount(
-        np.asarray(labels).astype(np.int64), minlength=num_classes
-    )
-    for c in np.nonzero(counts == 0)[0]:
-        warnings.warn(f"No train examples for class {c}")
-    means = class_means(x, labels, num_classes)
-    centered = classwise_center(x, labels, means)
-    precision = empirical_precision(centered.astype(jnp.float32), assume_centered=False)
-    return means, precision
+    return shared_class_precision(x, labels, num_classes, warn_label="train class")
 
 
 def mahalanobis_postprocess(

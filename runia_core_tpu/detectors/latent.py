@@ -25,13 +25,12 @@ import numpy as np
 from runia_core_tpu.detectors.base import Postprocessor, register_postprocessor
 from runia_core_tpu.detectors.funcs import gmm_fit, normalizer
 from runia_core_tpu.ops.linalg import (
-    class_means,
-    classwise_center,
     classwise_mahalanobis_max,
     empirical_precision,
     mahalanobis_quadform,
+    shared_class_precision,
 )
-from runia_core_tpu.ops.knn import squared_l2_kth_neighbor
+from runia_core_tpu.ops.knn import squared_l2_distances, squared_l2_kth_neighbor
 
 __all__ = [
     "DetectorKDE",
@@ -52,23 +51,31 @@ ndarray = np.ndarray
 # ---------------------------------------------------------------------------
 # Functional cores (jittable)
 # ---------------------------------------------------------------------------
-@jax.jit
-def kde_log_density(test: jnp.ndarray, train: jnp.ndarray, bandwidth: float = 1.0) -> jnp.ndarray:
+@partial(jax.jit, static_argnames=("row_chunk",))
+def kde_log_density(test: jnp.ndarray, train: jnp.ndarray,
+                    bandwidth: float = 1.0, row_chunk: int = 1024) -> jnp.ndarray:
     """Gaussian-KDE log density, matching sklearn KernelDensity.score_samples.
 
     log p(x) = logsumexp_i(-||x - t_i||^2 / (2 h^2)) - log n - (d/2) log(2 pi h^2)
 
-    One (N_test, N_train) matmul-based distance program (the reference uses
-    sklearn's Cython KDE, postprocessors.py:109-128).
+    Matmul-based distances (ops.knn.squared_l2_distances — the reference
+    uses sklearn's Cython KDE, postprocessors.py:109-128), with test rows
+    chunked through ``lax.map`` so the distance matrix never exceeds
+    (row_chunk, N_train) whatever the test-set size.
     """
     n, d = train.shape
-    x_sq = jnp.sum(test * test, axis=1, keepdims=True)  # (N, 1)
-    t_sq = jnp.sum(train * train, axis=1)  # (n,)
-    cross = jnp.matmul(test, train.T, precision=jax.lax.Precision.HIGHEST)
-    sq_dists = jnp.maximum(x_sq - 2.0 * cross + t_sq[None, :], 0.0)
-    log_kernel = -0.5 * sq_dists / (bandwidth**2)
     norm = jnp.log(n * 1.0) + 0.5 * d * jnp.log(2.0 * jnp.pi * bandwidth**2)
-    return jax.scipy.special.logsumexp(log_kernel, axis=1) - norm
+    n_test = test.shape[0]
+    pad = (-n_test) % row_chunk
+    chunks = jnp.pad(test, ((0, pad), (0, 0))).reshape(-1, row_chunk, d)
+
+    def one_chunk(chunk):
+        sq_dists = squared_l2_distances(chunk, train)
+        return jax.scipy.special.logsumexp(
+            -0.5 * sq_dists / (bandwidth**2), axis=1
+        )
+
+    return jax.lax.map(one_chunk, chunks).reshape(-1)[:n_test] - norm
 
 
 @jax.jit
@@ -186,17 +193,9 @@ class cMDLatentSpace(Postprocessor):
             return
         x = jnp.asarray(ind_train_data)
         labels = jnp.asarray(np.asarray(ind_train_labels))
-        counts = np.bincount(
-            np.asarray(labels).astype(np.int64), minlength=self.num_classes
-        )
-        for c in np.nonzero(counts == 0)[0]:
-            warnings.warn(
-                f"No examples for class {c} to build class-wise Mahalanobis Distance score"
-            )
-        self.class_mean = class_means(x, labels, self.num_classes)
-        centered = classwise_center(x, labels, self.class_mean)
-        self.precision = empirical_precision(
-            centered.astype(jnp.float32), assume_centered=False
+        self.class_mean, self.precision = shared_class_precision(
+            x, labels, self.num_classes,
+            warn_label="class (class-wise Mahalanobis)",
         )
         self._state = {"class_mean": self.class_mean, "precision": self.precision}
         self._setup_flag = True

@@ -65,12 +65,21 @@ def dropblock2d(
         pooled = pooled[:, :-1, :-1]
     keep = 1.0 - pooled  # (B, H, W)
 
-    scale = keep.size / jnp.sum(keep)
+    # Normalization is PER IMAGE (keep.numel()/keep.sum() over each image's
+    # own mask). The torch package computes one global scalar over the whole
+    # tensor, but the reference only ever calls it with B == 1
+    # (runia_core/feature_extraction/abstract_classes.py:237-246), where the
+    # two are identical; a global scale at B > 1 would couple every image's
+    # activations (and OoD scores) to its batchmates' masks —
+    # nondeterministic serving results w.r.t. batch composition.
+    scale = (h * w) / jnp.maximum(
+        jnp.sum(keep, axis=(1, 2), keepdims=True), 1.0
+    )
     if channel_axis == 1:
-        out = x * keep[:, None, :, :]
+        out = x * (keep * scale)[:, None, :, :]
     else:
-        out = x * keep[:, :, :, None]
-    return out * scale
+        out = x * (keep * scale)[:, :, :, None]
+    return out
 
 
 @partial(jax.jit, static_argnames=("rate",))

@@ -49,6 +49,18 @@ def _kth_nn_distance_from_sq(pairwise: jnp.ndarray, k: int) -> jnp.ndarray:
     return -neg_topk[..., -1]
 
 
+def _digamma_const(k: int, n: int) -> float:
+    """-psi(k) + psi(n), computed host-side in float64 (k and n are static).
+
+    Single source of the estimator constant for the XLA paths AND the Pallas
+    kernel (ops/entropy_pallas.py) so the two stay consistent — a traced f32
+    digamma here would differ from the kernel's f64-derived parameter.
+    """
+    from scipy.special import digamma
+
+    return float(-digamma(float(k)) + digamma(float(n)))
+
+
 def kl_entropy(cloud: jnp.ndarray, k: int, min_dist: float = 1e-5) -> jnp.ndarray:
     """KL entropy of one (n, d) sample cloud under the Chebyshev norm."""
     n, d = cloud.shape
@@ -57,8 +69,7 @@ def kl_entropy(cloud: jnp.ndarray, k: int, min_dist: float = 1e-5) -> jnp.ndarra
     eps = _kth_nn_distance_from_sq(pairwise, k)
     eps = jnp.maximum(eps, min_dist)
     sum_log = jnp.sum(jnp.log(2.0 * eps))
-    dig = jax.scipy.special.digamma
-    return -dig(float(k)) + dig(float(n)) + (d / n) * sum_log
+    return _digamma_const(k, n) + (d / n) * sum_log
 
 
 @partial(jax.jit, static_argnames=("k", "chunk"))
@@ -85,8 +96,7 @@ def joint_entropy(
     # Zero-padded dims contribute |0-0| = 0 to the max — harmless.
     eps = jnp.maximum(_kth_nn_distance_from_sq(pairwise, k), min_dist)
     sum_log = jnp.sum(jnp.log(2.0 * eps), axis=-1)  # (B,)
-    dig = jax.scipy.special.digamma
-    return -dig(float(k)) + dig(float(n)) + (d / n) * sum_log
+    return _digamma_const(k, n) + (d / n) * sum_log
 
 
 def marginal_entropy(
@@ -125,8 +135,7 @@ def _marginal_entropy_xla(
     padded = jnp.pad(clouds, ((0, pad), (0, 0), (0, 0)))
     batches = padded.reshape(-1, image_chunk, n, d)
 
-    dig = jax.scipy.special.digamma
-    const = -dig(float(k)) + dig(float(n))
+    const = _digamma_const(k, n)
 
     def one_batch(xc):  # (chunk, n, d)
         diffs = jnp.abs(xc[:, :, None, :] - xc[:, None, :, :])  # (chunk, n, n, d)

@@ -86,9 +86,9 @@ def marginal_entropy_pallas(
     padded = jnp.full((b_pad, n_pad, d_pad), _BIG, dtype)
     padded = padded.at[:b, :n, :d].set(clouds)
 
-    from scipy.special import digamma
+    from runia_core_tpu.ops.entropy import _digamma_const
 
-    const = float(-digamma(float(k)) + digamma(float(n)))
+    const = _digamma_const(k, n)
 
     kernel = partial(
         _entropy_kernel, n=n, k=k, min_dist=float(min_dist), const=const

@@ -18,7 +18,12 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-__all__ = ["squared_l2_distances", "squared_l2_kth_neighbor", "knn_search"]
+__all__ = [
+    "squared_l2_distances",
+    "squared_l2_kth_neighbor",
+    "knn_search",
+    "sharded_kth_neighbor",
+]
 
 
 def squared_l2_distances(test: jnp.ndarray, train: jnp.ndarray) -> jnp.ndarray:

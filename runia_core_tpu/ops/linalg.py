@@ -31,42 +31,52 @@ __all__ = [
 class StreamingMoments:
     """Out-of-core first/second-moment accumulator.
 
-    Fitting LaREM or PCA only needs (sum x, sum x xᵀ, n); this accumulates
-    them batch by batch on device (one rank-``b`` matmul per update, f32
-    HIGHEST precision) so datasets far larger than HBM/host RAM fit in O(d²)
-    state. ``mean``/``covariance`` match ``empirical_covariance`` over the
-    concatenated batches exactly; feed them to
+    Fitting LaREM or PCA only needs first/second moments and n; this
+    accumulates them batch by batch on device (one rank-``b`` matmul per
+    update, f32 HIGHEST precision) so datasets far larger than HBM/host RAM
+    fit in O(d²) state. Accumulation is SHIFTED by the first batch's mean:
+    the naive E[xxᵀ] − μμᵀ one-pass formula cancels catastrophically in f32
+    when |μ| ≫ σ (typical post-ReLU activations) — with the shift, the
+    subtraction happens in near-zero-mean coordinates where it is benign.
+    ``mean``/``covariance`` agree with ``empirical_covariance`` over the
+    concatenated batches to f32 roundoff; feed them to
     ``reduction.pca_from_covariance`` or ``pinvh`` for the detector states.
     """
 
     def __init__(self, dim: int, dtype=jnp.float32):
         self.s1 = jnp.zeros((dim,), dtype)
         self.s2 = jnp.zeros((dim, dim), dtype)
+        self.shift = None  # set from the first batch's mean
         self.n = 0
 
     @staticmethod
     @jax.jit
-    def _accumulate(s1, s2, batch):
-        batch = batch.astype(s1.dtype)
+    def _accumulate(s1, s2, shift, batch):
+        batch = batch.astype(s1.dtype) - shift[None, :]
         return (
             s1 + jnp.sum(batch, axis=0),
             s2 + jnp.matmul(batch.T, batch, precision=jax.lax.Precision.HIGHEST),
         )
 
     def update(self, batch) -> "StreamingMoments":
-        self.s1, self.s2 = self._accumulate(self.s1, self.s2, jnp.asarray(batch))
+        batch = jnp.asarray(batch)
+        if self.shift is None:
+            self.shift = jnp.mean(batch.astype(self.s1.dtype), axis=0)
+        self.s1, self.s2 = self._accumulate(
+            self.s1, self.s2, self.shift, batch
+        )
         self.n += int(batch.shape[0])
         return self
 
     @property
     def mean(self) -> jnp.ndarray:
-        return self.s1 / self.n
+        return self.shift + self.s1 / self.n
 
     @property
     def covariance(self) -> jnp.ndarray:
         """ML covariance (1/n), as sklearn EmpiricalCovariance."""
-        mean = self.mean
-        return self.s2 / self.n - jnp.outer(mean, mean)
+        m = self.s1 / self.n  # mean in shifted coordinates (≈ 0)
+        return self.s2 / self.n - jnp.outer(m, m)
 
     @property
     def precision(self) -> jnp.ndarray:
@@ -131,20 +141,34 @@ def classwise_center(
 
 
 def shared_class_precision(
-    x: jnp.ndarray, labels: jnp.ndarray, num_classes: int
+    x: jnp.ndarray, labels: jnp.ndarray, num_classes: int,
+    warn_label: str = "class",
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """(class_means, shared precision of class-centered data).
 
-    This is the Mahalanobis/cMD fit (funcs.py:33-66): per-class means, then an
-    sklearn EmpiricalCovariance (``assume_centered=False``) on the pooled
-    class-centered data. Classes with no samples are excluded from the pooled
-    covariance, matching the reference where empty classes contribute zero rows.
+    This is the Mahalanobis/cMD fit (funcs.py:33-66), the single
+    implementation behind ``cMDLatentSpace.setup``, ``Mahalanobis.setup``,
+    and ``mahalanobis_preprocess``: per-class means, then an sklearn
+    EmpiricalCovariance (``assume_centered=False``) on the pooled
+    class-centered data (f32). Classes with no samples get a warning and
+    contribute zero rows, matching the reference.
     """
+    import warnings
+
+    import numpy as np
+
+    counts = np.bincount(
+        np.asarray(labels).astype(np.int64), minlength=num_classes
+    )
+    for c in np.nonzero(counts == 0)[0]:
+        warnings.warn(f"No examples for {warn_label} {c}")
     means = class_means(x, labels, num_classes)
     centered = classwise_center(x, labels, means)
     # All rows belong to some observed class, so no NaNs can enter `centered`
     # unless labels point at empty classes, which cannot happen by construction.
-    precision = empirical_precision(centered, assume_centered=False)
+    precision = empirical_precision(
+        centered.astype(jnp.float32), assume_centered=False
+    )
     return means, precision
 
 
@@ -188,16 +212,24 @@ def classwise_mahalanobis_max(
 def mvn_fit_cholesky(covariances: jnp.ndarray, jitters=None) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Batched Cholesky with the reference's jitter ladder.
 
-    The reference tries jitters [0, 1e-20, ..., 1e-1] until
-    torch.distributions.MultivariateNormal accepts the covariance
-    (funcs.py:287,325-343). Here we compute the Cholesky for each ladder rung
-    and select, per batch, the first rung that yields a finite factor.
+    The reference adds ONE shared jitter to every class covariance and
+    retries until the whole stack is accepted by
+    torch.distributions.MultivariateNormal (funcs.py:287,325-343) — so a
+    singular covariance in one class perturbs the healthy classes too.
+    Replicated exactly: the first ladder rung that makes ALL classes PD is
+    applied to all of them (per-class selection would change healthy-class
+    log-probs vs the reference).
 
     Args:
         covariances: (C, d, d) stacked per-class covariance matrices.
 
     Returns:
-        (chol, jitter_used): (C, d, d) Cholesky factors and (C,) jitter values.
+        (chol, jitter_used): (C, d, d) Cholesky factors and (C,) jitter
+        values (one shared value, broadcast per class for API stability).
+
+    Raises:
+        ValueError: no ladder rung makes the stack PD (the reference's
+        loud ValueError after exhausting its ladder).
     """
     import numpy as np
 
@@ -207,24 +239,16 @@ def mvn_fit_cholesky(covariances: jnp.ndarray, jitters=None) -> Tuple[jnp.ndarra
     eye = jnp.eye(d, dtype=covariances.dtype)
     num_classes = covariances.shape[0]
 
-    chol = None
-    jitter_used = np.zeros((num_classes,), dtype=np.float64)
-    pending = np.ones((num_classes,), dtype=bool)
     for jitter in jitters:
         candidate = jnp.linalg.cholesky(covariances + jitter * eye)  # (C, d, d)
-        ok = np.asarray(jnp.all(jnp.isfinite(candidate), axis=(-1, -2)))
-        if chol is None:
-            chol = candidate
-            jitter_used[:] = jitter
-        else:
-            take = pending & ok
-            if take.any():
-                chol = jnp.where(jnp.asarray(take)[:, None, None], candidate, chol)
-                jitter_used[take] = jitter
-        pending = pending & ~ok
-        if not pending.any():
-            break
-    return chol, jnp.asarray(jitter_used, dtype=covariances.dtype)
+        if bool(np.asarray(jnp.all(jnp.isfinite(candidate)))):
+            return candidate, jnp.full(
+                (num_classes,), jitter, dtype=covariances.dtype
+            )
+    raise ValueError(
+        "mvn_fit_cholesky: covariances not positive-definite for any jitter "
+        f"in the ladder (max tried {jitters[-1]:g})"
+    )
 
 
 @partial(jax.jit, static_argnames=())

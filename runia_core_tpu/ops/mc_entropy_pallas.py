@@ -122,7 +122,7 @@ def fused_mc_entropy(
     b, h, w, c = fmap.shape
     hw = h * w
     weights = mc_dropblock_weights(key, b, h, w, mc_samples, block_size, drop_prob)
-    x = jnp.transpose(fmap, (0, 1, 2, 3)).reshape(b, hw, c).astype(jnp.float32)
+    x = fmap.reshape(b, hw, c).astype(jnp.float32)
 
     b_pad = int(np.ceil(b / _B_BLK)) * _B_BLK
     tile_c = min(tile_c, max(128, int(np.ceil(c / 128)) * 128))

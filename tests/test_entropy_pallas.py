@@ -16,7 +16,8 @@ from runia_core_tpu.ops.entropy_pallas import marginal_entropy_pallas
 def _check(clouds, k, **kw):
     a = np.asarray(_marginal_entropy_xla(jnp.asarray(clouds), k))
     b = np.asarray(marginal_entropy_pallas(jnp.asarray(clouds), k, interpret=True, **kw))
-    np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-5)
+    # shared digamma constant: paths agree to f32 reduction-order noise
+    np.testing.assert_allclose(a, b, rtol=1e-6, atol=1e-6)
 
 
 class TestPallasEntropyParity:

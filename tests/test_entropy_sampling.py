@@ -95,7 +95,13 @@ class TestKLEntropy:
 
 class TestDropBlock:
     def test_matches_torch_package_semantics(self, rng):
-        """Replicate the dropblock package's forward with a shared mask."""
+        """Replicate the dropblock package's forward with a shared mask.
+
+        Parity holds per image (the reference only ever runs B == 1,
+        abstract_classes.py:237-246). Our batched normalization is
+        deliberately per-image — a torch-style global scale would couple
+        each image's scores to its batchmates' masks (see dropblock.py).
+        """
         torch = pytest.importorskip("torch")
         import torch.nn.functional as F
 
@@ -106,22 +112,38 @@ class TestDropBlock:
             dropblock2d(key, jnp.asarray(x), drop_prob, block_size, channel_axis=1)
         )
 
-        # Recover the seed mask JAX drew, then apply the torch-side pipeline.
+        # Recover the seed mask JAX drew, then apply the torch-side pipeline
+        # image by image (B == 1 each): exact parity with the package.
         gamma = drop_prob / block_size**2
         seed_mask = np.asarray(
             jax.random.bernoulli(key, gamma, (2, 12, 12))
         ).astype(np.float32)
-        mask_t = torch.from_numpy(seed_mask)
-        block_mask = F.max_pool2d(
-            mask_t[:, None, :, :],
-            kernel_size=(block_size, block_size),
-            stride=(1, 1),
-            padding=block_size // 2,
+        for i in range(2):
+            mask_t = torch.from_numpy(seed_mask[i : i + 1])
+            block_mask = F.max_pool2d(
+                mask_t[:, None, :, :],
+                kernel_size=(block_size, block_size),
+                stride=(1, 1),
+                padding=block_size // 2,
+            )
+            block_mask = 1 - block_mask.squeeze(1)
+            out = torch.from_numpy(x[i : i + 1]) * block_mask[:, None, :, :]
+            expected = (out * block_mask.numel() / block_mask.sum()).numpy()
+            np.testing.assert_allclose(ours[i : i + 1], expected, rtol=1e-5, atol=1e-6)
+
+    def test_batch_composition_independence(self, rng):
+        """Each image's output must not depend on its batchmates."""
+        x = rng.rand(4, 3, 12, 12).astype(np.float32)
+        key = jax.random.key(7)
+        full = np.asarray(
+            dropblock2d(key, jnp.asarray(x), 0.3, 3, channel_axis=1)
         )
-        block_mask = 1 - block_mask.squeeze(1)
-        out = torch.from_numpy(x) * block_mask[:, None, :, :]
-        expected = (out * block_mask.numel() / block_mask.sum()).numpy()
-        np.testing.assert_allclose(ours, expected, rtol=1e-5, atol=1e-6)
+        # The same images through the same per-image masks: recover each
+        # image's mask by applying the full batch key to ones.
+        ones = np.asarray(
+            dropblock2d(key, jnp.ones_like(jnp.asarray(x)), 0.3, 3, channel_axis=1)
+        )
+        np.testing.assert_allclose(full, x * ones, rtol=1e-5, atol=1e-6)
 
     def test_even_block_size_shape(self, rng):
         x = jnp.asarray(rng.rand(1, 2, 9, 9).astype(np.float32))
