@@ -343,10 +343,13 @@ def plot_roc_curves(
 
 def _baseline_mean_metrics(baseline, overall_metrics_df):
     """Mean auroc/aupr/fpr@95 of one baseline across OoD datasets."""
+    # Row names are "{ood_dataset} {baseline}": match the suffix exactly —
+    # substring matching would fold 'dice_react' rows into 'react' (and
+    # 'dice' would absorb 'dice_react').
     rows = [
         overall_metrics_df.loc[row_name, ["auroc", "fpr@95", "aupr"]]
         for row_name in overall_metrics_df.index
-        if baseline in row_name
+        if row_name.rsplit(" ", 1)[-1] == baseline
     ]
     table = pd.DataFrame(rows)
     return table.mean(), table.std()

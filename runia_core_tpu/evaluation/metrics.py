@@ -451,7 +451,11 @@ def subset_boxes(
              np.random.choice(total, size=ind_train_limit, replace=False))
 
     valid_key = "valid latent_space_means"
-    if valid_key in ind_dict and ind_dict[valid_key].shape[0] > ood_limit:
+    if (
+        valid_key in ind_dict
+        and ind_dict[valid_key].shape[0] > ood_limit
+        and non_empty_predictions_id is not None
+    ):
         # Pick whole images until ~ood_limit boxes are kept.
         per_image = Counter(non_empty_predictions_id["valid"])
         avg_boxes = int(ind_dict[valid_key].shape[0] / len(per_image))

@@ -116,35 +116,38 @@ def yolo_get_logits(
         if not x.shape[0]:
             continue
         box, cls, mask = np.split(x, [4, 4 + nc], axis=1)
+        # cls_rows tracks the per-row class-score vectors through EVERY
+        # transform applied to x below (class filter, truncation) — NMS
+        # survivor indices select logits, so any misalignment silently
+        # corrupts every downstream OoD score.
         if multi_label:
             i, j = np.where(cls > conf_thres)
             x = np.concatenate(
                 [box[i], x[i, 4 + j, None], j[:, None].astype(np.float32), mask[i]], 1
             )
+            cls_rows = cls[i]
         else:
             conf = cls.max(1, keepdims=True)
             j = cls.argmax(1, keepdims=True)
-            x = np.concatenate([box, conf, j.astype(np.float32), mask], 1)[
-                conf.ravel() > conf_thres
-            ]
+            sel = conf.ravel() > conf_thres
+            x = np.concatenate([box, conf, j.astype(np.float32), mask], 1)[sel]
+            cls_rows = cls[sel]
         if classes is not None:
-            x = x[np.isin(x[:, 5].astype(int), np.asarray(classes))]
+            sel = np.isin(x[:, 5].astype(int), np.asarray(classes))
+            x = x[sel]
+            cls_rows = cls_rows[sel]
         n = x.shape[0]
         if not n:
             continue
         if n > max_nms:
-            x = x[np.argsort(-x[:, 4])[:max_nms]]
+            order = np.argsort(-x[:, 4])[:max_nms]
+            x = x[order]
+            cls_rows = cls_rows[order]
 
         c = x[:, 5:6] * (0 if agnostic else max_wh)
         scores = x[:, 4]
         boxes = x[:, :4] + c
         keep = nms_indices(boxes, scores, iou_thres, max_det=max_det)
-        # cls was filtered alongside x rows: recompute the candidate-filtered
-        # class scores aligned with x (non-multi-label path keeps row order).
-        if multi_label:
-            cls_rows = clsrows = cls[i]
-        else:
-            cls_rows = cls[conf.ravel() > conf_thres]
         output[xi] = np.log(cls_rows[keep])
     return np.concatenate(output, axis=0)
 

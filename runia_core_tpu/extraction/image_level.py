@@ -103,6 +103,10 @@ class FastMCDSamplesExtractor(_ExtractorBase):
         assert reduction_method in ("mean", "fullmean"), (
             "Only mean and fullmean reduction methods supported"
         )
+        if self.return_stds and layer_type == "FC":
+            # Spatial stds are a Conv-map statistic; the FC path has no
+            # spatial axes to reduce (and would crash on an empty concat).
+            raise ValueError("return_stds is only supported for layer_type='Conv'")
         self.taps = [self.tap] if isinstance(self.tap, str) else list(self.tap)
         if len(self.taps) == 1 and self.dropout_n_layers > 1:
             self.taps = self.taps * self.dropout_n_layers
@@ -180,7 +184,9 @@ class FastMCDSamplesExtractor(_ExtractorBase):
             if self.return_raw_predictions:
                 results["raw_preds"].append(np.asarray(outputs))
             if self.return_gt_labels:
-                results["gt_labels"].append(np.asarray(gt_labels).reshape(1, -1))
+                # (B,) rows: ragged final batches concatenate cleanly (the
+                # reference's reshape(1, -1) was batch-size-1 code).
+                results["gt_labels"].append(np.asarray(gt_labels).reshape(-1))
         out = {k: np.concatenate(v, axis=0) for k, v in results.items()}
         print("Latent representation vector size: ", out["latent_space_means"].shape[1])
         return out

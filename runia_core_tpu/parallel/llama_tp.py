@@ -9,7 +9,9 @@ partitioner work):
   - o and down kernels row-sharded (their matmul contracts the sharded dim,
     so XLA emits one all-reduce per block — the two Megatron f/g points);
   - lm_head column-sharded over vocab;
-  - embeddings and RMSNorm scales replicated.
+  - embedding table vocab-sharded (Megatron; XLA partitions the lookup);
+  - RMSNorm scales and QDense per-channel scales of row-sharded layers
+    replicated.
 
 Serving keeps the KV cache sharded over heads automatically: the cache
 entries inherit the k/v projection output sharding through

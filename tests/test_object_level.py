@@ -207,6 +207,40 @@ class TestYoloGetLogits:
         out = yolo_get_logits(raw, conf_thres=0.1, iou_thres=0.99, max_det=5)
         assert out.shape[0] <= 5
 
+    def test_classes_filter_keeps_logits_aligned(self):
+        """Regression: the classes filter / max_nms truncation must reorder
+        the class-score rows together with the detections — misalignment
+        silently corrupts every downstream OoD score."""
+        # 4 well-separated anchors; argmax classes [2, 0, 1, 0]
+        nc, n = 3, 4
+        raw = np.zeros((1, 4 + nc, n), np.float32)
+        for a, (x0, cls, conf) in enumerate(
+            [(0, 2, 0.9), (100, 0, 0.8), (200, 1, 0.7), (300, 0, 0.6)]
+        ):
+            raw[0, 0, a], raw[0, 1, a] = x0, 0
+            raw[0, 2, a], raw[0, 3, a] = x0 + 10, 10
+            raw[0, 4 + cls, a] = conf
+        out = yolo_get_logits(raw, conf_thres=0.25, iou_thres=0.5, classes=[0])
+        # only the two class-0 anchors survive; their max scores are 0.8, 0.6
+        assert out.shape == (2, nc)
+        np.testing.assert_allclose(
+            np.exp(out).max(axis=1), [0.8, 0.6], atol=1e-6
+        )
+
+    def test_max_nms_truncation_keeps_logits_aligned(self):
+        nc, n = 2, 6
+        raw = np.zeros((1, 4 + nc, n), np.float32)
+        confs = [0.3, 0.9, 0.5, 0.8, 0.4, 0.7]
+        for a, conf in enumerate(confs):
+            raw[0, 0, a], raw[0, 1, a] = 100 * a, 0
+            raw[0, 2, a], raw[0, 3, a] = 100 * a + 10, 10
+            raw[0, 4, a] = conf
+        out = yolo_get_logits(raw, conf_thres=0.25, iou_thres=0.5, max_nms=3)
+        # top-3 by confidence, in truncation order
+        np.testing.assert_allclose(
+            np.exp(out).max(axis=1), [0.9, 0.8, 0.7], atol=1e-6
+        )
+
 
 class TestObjectLevelInference:
     def test_generic_inference(self, rng):

@@ -141,3 +141,33 @@ class TestSubsetBoxes:
         np.testing.assert_array_equal(
             ind1["train latent_space_means"], out2[0]["train latent_space_means"]
         )
+
+
+class TestExtractorEdgeFixes:
+    def test_ragged_final_batch_gt_labels(self, rng):
+        model = SimpleConvNet(num_classes=2, features=8)
+        variables = model.init(jax.random.key(0), jnp.zeros((1, 16, 16, 3)))
+        fwd = build_tapped_forward(model, variables, taps=("pre_pool",))
+        ex = FastMCDSamplesExtractor(
+            model=fwd, layer_type="Conv", reduction_method="fullmean",
+            mcd_nro_samples=2, dropblock_probs=0.3, dropblock_sizes=3,
+            return_gt_labels=True,
+        )
+        batches = [
+            (rng.rand(6, 16, 16, 3).astype(np.float32), np.arange(6)),
+            (rng.rand(4, 16, 16, 3).astype(np.float32), np.arange(4)),
+        ]
+        out = ex.get_ls_samples(batches)
+        assert out["gt_labels"].shape == (10,)
+        np.testing.assert_array_equal(out["gt_labels"], list(range(6)) + list(range(4)))
+
+    def test_fc_return_stds_rejected(self):
+        model = SimpleConvNet(num_classes=2, features=8)
+        variables = model.init(jax.random.key(0), jnp.zeros((1, 16, 16, 3)))
+        fwd = build_tapped_forward(model, variables, taps=("pre_pool",))
+        with pytest.raises(ValueError, match="return_stds"):
+            FastMCDSamplesExtractor(
+                model=fwd, layer_type="FC", reduction_method="mean",
+                mcd_nro_samples=2, dropblock_probs=0.3, dropblock_sizes=3,
+                return_stds=True,
+            )
