@@ -45,7 +45,9 @@ def _flatten_state(state: Dict[str, Any]) -> Dict[str, np.ndarray]:
         if value is None:
             scalars[key] = None
         elif np.isscalar(value) or isinstance(value, (int, float, bool, str)):
-            scalars[key] = value
+            # np.float32(0.1) etc. pass np.isscalar but are not JSON
+            # serializable — normalize to builtin types via .item().
+            scalars[key] = value.item() if hasattr(value, "item") else value
         else:
             arrays[key] = np.asarray(value)
     arrays[_META_KEY] = np.frombuffer(
@@ -235,6 +237,8 @@ def save_llm(path: Union[str, os.PathLike], model, params) -> None:
 
     cfg = {}
     for f in dataclasses.fields(model):
+        if f.name in ("parent", "name"):  # flax framework fields, not config
+            continue
         v = getattr(model, f.name)
         if f.name in ("dtype",):
             v = jnp.dtype(v).name

@@ -37,7 +37,11 @@ class Config:
         if name in data:
             value = data[name]
             if isinstance(value, dict):
-                return Config(value)
+                # Wrap ONCE and store the wrapper back so nested attribute
+                # writes persist (cfg.sub.x = 5 must stick, as in omegaconf;
+                # a throwaway wrapper would silently discard them).
+                value = Config(value)
+                data[name] = value
             return value
         raise AttributeError(name)
 
@@ -69,7 +73,10 @@ class Config:
         return self._data.items()
 
     def to_dict(self) -> Dict[str, Any]:
-        return dict(self._data)
+        return {
+            k: v.to_dict() if isinstance(v, Config) else v
+            for k, v in self._data.items()
+        }
 
     def __repr__(self) -> str:  # pragma: no cover
         return f"Config({self._data!r})"

@@ -204,10 +204,26 @@ class PrefetchLoader:
         out_q: "queue.Queue" = queue.Queue(maxsize=self.prefetch_depth)
         sentinel = object()
         error: list = []
+        stop = threading.Event()
+
+        def put(item) -> bool:
+            # Bounded put that notices consumer abandonment: a consumer that
+            # breaks out of the loop sets `stop`, and the producer must not
+            # block forever on a full queue (it would pin device-resident
+            # batches in HBM and leak one thread per early exit).
+            while not stop.is_set():
+                try:
+                    out_q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
 
         def producer():
             try:
                 for idx in self._index_batches():
+                    if stop.is_set():
+                        return
                     if self.resize_to is not None:
                         batch = gather_resize_normalize(
                             self.images, idx, self.resize_to, self.scale,
@@ -223,20 +239,31 @@ class PrefetchLoader:
 
                         batch = jax.device_put(batch)
                     lab = self.labels[idx] if self.labels is not None else None
-                    out_q.put((batch, lab))
+                    if not put((batch, lab)):
+                        return
             except BaseException as exc:  # propagate to the consumer
                 error.append(exc)
             finally:
-                out_q.put(sentinel)
+                put(sentinel)
 
         thread = threading.Thread(target=producer, daemon=True)
         thread.start()
-        while True:
-            item = out_q.get()
-            if item is sentinel:
-                break
-            yield item
-        thread.join()
-        if error:
-            raise error[0]
-        self._epoch += 1
+        try:
+            while True:
+                item = out_q.get()
+                if item is sentinel:
+                    break
+                yield item
+        finally:
+            # Runs on normal exhaustion AND on generator close (early break):
+            # release the producer, drain queued batches, reap the thread.
+            stop.set()
+            while not out_q.empty():
+                try:
+                    out_q.get_nowait()
+                except queue.Empty:
+                    break
+            thread.join()
+            if error:
+                raise error[0]
+            self._epoch += 1

@@ -133,6 +133,9 @@ class JaxGenerator:
                 lp = jnp.take_along_axis(log_soft, next_tok[:, None], axis=-1)[:, 0]
                 lp = jnp.where(finished, -jnp.inf, lp)
                 if eos is not None:
+                    # Pad with EOS once finished — sequences past EOS would
+                    # otherwise carry sampled garbage the HF backend strips.
+                    next_tok = jnp.where(finished, eos, next_tok)
                     finished = finished | (next_tok == eos)
 
                 out_logits = step_logits
@@ -275,6 +278,7 @@ class JaxGenerator:
                     lp = jnp.take_along_axis(log_soft, next_tok[:, None], axis=-1)[:, 0]
                     lp = jnp.where(finished, -jnp.inf, lp)
                     if eos is not None:
+                        next_tok = jnp.where(finished, eos, next_tok)
                         finished = finished | (next_tok == eos)
                     # Physical KV validity: padded prompt slots masked, all
                     # generated slots (up to the cache) valid.
@@ -442,6 +446,10 @@ class JaxGenerator:
             )[:, 0]
             lp = np.where(finished, -np.inf, lp)
             log_probs.append(lp)
+            if self.eos_id is not None:
+                # Pad with EOS once finished (post-EOS sampled tokens would
+                # otherwise reach the decoded texts; HF strips them).
+                next_tok = jnp.where(jnp.asarray(finished), self.eos_id, next_tok)
             token_ids.append(np.asarray(next_tok))
             if self.eos_id is not None:
                 finished |= np.asarray(next_tok) == self.eos_id
@@ -530,6 +538,18 @@ def _hf_generation(model, tokenizer, prompt, gen_config, num_samples, needs_samp
     return deterministic, sampled, deterministic_text
 
 
+def _strip_eos(ids, eos_id):
+    """Drop EOS and everything after it (HF skip_special_tokens parity)."""
+    if eos_id is None:
+        return list(ids)
+    out = []
+    for t in ids:
+        if t == eos_id:
+            break
+        out.append(t)
+    return out
+
+
 def _jax_generation(generator, tokenizer, prompt, gen_config, num_samples,
                     needs_sampling, needs_attentions=True, needs_hiddens=True):
     """JaxGenerator flow mirroring the two HF phases.
@@ -548,12 +568,12 @@ def _jax_generation(generator, tokenizer, prompt, gen_config, num_samples,
         output_attentions=needs_attentions, output_hidden_states=False,
     )
     input_length = len(prompt_tokens)
+    eos_id = generator.eos_id
+    det_ids = _strip_eos(det["sequences"][0, input_length:].tolist(), eos_id)
     if tokenizer is not None and hasattr(tokenizer, "decode"):
-        deterministic_text = [
-            tokenizer.decode(det["sequences"][0, input_length:].tolist())
-        ]
+        deterministic_text = [tokenizer.decode(det_ids)]
     else:
-        deterministic_text = [det["sequences"][0, input_length:].tolist()]
+        deterministic_text = [det_ids]
     deterministic = {
         "log_probs": det["log_probs"],
         "logits": det["scores"],
@@ -567,13 +587,14 @@ def _jax_generation(generator, tokenizer, prompt, gen_config, num_samples,
             prompt_tokens, num_return_sequences=num_samples, do_sample=True,
             output_attentions=False, output_hidden_states=needs_hiddens,
         )
+        samp_ids = [
+            _strip_eos(samp["sequences"][i, input_length:].tolist(), eos_id)
+            for i in range(num_samples)
+        ]
         if tokenizer is not None and hasattr(tokenizer, "decode"):
-            texts = [
-                tokenizer.decode(samp["sequences"][i, input_length:].tolist())
-                for i in range(num_samples)
-            ]
+            texts = [tokenizer.decode(ids) for ids in samp_ids]
         else:
-            texts = [samp["sequences"][i, input_length:].tolist() for i in range(num_samples)]
+            texts = samp_ids
         sampled = {
             "log_probs": samp["log_probs"],
             "hidden_states": samp["hidden_states"],

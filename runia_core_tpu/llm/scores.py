@@ -94,8 +94,12 @@ def semantic_entropy(
 
 def perplexity(log_probs) -> float:
     """Mean negative log-probability of the generated tokens
-    (reference scores.py:121-132)."""
-    return float(-np.mean(_np(log_probs)))
+    (reference scores.py:121-132). Post-EOS padding entries (-inf, emitted
+    by JaxGenerator) are excluded — the HF backend stops at EOS, so
+    including them would return inf where it returns a finite value."""
+    lp = _np(log_probs)
+    lp = lp[np.isfinite(lp)]
+    return float(-np.mean(lp))
 
 
 def generation_entropy(logits) -> float:

@@ -206,7 +206,7 @@ def get_ls_mcd_samples_rcnn(
                 parts = []
                 for j, (k_name, v) in enumerate(out.backbone_feats.items()):
                     noised = dropblock2d(
-                        jax.random.fold_in(key, (i, s, j)[0] * 7919 + s * 131 + j),
+                        jax.random.fold_in(key, i * 7919 + s * 131 + j),
                         jnp.asarray(np.asarray(v)),
                         dropblock_prob,
                         dropblock_size,

@@ -170,11 +170,11 @@ def apply_pca_ds(
     train_samples: np.ndarray,
     test_samples: np.ndarray,
     nro_components: int = 16,
-    svd_solver: str = "randomized",
+    svd_solver: str = "auto",
     whiten: bool = True,
 ) -> Tuple[np.ndarray, np.ndarray, PCAState]:
     """Fit on train, transform train and test (reference signature)."""
-    train_t, state = pca_fit(train_samples, nro_components, whiten, svd_solver="auto")
+    train_t, state = pca_fit(train_samples, nro_components, whiten, svd_solver=svd_solver)
     test_t = pca_transform(state, jnp.asarray(np.asarray(test_samples)))
     return np.asarray(train_t), np.asarray(test_t), state
 
@@ -182,11 +182,11 @@ def apply_pca_ds(
 def apply_pca_ds_split(
     samples: np.ndarray,
     nro_components: int = 16,
-    svd_solver: str = "randomized",
+    svd_solver: str = "auto",
     whiten: bool = True,
 ) -> Tuple[np.ndarray, PCAState]:
     """Fit+transform one split (reference dimensionality_reduction.py:52-72)."""
-    transformed, state = pca_fit(samples, nro_components, whiten, svd_solver="auto")
+    transformed, state = pca_fit(samples, nro_components, whiten, svd_solver=svd_solver)
     return np.asarray(transformed), state
 
 

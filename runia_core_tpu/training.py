@@ -87,7 +87,13 @@ def make_train_step(
             ).mean()
 
     def compute_loss(params, extra_variables, images, labels):
-        use_bn = "batch_stats" in extra_variables
+        # has_batch_stats overrides autodetection (e.g. freeze BN stats by
+        # passing False even though the variables carry batch_stats).
+        use_bn = (
+            has_batch_stats
+            if has_batch_stats is not None
+            else "batch_stats" in extra_variables
+        )
         variables = {"params": params, **extra_variables}
         if use_bn:
             (logits, taps), new_model_state = model.apply(

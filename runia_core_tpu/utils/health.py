@@ -67,14 +67,20 @@ def device_healthcheck(
         y = float((x @ x).sum())
         return y, time.perf_counter() - t0
 
-    with concurrent.futures.ThreadPoolExecutor(max_workers=1) as pool:
-        future = pool.submit(probe)
-        try:
-            result, latency = future.result(timeout=timeout_s)
-        except concurrent.futures.TimeoutError as exc:
-            raise HealthCheckError(
-                f"device {device} did not answer the probe within {timeout_s}s"
-            ) from exc
+    # No `with` block: exiting the context would shutdown(wait=True) and
+    # join a worker still blocked inside a wedged TPU runtime — the
+    # healthcheck would then hang on exactly the failure it exists to
+    # detect. Abandon the stuck thread instead (wait=False).
+    pool = concurrent.futures.ThreadPoolExecutor(max_workers=1)
+    future = pool.submit(probe)
+    try:
+        result, latency = future.result(timeout=timeout_s)
+    except concurrent.futures.TimeoutError as exc:
+        pool.shutdown(wait=False)
+        raise HealthCheckError(
+            f"device {device} did not answer the probe within {timeout_s}s"
+        ) from exc
+    pool.shutdown(wait=False)
     expected = 4.0 * size
     if abs(result - expected) > 1e-3 * expected:
         raise HealthCheckError(

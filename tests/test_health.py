@@ -21,10 +21,23 @@ class TestHealthcheck:
         latency = device_healthcheck(timeout_s=60.0)
         assert latency > 0
 
-    def test_timeout_raises(self):
-        # A deadline no compile can meet forces the timeout path.
+    def test_timeout_raises(self, monkeypatch):
+        # Force a slow probe: with warm compile caches the real probe can
+        # finish before result(timeout) even checks, making a tiny deadline
+        # alone flaky.
+        import time as _time
+
+        from runia_core_tpu.utils import health as health_mod
+
+        real_put = health_mod.jax.device_put
+
+        def slow_put(x, device=None):
+            _time.sleep(0.5)
+            return real_put(x, device)
+
+        monkeypatch.setattr(health_mod.jax, "device_put", slow_put)
         with pytest.raises(HealthCheckError, match="did not answer"):
-            device_healthcheck(timeout_s=1e-9)
+            device_healthcheck(timeout_s=0.05)
 
 
 class TestFindNonfinite:

@@ -76,3 +76,78 @@ class TestThresholdEdges:
     def test_custom_z(self, rng):
         s = rng.randn(100)
         assert get_method_threshold(s, 2.0) == pytest.approx(s.mean() - 2 * s.std())
+
+
+class TestReviewRegressions:
+    def test_config_nested_write_persists(self):
+        from runia_core_tpu.config import Config
+
+        cfg = Config(sub={"x": 1})
+        cfg.sub.x = 5
+        assert cfg.sub.x == 5
+        assert cfg.to_dict() == {"sub": {"x": 5}}
+
+    def test_checkpoint_numpy_scalars(self, tmp_path):
+        from runia_core_tpu.checkpoint import load_state_dict, save_state_dict
+
+        state = {"threshold": np.float32(0.25), "k": np.int64(3),
+                 "arr": np.arange(4.0)}
+        path = tmp_path / "s.npz"
+        save_state_dict(path, state)
+        loaded = load_state_dict(path)
+        assert loaded["threshold"] == pytest.approx(0.25)
+        assert loaded["k"] == 3
+
+    def test_perplexity_ignores_post_eos_padding(self):
+        from runia_core_tpu.llm.scores import perplexity
+
+        assert np.isfinite(perplexity(np.array([-1.0, -2.0, -np.inf])))
+        assert perplexity(np.array([-1.0, -2.0, -np.inf])) == pytest.approx(1.5)
+
+    def test_generate_pads_with_eos_after_finish(self):
+        from runia_core_tpu.llm import JaxGenerator
+        from runia_core_tpu.models.transformer import CausalLM
+
+        import jax
+        import jax.numpy as jnp
+
+        model = CausalLM(vocab_size=16, num_layers=1, num_heads=2,
+                         d_model=16, max_len=64)
+        params = model.init(jax.random.key(0), jnp.zeros((1, 4), jnp.int32))
+        probe = JaxGenerator(model, params, max_new_tokens=8).generate(
+            prompt_tokens=[1, 2, 3], do_sample=False,
+            output_attentions=False, output_hidden_states=False,
+        )
+        eos = int(probe["sequences"][0][4])  # 2nd generated token
+        out = JaxGenerator(model, params, max_new_tokens=8, eos_id=eos).generate(
+            prompt_tokens=[1, 2, 3], do_sample=True, key=jax.random.key(1),
+            output_attentions=False, output_hidden_states=False,
+        )
+        seq = np.asarray(out["sequences"][0][3:])
+        hits = np.where(seq == eos)[0]
+        if hits.size:  # everything after the first EOS is EOS padding
+            assert (seq[hits[0]:] == eos).all()
+
+    def test_prefetch_loader_early_exit_no_leak(self):
+        import threading
+
+        from runia_core_tpu.data import PrefetchLoader
+
+        images = (np.random.RandomState(0).rand(64, 8, 8, 3) * 255).astype(np.uint8)
+        loader = PrefetchLoader(images, np.zeros(64), batch_size=8,
+                                device_put=False, prefetch_depth=2)
+        before = threading.active_count()
+        for i, _ in enumerate(loader):
+            if i == 1:
+                break
+        # generator close runs the finally: producer released and joined
+        import gc; gc.collect()
+        import time
+        for _ in range(50):
+            if threading.active_count() <= before:
+                break
+            time.sleep(0.1)
+        assert threading.active_count() <= before
+        # loader remains usable after an early exit
+        n = sum(1 for _ in loader)
+        assert n == 8
