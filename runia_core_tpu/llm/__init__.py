@@ -8,6 +8,7 @@ from runia_core_tpu.llm.attention import (
     _reconstruct_attention_matrix,
 )
 from runia_core_tpu.llm.generate import JaxGenerator, run_generation
+from runia_core_tpu.llm.service import GenerationService
 from runia_core_tpu.llm.speculative import SpeculativeGenerator
 from runia_core_tpu.llm.scores import (
     RAUQ,
@@ -42,6 +43,7 @@ __all__ = [
     "compute_uncertainties",
     "JaxGenerator",
     "SpeculativeGenerator",
+    "GenerationService",
     "run_generation",
     "StreamingAttentionAggregator",
     "make_nli_equivalence",

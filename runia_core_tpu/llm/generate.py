@@ -181,8 +181,14 @@ class JaxGenerator:
         pad_id: int = 0,
         output_attentions: bool = False,
         output_scores: bool = True,
+        pad_to: Optional[int] = None,
     ) -> Dict[str, Any]:
         """Decode a batch of DIFFERENT prompts in one fused program.
+
+        ``pad_to`` forces the padded prompt length to at least that many
+        slots (serving: bucket lengths so jit shape-specialization reuses
+        compiled programs across batches; the pad mask keeps extra slots
+        inert).
 
         ``output_scores=False`` drops the per-step logits from the result
         (``scores`` comes back empty): the (T, B, V) logits tensor dominates
@@ -212,6 +218,8 @@ class JaxGenerator:
         b = len(prompts)
         lengths = np.array([len(p) for p in prompts], np.int32)
         p = int(lengths.max())
+        if pad_to is not None:
+            p = max(p, int(pad_to))
         tokens = np.full((b, p), pad_id, np.int32)
         valid = np.zeros((b, p), bool)
         for i, seq in enumerate(prompts):
