@@ -60,3 +60,28 @@ class TestGenerationService:
         for f in futures:
             assert f.done()
             assert f.result()["prompt_length"] == 3
+
+    def test_sampled_service(self, generator):
+        service = GenerationService(generator, max_batch=4, max_wait_s=0.1,
+                                    do_sample=True, temperature=1.0)
+        try:
+            futures = [service.submit([1, 2, 3]) for _ in range(4)]
+            results = [f.result(timeout=120) for f in futures]
+        finally:
+            service.close()
+        gens = {tuple(r["sequences"][0][-5:].tolist()) for r in results}
+        assert len(gens) > 1  # sampled continuations differ across requests
+
+    def test_length_bucketing_collapses_shapes(self, generator):
+        service = GenerationService(generator, max_batch=2, max_wait_s=0.01,
+                                    length_bucket=16)
+        try:
+            service.submit([1, 2, 3]).result(timeout=120)
+            service.submit([4, 5, 6, 7, 8]).result(timeout=120)
+            # both requests pad to the same 16-slot bucket -> ONE compiled
+            # (batch, length) decode config
+            batch_cfgs = {k for k in generator._decode_cache if k[0] == "batch"
+                          and k[1] == 2 and k[2] == 16}
+            assert len(batch_cfgs) == 1, generator._decode_cache.keys()
+        finally:
+            service.close()
