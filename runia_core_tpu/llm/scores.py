@@ -47,14 +47,19 @@ def _np(x) -> np.ndarray:
     return np.asarray(x)
 
 
-def eigen_score(hidden_states, alpha: float = 1e-3) -> float:
+def eigen_score(hidden_states, alpha: float = 1e-3, layer_index: int = 15) -> float:
     """Mean log singular value of the sample-embedding covariance
     (reference scores.py:49-66; Chen et al. 2024).
 
     ``hidden_states`` is HF-shaped: tuple over generated tokens of tuples
     over layers; the embedding matrix uses token -1, layer 15 defaults.
+    ``layer_index`` is exposed (negative indices allowed) because the
+    reference's hardcoded layer 15 crashes on models shallower than 15
+    layers; 15 stays the default for reference parity.
     """
-    embedding_matrix = _np(_construct_embedding_matrix(hidden_states)).astype(float)
+    embedding_matrix = _np(
+        _construct_embedding_matrix(hidden_states, layer_index=layer_index)
+    ).astype(float)
     cov_matrix = np.cov(embedding_matrix.T)
     _, singular_values, _ = np.linalg.svd(
         cov_matrix + alpha * np.eye(cov_matrix.shape[0])
@@ -318,7 +323,10 @@ def compute_uncertainties(
     """
     registry = {
         "eigen_score": {
-            "fn": lambda det, samp, req: eigen_score(samp["hidden_states"]),
+            "fn": lambda det, samp, req: eigen_score(
+                samp["hidden_states"],
+                layer_index=req.get("layer_index", 15),
+            ),
             "needs_sampling": True,
         },
         "normalized_entropy": {

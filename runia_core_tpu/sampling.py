@@ -62,7 +62,11 @@ def mc_dropblock_samples(
                 spatial = (2, 3) if channel_axis == 1 else (1, 2)
                 return jnp.mean(noised, axis=spatial)  # (B, C)
             if channel_axis != 1:
-                raise NotImplementedError("'mean' reduction requires NCHW input")
+                # NHWC 'mean': reduce W, flatten the remaining (H, C) — the
+                # NHWC twin of the reference's mean-over-W + flatten
+                # (utils.py get_mean_or_fullmean_ls_sample; same layout as
+                # MCDSamplesExtractor._reduce).
+                return jnp.mean(noised, axis=2).reshape(noised.shape[0], -1)
             return get_mean_or_fullmean_ls_sample(noised, reduction).reshape(
                 noised.shape[0], -1
             )
