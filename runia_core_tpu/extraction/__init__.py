@@ -24,6 +24,7 @@ from runia_core_tpu.extraction.object_level_batched import (
     build_object_scorer,
     pad_detections,
 )
+from runia_core_tpu.extraction.hf_adapters import HFDetrAdapter, cxcywh_to_xyxy
 from runia_core_tpu.extraction.image_level import _ExtractorBase as Extractor
 from runia_core_tpu.extraction.taps import Hook, apply_dropout, tap_flax_model
 
@@ -59,4 +60,6 @@ __all__ = [
     "pad_detections",
     "batched_roi_features",
     "build_object_scorer",
+    "HFDetrAdapter",
+    "cxcywh_to_xyxy",
 ]

@@ -395,11 +395,15 @@ def compute_uncertainties(
     # ---- score dispatch ------------------------------------------------------
     scores: Dict[str, Any] = {}
     for req in uncertainty_requests:
-        name = (
-            req["method_name"]
-            + ("_" + str(req["token_aggregation"]) if req["method_name"] == "RAUQ" else "")
-            + ("_" + str(req["head_aggregation"]) if req["method_name"] == "RAUQ" else "")
-        )
+        # Use the same defaults as the RAUQ dispatch fn below, so a bare
+        # {"method_name": "RAUQ"} request names its score consistently
+        # instead of raising KeyError.
+        name = req["method_name"]
+        if name == "RAUQ":
+            name += (
+                "_" + str(req.get("token_aggregation", "mean_all_tokens"))
+                + "_" + str(req.get("head_aggregation", "rollout"))
+            )
         fn_entry = registry[req["method_name"]]
         scores[name] = fn_entry["fn"](deterministic, sampled, req)
         if req["method_name"] == "semantic_entropy":

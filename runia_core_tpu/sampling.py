@@ -53,6 +53,28 @@ def mc_dropblock_samples(
     Returns:
         (B, S, d) samples where d = C for Conv, C*H*W otherwise.
     """
+    if layer_type == "Conv" and reduction == "fullmean":
+        # Weights-matmul formulation: DropBlock keep-weights are
+        # channel-independent, so the masked channel mean is
+        # (keep*scale) @ x / HW. Generating the (B, S, HW) weights on an
+        # all-ones map (identical Bernoulli draws and key order — no C axis
+        # involved) and contracting once reads the latent map ONCE instead
+        # of S times: ~8x less HBM traffic for S=16, the stage's bottleneck
+        # (docs/PERFORMANCE.md "MC-DropBlock stage").
+        if channel_axis == 1:
+            b, c, h, w = latent_rep.shape
+            flat = jnp.transpose(latent_rep, (0, 2, 3, 1)).reshape(b, h * w, c)
+        else:
+            b, h, w, c = latent_rep.shape
+            flat = latent_rep.reshape(b, h * w, c)
+        ones = jnp.ones((b, 1, h, w), latent_rep.dtype)
+        keys = jax.random.split(key, mc_samples)
+        weights = jax.vmap(
+            lambda k: dropblock2d(k, ones, drop_prob, block_size, channel_axis=1)[:, 0]
+        )(keys)  # (S, B, H, W)
+        weights = jnp.transpose(weights, (1, 0, 2, 3)).reshape(b, mc_samples, h * w)
+        return jnp.einsum("bsp,bpc->bsc", weights, flat) / (h * w)
+
     keys = jax.random.split(key, mc_samples)
 
     def one_sample(k):
@@ -65,7 +87,11 @@ def mc_dropblock_samples(
                 # NHWC 'mean': reduce W, flatten the remaining (H, C) — the
                 # NHWC twin of the reference's mean-over-W + flatten
                 # (utils.py get_mean_or_fullmean_ls_sample; same layout as
-                # MCDSamplesExtractor._reduce).
+                # MCDSamplesExtractor._reduce). Validate like the NCHW path
+                # does so unknown reductions fail loudly.
+                assert reduction == "mean", (
+                    f"Unsupported reduction {reduction!r}: 'mean'/'fullmean'"
+                )
                 return jnp.mean(noised, axis=2).reshape(noised.shape[0], -1)
             return get_mean_or_fullmean_ls_sample(noised, reduction).reshape(
                 noised.shape[0], -1

@@ -81,11 +81,10 @@ def backends():
 REQUESTS = [
     {"method_name": "perplexity"},
     {"method_name": "generation_entropy"},
-    {
-        "method_name": "RAUQ",
-        "token_aggregation": "mean_all_tokens",
-        "head_aggregation": "rollout",
-    },
+    # Bare request: the aggregation defaults (mean_all_tokens, rollout) must
+    # be applied consistently by both the dispatch fn and the score-name
+    # builder (regression: the name builder used to KeyError on this).
+    {"method_name": "RAUQ"},
     {"method_name": "normalized_entropy"},
     {"method_name": "eigen_score", "layer_index": -1},
     {"method_name": "semantic_entropy"},
