@@ -611,12 +611,75 @@ def _jax_generation(generator, tokenizer, prompt, gen_config, num_samples,
     return deterministic, sampled, deterministic_text
 
 
+def _speculative_generation(spec, tokenizer, prompt, gen_config, num_samples,
+                            needs_sampling, needs_attentions=True,
+                            needs_hiddens=True):
+    """SpeculativeGenerator backend: deterministic pass through a plain
+    JaxGenerator on the TARGET model (so attention taps for RAUQ are
+    available), sampled pass through the fused speculative loop (~5x the
+    plain N-sample decode — docs/PERFORMANCE.md). Hidden states are not
+    emitted by the fused loop, so eigen_score must use a JaxGenerator."""
+    if needs_sampling and needs_hiddens:
+        raise ValueError(
+            "eigen_score needs sampled hidden states, which the fused "
+            "speculative loop does not emit — pass a JaxGenerator instead"
+        )
+    if needs_sampling and not spec.do_sample:
+        raise ValueError(
+            "sampled uncertainty scores need SpeculativeGenerator("
+            "do_sample=True)"
+        )
+    det_gen = getattr(spec, "_uncertainty_det_gen", None)
+    if det_gen is None:
+        det_gen = JaxGenerator(
+            spec.target, spec.target_params,
+            max_new_tokens=spec.max_new_tokens, eos_id=spec.eos_id,
+        )
+        spec._uncertainty_det_gen = det_gen
+    deterministic, _, deterministic_text = _jax_generation(
+        det_gen, tokenizer, prompt, gen_config, 1, needs_sampling=False,
+        needs_attentions=needs_attentions, needs_hiddens=False,
+    )
+
+    sampled = {"log_probs": None, "hidden_states": None, "texts": None}
+    if needs_sampling:
+        if tokenizer is not None and hasattr(tokenizer, "encode"):
+            prompt_tokens = tokenizer.encode(prompt)
+        else:
+            prompt_tokens = prompt
+        samp = spec.generate_samples(prompt_tokens, num_samples)
+        ids = [
+            _strip_eos(
+                samp["tokens"][i, : int(samp["lengths"][i])].tolist(),
+                spec.eos_id,
+            )
+            for i in range(num_samples)
+        ]
+        if tokenizer is not None and hasattr(tokenizer, "decode"):
+            texts = [tokenizer.decode(t) for t in ids]
+        else:
+            texts = ids
+        sampled = {
+            "log_probs": samp["log_probs"],  # -inf past each sample's end
+            "hidden_states": None,
+            "texts": texts,
+        }
+    return deterministic, sampled, deterministic_text
+
+
 def run_generation(model, tokenizer, prompt, gen_config, num_samples,
                    needs_sampling, needs_attentions=True, needs_hiddens=True):
     """Dispatch on backend type. The ``needs_*`` hints only prune taps on the
     JAX backend; the HF flow always requests everything (reference parity)."""
+    from runia_core_tpu.llm.speculative import SpeculativeGenerator
+
     if isinstance(model, JaxGenerator):
         return _jax_generation(
+            model, tokenizer, prompt, gen_config, num_samples, needs_sampling,
+            needs_attentions=needs_attentions, needs_hiddens=needs_hiddens,
+        )
+    if isinstance(model, SpeculativeGenerator):
+        return _speculative_generation(
             model, tokenizer, prompt, gen_config, num_samples, needs_sampling,
             needs_attentions=needs_attentions, needs_hiddens=needs_hiddens,
         )

@@ -407,10 +407,13 @@ def compute_uncertainties(
         fn_entry = registry[req["method_name"]]
         scores[name] = fn_entry["fn"](deterministic, sampled, req)
         if req["method_name"] == "semantic_entropy":
+            # Without a tokenizer the "texts" are token-id lists — tuple-ize
+            # so they stay usable as dict keys.
             scores["clusters"] = {
-                sampled["texts"][i]: cluster
+                (tuple(t) if isinstance(t, list) else t): cluster
                 for cluster, texts in scores[name][1].items()
                 for i in texts
+                for t in [sampled["texts"][i]]
             }
             scores[name] = scores[name][0]
     return deterministic_text, scores
