@@ -69,12 +69,18 @@ def _axis_weights(
     w_low = w * (1.0 - frac)
     w_high = w * frac
 
-    mat = jnp.zeros((n, out_size, size), dtype=start.dtype)
-    n_idx = jnp.broadcast_to(jnp.arange(n)[:, None, None], pos.shape)
-    o_idx = jnp.broadcast_to(jnp.arange(out_size)[None, :, None], pos.shape)
-    mat = mat.at[n_idx, o_idx, low].add(w_low)
-    mat = mat.at[n_idx, o_idx, high].add(w_high)
-    return mat
+    # Accumulate into the (N, out, size) matrix via one-hot contractions:
+    # TPU scatter-add serializes (and vmapping it over a detection batch made
+    # it the object scorer's bottleneck), while the compare+reduce below is
+    # pure VPU work. ``size`` is a feature-map axis (small), so the extra
+    # (N, out, S, size) intermediate is tiny.
+    cols = jnp.arange(size, dtype=jnp.int32)
+    onehot_low = (low[..., None] == cols).astype(start.dtype)
+    onehot_high = (high[..., None] == cols).astype(start.dtype)
+    return (
+        jnp.einsum("nos,nosz->noz", w_low, onehot_low)
+        + jnp.einsum("nos,nosz->noz", w_high, onehot_high)
+    )
 
 
 @partial(
