@@ -32,7 +32,7 @@ def main():
     rng = np.random.RandomState(0)
     model = ResNet18(num_classes=10, cifar_stem=True)
     init = jnp.zeros((BATCH, IMG, IMG, 3), jnp.float32)
-    variables = model.init(jax.random.key(0), init)
+    variables = jax.jit(model.init)(jax.random.key(0), init)
     forward = build_tapped_forward(model, variables, taps=("pre_pool",))
 
     # Synthetic InD/OoD data (replace with CIFAR-10 / SVHN loaders)

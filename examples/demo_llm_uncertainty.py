@@ -48,7 +48,7 @@ def run_jax_demo(num_samples: int):
 
     model = CausalLM(vocab_size=512, num_layers=16, num_heads=4, d_model=128,
                      max_len=128)
-    params = model.init(jax.random.key(0), np.zeros((1, 8), np.int32))
+    params = jax.jit(model.init)(jax.random.key(0), np.zeros((1, 8), np.int32))
     generator = JaxGenerator(model, params, max_new_tokens=24)
     prompt = [11, 42, 7, 99, 3]
     return compute_uncertainties(
@@ -65,7 +65,7 @@ def run_batched_rauq_demo():
 
     model = CausalLM(vocab_size=512, num_layers=8, num_heads=4, d_model=128,
                      max_len=128)
-    params = model.init(jax.random.key(0), np.zeros((1, 8), np.int32))
+    params = jax.jit(model.init)(jax.random.key(0), np.zeros((1, 8), np.int32))
     generator = JaxGenerator(model, params, max_new_tokens=16)
     prompts = [[11, 42, 7], [99, 3, 5, 8, 2], [100, 200], [7, 7, 7, 7]]
     out = generator.generate_batch(prompts, output_attentions=True)

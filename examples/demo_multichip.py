@@ -48,7 +48,7 @@ def main():
     # --- 2. Data-parallel fused LaREx scoring ---
     model = SimpleConvNet(num_classes=4, features=16)  # pre_pool has 32 ch
     images = rng.rand(n_dev * 32, 32, 32, 3).astype(np.float32)
-    variables = model.init(jax.random.key(0), jnp.asarray(images[:1]))
+    variables = jax.jit(model.init)(jax.random.key(0), jnp.asarray(images[:1]))
     forward = build_tapped_forward(model, variables)
     md_entropy = MDLatentSpace()
     md_entropy.setup(rng.randn(512, 32).astype(np.float32))

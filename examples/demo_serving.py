@@ -30,7 +30,7 @@ BATCH, IMG, MC = 64, 32, 8
 def main():
     rng = np.random.RandomState(0)
     model = ResNet18(num_classes=10, cifar_stem=True)
-    variables = model.init(
+    variables = jax.jit(model.init)(
         jax.random.key(0), jnp.zeros((1, IMG, IMG, 3), jnp.float32)
     )
     forward = build_tapped_forward(model, variables, taps=("pre_pool",))
