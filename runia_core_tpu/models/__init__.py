@@ -15,6 +15,10 @@ from runia_core_tpu.models.llama import (
     convert_hf_llama,
     quantize_llama_params,
 )
+from runia_core_tpu.models.quant_vision import (
+    quantize_resnet,
+    quantize_resnet_params,
+)
 from runia_core_tpu.models.torch_convert import convert_torch_resnet
 from runia_core_tpu.models.transformer import CausalLM
 from runia_core_tpu.models.vit import ViT
@@ -35,4 +39,6 @@ __all__ = [
     "convert_hf_llama",
     "quantize_llama_params",
     "convert_torch_resnet",
+    "quantize_resnet",
+    "quantize_resnet_params",
 ]
