@@ -126,8 +126,9 @@ def build_larex(img, batch, resnet50=False, int8=False):
     forward = build_tapped_forward(model, variables, taps=("pre_pool",))
     if int8:
         # PTQ backbone (models/quant_vision.py): int8 convs on the MXU; the
-        # scoring stack (entropy/PCA/LaREM) stays f32. Fit below still uses
-        # the float forward — production calibrates/fits on InD data once.
+        # scoring stack (entropy/PCA/LaREM) stays f32. The fit loop below
+        # then runs on this quantized forward too — fit on the path you
+        # serve, so the PCA/LaREM state matches the features it will score.
         calib = rng.rand(min(batch, 256), img, img, 3).astype(np.float32)
         forward = quantize_resnet(model, variables, calib)
 

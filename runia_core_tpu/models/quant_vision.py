@@ -31,9 +31,9 @@ torch/CUDA deps entirely — SURVEY.md section 2.2); this is a TPU-native
 capability addition, gated behind an explicit opt-in call.
 
 The calibration pass runs this module's own pure-JAX mirror of
-``ResNet.__call__`` in f32 (bit-identical to ``model.apply``; tests
-enforce) so the activation statistics see exactly the tensors the
-quantized program will.
+``ResNet.__call__`` in f32 (agrees with ``model.apply`` to within BN-fold
+reassociation noise; tests pin rtol 1e-4) so the activation statistics see
+the tensors the quantized program will.
 """
 
 from __future__ import annotations
@@ -44,11 +44,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from runia_core_tpu.models.resnet import (
-    BottleneckResNetBlock,
-    ResNet,
-    ResNetBlock,
-)
+from runia_core_tpu.models.resnet import ResNet, ResNetBlock
 
 __all__ = ["quantize_resnet", "quantize_resnet_params"]
 
@@ -59,6 +55,13 @@ _BN_EPS = 1e-5  # matches models/resnet.py norm partial
 # Structural walk: one function drives calibration, quantization, and the
 # quantized forward, so the three can never drift apart.
 # ---------------------------------------------------------------------------
+
+
+def _is_basic(model: ResNet) -> bool:
+    """True for ResNetBlock (two-conv) stacks, False for bottleneck."""
+    return model.block_cls is ResNetBlock or getattr(
+        model.block_cls, "func", None
+    ) is ResNetBlock
 
 
 def _conv_sites(model: ResNet) -> List[Dict[str, Any]]:
@@ -77,9 +80,7 @@ def _conv_sites(model: ResNet) -> List[Dict[str, Any]]:
             "kind": "stem",
         }
     ]
-    basic = model.block_cls is ResNetBlock or getattr(
-        model.block_cls, "func", None
-    ) is ResNetBlock
+    basic = _is_basic(model)
     for i, block_size in enumerate(model.stage_sizes):
         for j in range(block_size):
             parent = f"stage{i + 1}_block{j}"
@@ -163,7 +164,8 @@ def _forward(
     """The ResNet.__call__ control flow with conv+BN delegated to ``conv_bn``.
 
     ``conv_bn(x, site)`` returns the f32 post-BN (pre-relu) activation.
-    Mirrors models/resnet.py line for line; tests pin exact f32 agreement.
+    Mirrors models/resnet.py line for line; tests pin agreement with the
+    flax forward at rtol 1e-4 (BN folding reassociates the f32 arithmetic).
     """
     sites = iter(_conv_sites(model))
     taps: Dict[str, jnp.ndarray] = {}
@@ -174,10 +176,7 @@ def _forward(
         x = _max_pool(x, (3, 3), (2, 2), pool_pad)
     taps["stem"] = x
 
-    basic = model.block_cls is ResNetBlock or getattr(
-        model.block_cls, "func", None
-    ) is ResNetBlock
-    n_convs = 2 if basic else 3
+    n_convs = 2 if _is_basic(model) else 3
     for i, block_size in enumerate(model.stage_sizes):
         for j in range(block_size):
             residual = x
@@ -282,19 +281,21 @@ def quantize_resnet_params(
         out = _forward(model, images, calib_conv_bn, params["head"])
         return out, dict(records)
 
-    device = None
+    import contextlib
+    import warnings
+
+    ctx = contextlib.nullcontext()
     if calib_device is not None:
         try:
-            device = jax.devices(calib_device)[0]
+            ctx = jax.default_device(jax.devices(calib_device)[0])
         except RuntimeError:
-            device = None  # backend not available; use the default
-    if device is not None:
-        with jax.default_device(device):
-            (_, _), rec = jax.jit(run)(jnp.asarray(calib_images, jnp.float32))
-            captured = {
-                k: float(np.asarray(jax.device_get(v))) for k, v in rec.items()
-            }
-    else:
+            warnings.warn(
+                f"calibration backend {calib_device!r} unavailable; "
+                "calibrating on the default device (on a remote TPU this "
+                "pays an extra program compile)",
+                stacklevel=2,
+            )
+    with ctx:
         (_, _), rec = jax.jit(run)(jnp.asarray(calib_images, jnp.float32))
         captured = {k: float(np.asarray(jax.device_get(v))) for k, v in rec.items()}
 
