@@ -142,6 +142,46 @@ class TestQuantizedForward:
         assert logits.shape == (4, 10)
         assert taps["pre_pool"].shape == (4, 4, 4, 512)
 
+    def test_drop_in_for_object_scorer(self, r18):
+        # The quantized forward keeps the tapped-forward contract, so the
+        # batched object-level scorer composes with it unchanged.
+        from runia_core_tpu.detectors import MDLatentSpace
+        from runia_core_tpu.extraction.object_level_batched import (
+            build_object_scorer,
+            pad_detections,
+        )
+
+        model, variables = r18
+        rng = np.random.RandomState(6)
+        qforward = quantize_resnet(model, variables, _images(rng, 16, 32))
+        fforward = build_tapped_forward(model, variables, taps=("pre_pool",))
+        md = MDLatentSpace()
+        md.setup(rng.randn(64, 512).astype(np.float32))
+
+        images = _images(rng, 2, 32)
+        dets = [
+            {"boxes": np.array([[2.0, 2.0, 20.0, 24.0], [8.0, 4.0, 30.0, 30.0]],
+                               np.float32)},
+            {"boxes": np.zeros((0, 4), np.float32)},
+        ]
+        padded = pad_detections(dets, 4, (32, 32))
+        s_q = np.asarray(
+            build_object_scorer(qforward, md.state, (4,), (32, 32))(
+                jnp.asarray(images), padded
+            )
+        )
+        s_f = np.asarray(
+            build_object_scorer(fforward, md.state, (4,), (32, 32))(
+                jnp.asarray(images), padded
+            )
+        )
+        assert s_q.shape == (2, 4)
+        assert np.isfinite(s_q[0, :2]).all() and np.isfinite(s_q[1, 0])
+        assert (s_q[0, 2:] == -np.inf).all()
+        finite = np.isfinite(s_f)
+        rel = np.abs(s_q[finite] - s_f[finite]) / (np.abs(s_f[finite]) + 1e-9)
+        assert np.median(rel) < 0.2, rel
+
     def test_quantile_clips_outliers(self, r18):
         model, variables = r18
         rng = np.random.RandomState(5)
