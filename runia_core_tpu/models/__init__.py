@@ -1,6 +1,7 @@
 """Model zoo: flax modules with built-in feature taps."""
 
 from runia_core_tpu.models.detection import JaxDetectorAdapter, SimpleDetector
+from runia_core_tpu.models.deeplab import ASPP, DeepLabV3Plus
 from runia_core_tpu.models.segmentation import SimpleSegmenter
 from runia_core_tpu.models.resnet import (
     ResNet,
@@ -34,6 +35,8 @@ __all__ = [
     "SimpleDetector",
     "JaxDetectorAdapter",
     "SimpleSegmenter",
+    "DeepLabV3Plus",
+    "ASPP",
     "CausalLM",
     "LlamaLM",
     "convert_hf_llama",

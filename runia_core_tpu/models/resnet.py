@@ -22,7 +22,7 @@ taps you need — XLA dead-code-eliminates the rest.
 from __future__ import annotations
 
 from functools import partial
-from typing import Any, Callable, Dict, Sequence, Tuple
+from typing import Any, Callable, Dict, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -41,20 +41,27 @@ ModuleDef = Any
 
 
 class ResNetBlock(nn.Module):
-    """Basic residual block (two 3x3 convs)."""
+    """Basic residual block (two 3x3 convs).
+
+    ``dilation`` > 1 turns the 3x3 convs atrous (same params, larger
+    receptive field) — used by dilated backbones (DeepLabv3+ output-stride
+    control) where a stage keeps spatial resolution instead of striding.
+    """
 
     filters: int
     conv: ModuleDef
     norm: ModuleDef
     strides: Tuple[int, int] = (1, 1)
+    dilation: int = 1
 
     @nn.compact
     def __call__(self, x):
         residual = x
-        y = self.conv(self.filters, (3, 3), self.strides)(x)
+        dil = (self.dilation, self.dilation)
+        y = self.conv(self.filters, (3, 3), self.strides, kernel_dilation=dil)(x)
         y = self.norm()(y)
         y = nn.relu(y)
-        y = self.conv(self.filters, (3, 3))(y)
+        y = self.conv(self.filters, (3, 3), kernel_dilation=dil)(y)
         y = self.norm(scale_init=nn.initializers.zeros_init())(y)
         if residual.shape != y.shape:
             residual = self.conv(self.filters, (1, 1), self.strides, name="conv_proj")(
@@ -71,6 +78,7 @@ class BottleneckResNetBlock(nn.Module):
     conv: ModuleDef
     norm: ModuleDef
     strides: Tuple[int, int] = (1, 1)
+    dilation: int = 1
 
     @nn.compact
     def __call__(self, x):
@@ -78,7 +86,10 @@ class BottleneckResNetBlock(nn.Module):
         y = self.conv(self.filters, (1, 1))(x)
         y = self.norm()(y)
         y = nn.relu(y)
-        y = self.conv(self.filters, (3, 3), self.strides)(y)
+        y = self.conv(
+            self.filters, (3, 3), self.strides,
+            kernel_dilation=(self.dilation, self.dilation),
+        )(y)
         y = self.norm()(y)
         y = nn.relu(y)
         y = self.conv(self.filters * 4, (1, 1))(y)
@@ -108,6 +119,14 @@ class ResNet(nn.Module):
     cifar_stem: bool = False  # 3x3 stem, no max-pool (CIFAR-sized inputs)
     dtype: Any = jnp.float32
     remat: bool = False
+    # Dilated-backbone mode (DeepLabv3+): once the cumulative stride hits
+    # ``output_stride``, later stages trade their stride-2 for doubled
+    # atrous dilation — same parameters, full-resolution feature maps.
+    # None = plain ResNet (cumulative stride 32 / 8 for the cifar stem).
+    output_stride: Optional[int] = None
+    # False drops the classification head (and its params) — backbone mode
+    # for dense-prediction models; returns (None, taps).
+    include_head: bool = True
     # Symmetric torch-style conv/pool padding (k//2 each side) instead of
     # XLA "SAME" (which pads asymmetrically for stride 2 on even inputs).
     # Needed for spatial parity when loading torchvision checkpoints via
@@ -118,8 +137,11 @@ class ResNet(nn.Module):
     def __call__(self, x, train: bool = False):
         if self.torch_padding:
             def conv(features, kernel_size=(1, 1), strides=(1, 1), **kw):
+                dil = kw.get("kernel_dilation", (1, 1))
                 kw.setdefault(
-                    "padding", [(k // 2, k // 2) for k in kernel_size]
+                    "padding",
+                    [(d * (k // 2), d * (k // 2))
+                     for k, d in zip(kernel_size, dil)],
                 )
                 return nn.Conv(features, kernel_size, strides, use_bias=False,
                                dtype=self.dtype, **kw)
@@ -148,20 +170,40 @@ class ResNet(nn.Module):
         taps["stem"] = x
 
         block_cls = nn.remat(self.block_cls) if self.remat else self.block_cls
+        cum_stride = 1 if self.cifar_stem else 4
+        dilation = 1
         for i, block_size in enumerate(self.stage_sizes):
             for j in range(block_size):
-                strides = (2, 2) if i > 0 and j == 0 else (1, 1)
+                strides = (1, 1)
+                blk_dilation = dilation
+                if i > 0 and j == 0:
+                    if (
+                        self.output_stride is not None
+                        and cum_stride >= self.output_stride
+                    ):
+                        # Keep resolution, grow receptive field. torchvision
+                        # convention: the stage's first block runs at the
+                        # previous dilation, later blocks at the doubled one.
+                        dilation *= 2
+                    else:
+                        strides = (2, 2)
+                        cum_stride *= 2
+                else:
+                    blk_dilation = dilation
                 # Explicit names keep the param tree identical whether or not
                 # blocks are remat-wrapped (nn.remat changes auto-names).
                 x = block_cls(
                     self.num_filters * 2**i, strides=strides, conv=conv,
-                    norm=norm, name=f"stage{i + 1}_block{j}",
+                    norm=norm, dilation=blk_dilation,
+                    name=f"stage{i + 1}_block{j}",
                 )(x)
             taps[f"block{i + 1}"] = x
 
         taps["pre_pool"] = x
         x = jnp.mean(x, axis=(1, 2))
         taps["penultimate"] = x
+        if not self.include_head:
+            return None, taps
         logits = nn.Dense(self.num_classes, dtype=self.dtype, name="head")(x)
         return logits, taps
 

@@ -15,12 +15,13 @@ import jax
 import jax.numpy as jnp
 
 from runia_core_tpu.models import (
-    ResNet18,
+    ResNet,
     ResNet50,
     build_tapped_forward,
     quantize_resnet,
     quantize_resnet_params,
 )
+from runia_core_tpu.models.resnet import ResNetBlock
 from runia_core_tpu.models.quant_vision import _float_forward
 
 
@@ -34,7 +35,13 @@ def _images(rng, n, img):
 
 @pytest.fixture(scope="module")
 def r18():
-    model = ResNet18(num_classes=10, cifar_stem=True)
+    # Narrow 3-stage basic-block ResNet: exercises the identical structural
+    # walk (stem + per-stage blocks + proj sites) at a fraction of the
+    # ResNet-18 compile/run cost — the walk is size-agnostic by design.
+    model = ResNet(
+        stage_sizes=(1, 1, 1), block_cls=ResNetBlock, num_classes=10,
+        num_filters=16, cifar_stem=True,
+    )
     variables = _init(model, (2, 32, 32, 3))
     return model, variables
 
@@ -135,12 +142,12 @@ class TestQuantizedForward:
         # Scales are per-output-channel, int8 kernels, f32 biases.
         stem = qp["conv_init"]
         assert stem["w_q"].dtype == np.int8
-        assert stem["w_scale"].shape == (64,)
+        assert stem["w_scale"].shape == (16,)
         assert np.all(np.abs(stem["w_q"]) <= 127)
         qforward = quantize_resnet(model, variables, None, qparams=qp)
         logits, taps = qforward(_images(rng, 4, 32))
         assert logits.shape == (4, 10)
-        assert taps["pre_pool"].shape == (4, 4, 4, 512)
+        assert taps["pre_pool"].shape == (4, 8, 8, 64)
 
     def test_drop_in_for_object_scorer(self, r18):
         # The quantized forward keeps the tapped-forward contract, so the
@@ -156,7 +163,7 @@ class TestQuantizedForward:
         qforward = quantize_resnet(model, variables, _images(rng, 16, 32))
         fforward = build_tapped_forward(model, variables, taps=("pre_pool",))
         md = MDLatentSpace()
-        md.setup(rng.randn(64, 512).astype(np.float32))
+        md.setup(rng.randn(64, 64).astype(np.float32))
 
         images = _images(rng, 2, 32)
         dets = [
