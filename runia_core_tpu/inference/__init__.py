@@ -15,6 +15,7 @@ from runia_core_tpu.inference.image_level import (
     ProbabilisticInferenceModule,
     build_larex_scorer,
 )
+from runia_core_tpu.inference.segmentation import build_pixel_uncertainty_scorer
 from runia_core_tpu.inference.service import ScoringService
 from runia_core_tpu.inference.object_level import (
     BoxInferenceYolo,
@@ -30,6 +31,7 @@ __all__ = [
     "LaRExInference",
     "LaRDInference",
     "build_larex_scorer",
+    "build_pixel_uncertainty_scorer",
     "ScoringService",
     "BoxInferenceYolo",
     "ObjectLevelInference",

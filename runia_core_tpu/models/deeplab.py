@@ -42,7 +42,9 @@ def _resize(x: jnp.ndarray, hw: Tuple[int, int]) -> jnp.ndarray:
     """Bilinear resize of NHWC maps in f32 (resolution changes are the one
     place where bf16 rounding visibly banding-artifacts dense predictions)."""
     out_shape = (x.shape[0], hw[0], hw[1], x.shape[-1])
-    return jax.image.resize(x.astype(jnp.float32), out_shape, method="bilinear")
+    return jax.image.resize(
+        x.astype(jnp.float32), out_shape, method="bilinear", antialias=False
+    )
 
 
 class ASPP(nn.Module):
@@ -103,6 +105,11 @@ class DeepLabV3Plus(nn.Module):
     aspp_features: int = 256
     low_level_features: int = 48
     aspp_rates: Sequence[int] = (6, 12, 18)
+    # Decoder dropout (torch DeepLabv3+ puts 0.5 before the classifier).
+    # 0.0 = deterministic. When > 0, pass an rng key to activate MC noise:
+    # ``model.apply(vars, x, rngs={"dropout": key})`` — the stochastic
+    # forward `inference.build_pixel_uncertainty_scorer` consumes.
+    dropout_rate: float = 0.0
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -118,6 +125,11 @@ class DeepLabV3Plus(nn.Module):
         taps: Dict[str, jnp.ndarray] = {}
         in_hw = (x.shape[1], x.shape[2])
 
+        if len(self.backbone_stages) < 2:
+            raise ValueError(
+                "DeepLabV3Plus needs a backbone with >= 2 stages (the "
+                "decoder skips from block1; ASPP reads the last stage)"
+            )
         _, bb_taps = ResNet(
             stage_sizes=tuple(self.backbone_stages),
             block_cls=self.backbone_block,
@@ -128,7 +140,8 @@ class DeepLabV3Plus(nn.Module):
             include_head=False,
             name="backbone",
         )(x, train=train)
-        for k in ("stem", "block1", "block2", "block3", "block4"):
+        n_stages = len(self.backbone_stages)
+        for k in ["stem"] + [f"block{i + 1}" for i in range(n_stages)]:
             if k in bb_taps:
                 taps[k] = bb_taps[k]
 
@@ -137,7 +150,7 @@ class DeepLabV3Plus(nn.Module):
             rates=tuple(self.aspp_rates),
             dtype=self.dtype,
             name="aspp",
-        )(bb_taps["block4"], train=train)
+        )(bb_taps[f"block{n_stages}"], train=train)
         taps["aspp"] = a
         taps["pre_pool"] = a  # standard LaREx tap name (the reference hooks
         # the dropout right after this projection)
@@ -155,6 +168,13 @@ class DeepLabV3Plus(nn.Module):
         y = nn.relu(norm(name="dec_bn1")(conv(self.aspp_features, (3, 3), name="dec1")(y)))
         y = nn.relu(norm(name="dec_bn2")(conv(self.aspp_features, (3, 3), name="dec2")(y)))
         taps["decoder"] = y
+        if self.dropout_rate > 0.0:
+            # Active whenever a "dropout" rng is supplied (MC-at-inference
+            # is the point); deterministic if no key is given.
+            y = nn.Dropout(
+                self.dropout_rate,
+                deterministic=not self.has_rng("dropout"),
+            )(y)
 
         logits = nn.Conv(self.num_classes, (1, 1), dtype=self.dtype, name="head")(y)
         logits = _resize(logits, in_hw)

@@ -259,6 +259,14 @@ def quantize_resnet_params(
     program would otherwise dominate quantization wall-clock. Pass
     ``calib_device=None`` to use the default device.
     """
+    if model.output_stride is not None or not model.include_head:
+        raise NotImplementedError(
+            "quantize_resnet supports plain classification ResNets only "
+            "(output_stride=None, include_head=True): the structural mirror "
+            "does not model atrous stages, and dilated backbones run at "
+            "large HBM-bound resolutions where int8 loses anyway — see "
+            "docs/PERFORMANCE.md 'Where int8 does NOT win'."
+        )
     params = variables["params"]
     stats = variables["batch_stats"]
 

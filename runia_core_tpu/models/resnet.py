@@ -188,8 +188,6 @@ class ResNet(nn.Module):
                     else:
                         strides = (2, 2)
                         cum_stride *= 2
-                else:
-                    blk_dilation = dilation
                 # Explicit names keep the param tree identical whether or not
                 # blocks are remat-wrapped (nn.remat changes auto-names).
                 x = block_cls(

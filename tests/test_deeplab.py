@@ -103,6 +103,23 @@ class TestDeepLabV3Plus:
         assert taps["block4"].shape[1:3] == (8, 8)
         assert logits.shape == (1, 64, 64, 3)
 
+    def test_three_stage_backbone(self):
+        # ASPP reads the LAST stage tap whatever the stage count.
+        model = DeepLabV3Plus(
+            num_classes=3, output_stride=16, backbone_stages=(1, 1, 1),
+            backbone_block=ResNetBlock, num_filters=8, aspp_features=16,
+            low_level_features=8, aspp_rates=(2,),
+        )
+        variables = _init(model, (1, 64, 64, 3))
+        logits, taps = model.apply(variables, jnp.zeros((1, 64, 64, 3)))
+        assert logits.shape == (1, 64, 64, 3)
+        assert "block3" in taps and "block4" not in taps
+
+    def test_single_stage_backbone_rejected(self):
+        model = DeepLabV3Plus(backbone_stages=(1,), backbone_block=ResNetBlock)
+        with pytest.raises(ValueError, match=">= 2 stages"):
+            _init(model, (1, 64, 64, 3))
+
     def test_jittable_and_train_mode(self, small):
         model, variables = small
         fwd = jax.jit(lambda v, x: model.apply(v, x, train=False))
@@ -114,6 +131,42 @@ class TestDeepLabV3Plus:
             mutable=["batch_stats"],
         )
         assert "batch_stats" in mutated
+
+    def test_pixel_uncertainty_scorer(self, small):
+        # Dense MC-dropout maps through one fused program; the dropout rng
+        # drives the stochasticity (DeepLabV3Plus dropout_rate).
+        from runia_core_tpu.inference import build_pixel_uncertainty_scorer
+
+        model, variables = small
+        mc_model = DeepLabV3Plus(
+            num_classes=5, output_stride=16, dropout_rate=0.5, **SMALL
+        )
+
+        def stochastic(images, key):
+            return mc_model.apply(variables, images, rngs={"dropout": key})
+
+        scorer = build_pixel_uncertainty_scorer(stochastic, mc_samples=4)
+        x = jnp.asarray(np.random.RandomState(0).rand(2, 64, 64, 3), jnp.float32)
+        out = scorer(x, jax.random.key(0))
+        for k in ("pred_h", "mi", "msp"):
+            assert out[k].shape == (2, 64, 64), k
+            assert np.isfinite(np.asarray(out[k])).all(), k
+        assert out["pred"].dtype == jnp.int32
+        mi = np.asarray(out["mi"])
+        assert (mi > -1e-5).all()  # MI nonnegative up to f32 noise
+        assert mi.max() > 1e-4  # dropout actually injects disagreement
+        # Deterministic model (no dropout) -> MI collapses to ~0.
+        det = build_pixel_uncertainty_scorer(
+            lambda images, key: model.apply(variables, images), mc_samples=4
+        )
+        mi_det = np.asarray(det(x, jax.random.key(1))["mi"])
+        assert np.abs(mi_det).max() < 1e-5
+        # pred_h matches the manual formula on the mean softmax.
+        p = jax.nn.softmax(model.apply(variables, x)[0], axis=-1)
+        manual = -np.sum(np.asarray(p) * np.log(np.asarray(p) + 1e-12), -1)
+        np.testing.assert_allclose(
+            np.asarray(det(x, jax.random.key(2))["pred_h"]), manual, atol=1e-4
+        )
 
     def test_reference_segmentation_workflow(self, small):
         # deeplabv3p_get_ls_mcd_samples (reference image_level.py:580-631)

@@ -189,6 +189,15 @@ class TestQuantizedForward:
         rel = np.abs(s_q[finite] - s_f[finite]) / (np.abs(s_f[finite]) + 1e-9)
         assert np.median(rel) < 0.2, rel
 
+    def test_rejects_dilated_and_headless_backbones(self, r18):
+        model, variables = r18
+        dilated = ResNet(
+            stage_sizes=(1, 1, 1), block_cls=ResNetBlock, num_classes=10,
+            num_filters=16, cifar_stem=True, output_stride=8,
+        )
+        with pytest.raises(NotImplementedError, match="plain classification"):
+            quantize_resnet_params(dilated, variables, _images(np.random.RandomState(0), 4, 32))
+
     def test_quantile_clips_outliers(self, r18):
         model, variables = r18
         rng = np.random.RandomState(5)
