@@ -7,13 +7,19 @@ per-dimension Kozachenko-Leonenko entropy (512 dims) -> PCA-256 -> LaREM
 (Mahalanobis) score, ONE fused jitted XLA program per batch
 (runia_core_tpu.inference.build_larex_scorer).
 
-The "suite" key carries the wider matrix (VERDICT.md round-1 item 4):
+The "suite" key carries the wider matrix (VERDICT.md round-1 item 4 +
+round-2 item 1):
   - larex_resnet18_32px   headline config, with achieved TFLOP/s + MFU
   - larex_resnet50_224px  production-shape LaREx (entropy-2048, PCA-256)
   - object_scorer         batched object-level path (64 imgs x 20 dets,
                           RoI-align + LaREM per detection)
-  - llama_decode_greedy   KV-cache scanned decode, 32 prompts x 64 tokens
-  - llama_decode_speculative  fused draft/verify loop, 1 prompt x 32 tokens
+  - llama1b_prefill       flash prefill, 8 x 1024 tokens on a ~1.17B Llama
+  - llama1b_decode_greedy batched KV-cache decode (16 x 64) with achieved
+                          HBM GB/s vs the 819 GB/s v5e peak (decode is
+                          bandwidth-bound; FLOP-MFU is the wrong lens)
+  - llama1b_decode_int8kv8  same with int8 weights + int8 KV cache
+  - llama1b_speculative   fused draft/verify with a layer-truncated
+                          correlated draft; reports measured acceptance
 
 MFU is achieved-FLOPs / v5e bf16 peak (197 TFLOP/s). FLOPs per call come
 from XLA's compiled cost analysis when the backend exposes it, else from the
@@ -222,42 +228,127 @@ def measure_objects():
     return dps, tflops, mfu
 
 
-def measure_llm():
+V5E_HBM_PEAK_BYTES = 819e9  # v5e HBM bandwidth (one chip)
+
+# Production-size Llama for the serving legs: ~1.17B params (22L, d=2048,
+# GQA 16q/8kv, ffn 5632, vocab 32k) — the largest round-number config that
+# leaves room for batch-16 KV cache + compile workspace on one 16 GB v5e.
+# Weights are STORED bf16 (2.34 GB) so the decode-bandwidth numbers reflect
+# the production layout, not flax's f32 default param dtype.
+_PROD_CFG = dict(vocab_size=32000, num_layers=22, num_heads=16,
+                 num_kv_heads=8, d_model=2048, hidden_dim=5632, max_len=2048)
+_PROD_CACHE = {}
+
+
+def _get_prod_llama():
+    """Init (once) the production Llama on-device; returns a state dict."""
+    if _PROD_CACHE:
+        return _PROD_CACHE
+    import jax
+    import jax.numpy as jnp
+
+    from runia_core_tpu.models import LlamaLM
+
+    model = LlamaLM(**_PROD_CFG, dtype=jnp.bfloat16, use_flash=True)
+    params = jax.jit(model.init)(jax.random.key(0), np.zeros((1, 8), np.int32))
+    # Store weights bf16 (production serving layout; halves decode HBM).
+    params = jax.jit(
+        lambda p: jax.tree_util.tree_map(
+            lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x, p
+        )
+    )(params)
+    leaves = jax.tree_util.tree_leaves(params)
+    _PROD_CACHE.update(
+        model=model,
+        params=params,
+        n_params=sum(int(np.prod(p.shape)) for p in leaves),
+        weight_bytes=sum(p.size * p.dtype.itemsize for p in leaves),
+    )
+    return _PROD_CACHE
+
+
+def measure_llm_prefill():
+    """Flash prefill on the production model: batch 8 x 1024 tokens, logits
+    sliced to the last position (what JaxGenerator's prefill consumes)."""
+    import jax
+    import jax.numpy as jnp
+
+    st = _get_prod_llama()
+    b, t = 8, 1024
+    tokens = jnp.asarray(
+        np.random.RandomState(0).randint(1, 32000, (b, t)), jnp.int32
+    )
+    fwd = jax.jit(lambda p, tok: st["model"].apply(p, tok)[0][:, -1])
+    compiled, flops = _aot_compile(fwd, st["params"], tokens)
+    tps = _timed_rate(lambda: compiled(st["params"], tokens), b * t, iters=6)
+    if flops is None:
+        # Analytic: 2*N_params matmul FLOPs/token + causal attention.
+        flops = 2 * st["n_params"] * b * t + 2 * 2 * b * _PROD_CFG[
+            "num_layers"] * t * t * _PROD_CFG["d_model"] / 2
+    achieved = tps / (b * t) * flops
+    return tps, achieved / 1e12, achieved / V5E_BF16_PEAK_FLOPS
+
+
+def _decode_leg(int8: bool):
+    """Greedy batched decode on the production model. Decode is HBM-bound,
+    so the utilization metric is achieved bytes/s vs the 819 GB/s v5e peak:
+    every step reads the full weights once plus each sequence's KV cache."""
     import jax
     import jax.numpy as jnp
 
     from runia_core_tpu.llm import JaxGenerator
-    from runia_core_tpu.models import LlamaLM
+    from runia_core_tpu.models import LlamaLM, quantize_llama_params
 
-    max_new = 64
-    model = LlamaLM(vocab_size=32000, num_layers=8, num_heads=8,
-                    num_kv_heads=4, d_model=512, hidden_dim=1408,
-                    max_len=256, dtype=jnp.bfloat16)
-    params = jax.jit(model.init)(jax.random.key(0), np.zeros((1, 8), np.int32))
-    n_params = sum(int(np.prod(p.shape)) for p in jax.tree_util.tree_leaves(params))
-    rng = np.random.RandomState(0)
-    prompts = [list(rng.randint(1, 32000, 12)) for _ in range(32)]
+    st = _get_prod_llama()
+    b, prompt_len, max_new = 16, 64, 64
+    if int8:
+        model = LlamaLM(**_PROD_CFG, dtype=jnp.bfloat16, use_flash=True,
+                        quantized=True, quantized_kv=True)
+        params = quantize_llama_params(st["params"], on_device=True)
+        leaves = jax.tree_util.tree_leaves(params)
+        weight_bytes = sum(p.size * p.dtype.itemsize for p in leaves)
+        kv_itemsize = 1
+    else:
+        model, params = st["model"], st["params"]
+        weight_bytes = st["weight_bytes"]
+        kv_itemsize = 2
     gen = JaxGenerator(model, params, max_new_tokens=max_new)
-    kwargs = dict(do_sample=False, output_scores=False)
-
+    rng = np.random.RandomState(1)
+    prompts = [list(rng.randint(1, 32000, prompt_len)) for _ in range(b)]
     counter = {"i": 0}
 
     def greedy():
         counter["i"] += 1
         return gen.generate_batch(
-            prompts, key=jax.random.key(counter["i"]), **kwargs
+            prompts, key=jax.random.key(counter["i"]),
+            do_sample=False, output_scores=False,
         )["sequences"]
 
-    greedy_tps = _timed_rate(greedy, 32 * max_new, 3)
-    # Decode FLOPs are weight-bandwidth shaped: ~2 * params per token.
-    greedy_mfu = 2 * n_params * greedy_tps / V5E_BF16_PEAK_FLOPS
-    return greedy_tps, greedy_mfu
+    tps = _timed_rate(greedy, b * max_new, iters=2)
+    steps_per_s = tps / b
+    cfg = _PROD_CFG
+    head_dim = cfg["d_model"] // cfg["num_heads"]
+    avg_ctx = prompt_len + max_new / 2
+    kv_read = (b * cfg["num_layers"] * 2 * avg_ctx
+               * cfg["num_kv_heads"] * head_dim * kv_itemsize)
+    hbm_gbs = steps_per_s * (weight_bytes + kv_read) / 1e9
+    return tps, None, {"hbm_gbs": round(hbm_gbs, 1),
+                       "hbm_util": round(hbm_gbs * 1e9 / V5E_HBM_PEAK_BYTES, 4)}
 
 
-def measure_speculative():
-    """Fused speculative decode vs plain greedy on the SAME target model and
-    prompt — reported with the speedup ratio so the tok/s is interpretable.
-    Returns (spec_tps, None, speedup)."""
+def measure_llm_decode():
+    return _decode_leg(int8=False)
+
+
+def measure_llm_decode_int8():
+    return _decode_leg(int8=True)
+
+
+def measure_llm_speculative_production():
+    """Speculative decode on the production target with a CORRELATED draft:
+    the target's own first 4 layers (+ shared embed/norm/lm_head) — a
+    layer-truncation draft, so the measured acceptance rate is a real
+    signal, not the ~1/vocab of two independent random models."""
     import jax
     import jax.numpy as jnp
 
@@ -265,29 +356,28 @@ def measure_speculative():
     from runia_core_tpu.llm.speculative import SpeculativeGenerator
     from runia_core_tpu.models import LlamaLM
 
-    # Smaller than the greedy leg: the fused target+draft while_loop program
-    # must fit the tunnel's remote-compile request limit.
-    max_new = 32
-    model = LlamaLM(vocab_size=8192, num_layers=4, num_heads=8,
-                    num_kv_heads=4, d_model=512, hidden_dim=1408,
-                    max_len=128, dtype=jnp.bfloat16)
-    params = jax.jit(model.init)(jax.random.key(0), np.zeros((1, 8), np.int32))
-    draft = LlamaLM(vocab_size=8192, num_layers=1, num_heads=4,
-                    num_kv_heads=2, d_model=256, hidden_dim=704,
-                    max_len=128, dtype=jnp.bfloat16)
-    draft_params = jax.jit(draft.init)(jax.random.key(1), np.zeros((1, 8), np.int32))
-    spec = SpeculativeGenerator(model, params, draft, draft_params,
+    st = _get_prod_llama()
+    max_new, draft_layers = 32, 4
+    target = LlamaLM(**_PROD_CFG, dtype=jnp.bfloat16)
+    draft_cfg = dict(_PROD_CFG, num_layers=draft_layers)
+    draft = LlamaLM(**draft_cfg, dtype=jnp.bfloat16)
+    p = st["params"]["params"]
+    draft_params = {"params": {
+        "embed": p["embed"], "norm_f": p["norm_f"], "lm_head": p["lm_head"],
+        **{f"block_{i}": p[f"block_{i}"] for i in range(draft_layers)},
+    }}
+    spec = SpeculativeGenerator(target, st["params"], draft, draft_params,
                                 gamma=4, max_new_tokens=max_new)
-    plain = JaxGenerator(model, params, max_new_tokens=max_new)
-    rng = np.random.RandomState(0)
-    prompt = list(rng.randint(1, 8192, 12))
+    plain = JaxGenerator(target, st["params"], max_new_tokens=max_new)
+    prompt = list(np.random.RandomState(2).randint(1, 32000, 32))
     counter = {"i": 0}
+    acceptance = {"rate": None}
 
     def speculative():
         counter["i"] += 1
-        return spec.generate(prompt, key=jax.random.key(counter["i"]))[
-            "sequences"
-        ]
+        out = spec.generate(prompt, key=jax.random.key(counter["i"]))
+        acceptance["rate"] = out["acceptance_rate"]
+        return out["sequences"]
 
     def greedy():
         counter["i"] += 1
@@ -298,7 +388,10 @@ def measure_speculative():
 
     spec_tps = _timed_rate(speculative, max_new, 3)
     greedy_tps = _timed_rate(greedy, max_new, 3)
-    return spec_tps, None, spec_tps / greedy_tps
+    return spec_tps, None, {
+        "speedup_vs_greedy": round(spec_tps / greedy_tps, 4),
+        "acceptance_rate": round(float(acceptance["rate"]), 4),
+    }
 
 
 def run_suite():
@@ -308,9 +401,10 @@ def run_suite():
     suite = []
 
     def leg(metric, unit, fn, extra_key=None):
-        """Run one benchmark; fn returns (value, tflops, mfu) — when
-        ``extra_key`` is set the third element is reported under that key
-        instead of "mfu" (e.g. the speculative leg's speedup ratio)."""
+        """Run one benchmark; fn returns (value, tflops, third). ``third``
+        is reported under "mfu" (default), under ``extra_key``, or — when it
+        is a dict — merged into the entry verbatim (e.g. the decode legs'
+        {"hbm_gbs", "hbm_util"})."""
         print(f"bench: running {metric} ...", file=sys.stderr, flush=True)
         try:
             value, tflops, third = fn()
@@ -318,7 +412,10 @@ def run_suite():
                 "metric": metric, "value": round(value, 2), "unit": unit,
                 "tflops": round(tflops, 2) if tflops else None,
             }
-            entry[extra_key or "mfu"] = round(third, 4) if third else None
+            if isinstance(third, dict):
+                entry.update(third)
+            else:
+                entry[extra_key or "mfu"] = round(third, 4) if third else None
             suite.append(entry)
             return value
         except Exception as exc:
@@ -353,14 +450,14 @@ def run_suite():
                               analytic_flops_per_img=4.5e9),
     )
     leg("object_scorer_256px_20det", "det/s", measure_objects)
-    leg(
-        "llama_decode_greedy_32x64", "tok/s",
-        lambda: (lambda tps, mfu: (tps, None, mfu))(*measure_llm()),
-    )
-    leg(
-        "llama_decode_speculative_1x32", "tok/s", measure_speculative,
-        extra_key="speedup_vs_greedy",
-    )
+    # Production-size LLM serving legs (~1.17B-param Llama, VERDICT r2
+    # item 1). Prefill is compute-bound (MFU vs the FLOP peak); decode is
+    # HBM-bound (achieved GB/s vs the 819 GB/s v5e peak); speculative uses
+    # a layer-truncated correlated draft and reports measured acceptance.
+    leg("llama1b_prefill_8x1024", "tok/s", measure_llm_prefill)
+    leg("llama1b_decode_greedy_16x64", "tok/s", measure_llm_decode)
+    leg("llama1b_decode_int8kv8_16x64", "tok/s", measure_llm_decode_int8)
+    leg("llama1b_speculative_1x32", "tok/s", measure_llm_speculative_production)
     return ips18, suite
 
 

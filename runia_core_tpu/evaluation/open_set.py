@@ -62,31 +62,41 @@ class COCOParser:
     def __init__(self, anns_file: str, using_subset: Optional[List] = False):
         with open(anns_file, "r") as f:
             coco = json.load(f)
-        self.annIm_dict = defaultdict(list)
-        self.cat_dict = {}
+        # Empty/False subset means "keep everything".
+        subset = set(using_subset) if using_subset else None
+        keep = (lambda image_id: subset is None or image_id in subset)
+
         self.categories_original = {"categories": coco["categories"]}
-        self.annId_dict = {}
-        self.im_dict = {}
         self.licenses_dict = {"licenses": coco["licenses"]} if "licenses" in coco else {}
         self.info_dict = {"info": coco["info"]} if "info" in coco else {}
+
+        # Category records gain a per-subset instance "count" in place (the
+        # entries are shared with categories_original, as in the reference).
+        self.cat_dict = {}
         for cat in coco["categories"]:
+            cat["count"] = 0
             self.cat_dict[cat["id"]] = cat
-            self.cat_dict[cat["id"]]["count"] = 0
+
+        self.im_dict = {img["id"]: img for img in coco["images"] if keep(img["id"])}
+        self.annIm_dict = defaultdict(list)
+        self.annId_dict = {}
         for ann in coco["annotations"]:
-            if (using_subset and ann["image_id"] in using_subset) or not using_subset:
-                self.annIm_dict[ann["image_id"]].append(ann)
-                self.annId_dict[ann["id"]] = ann
-                self.cat_dict[ann["category_id"]]["count"] += 1
-        for img in coco["images"]:
-            if (using_subset and img["id"] in using_subset) or not using_subset:
-                self.im_dict[img["id"]] = img
+            if not keep(ann["image_id"]):
+                continue
+            self.annIm_dict[ann["image_id"]].append(ann)
+            self.annId_dict[ann["id"]] = ann
+            self.cat_dict[ann["category_id"]]["count"] += 1
 
     def get_imgIds(self):
         return list(self.im_dict.keys())
 
     def get_annIds(self, im_ids) -> List[int]:
-        im_ids = im_ids if isinstance(im_ids, list) else [im_ids]
-        return [ann["id"] for im_id in im_ids for ann in self.annIm_dict[im_id]]
+        if not isinstance(im_ids, list):
+            im_ids = [im_ids]
+        ids: List[int] = []
+        for im_id in im_ids:
+            ids.extend(ann["id"] for ann in self.annIm_dict[im_id])
+        return ids
 
     def load_anns(self, ann_ids) -> List[Dict]:
         ann_ids = ann_ids if isinstance(ann_ids, list) else [ann_ids]

@@ -80,6 +80,10 @@ class HFDetrAdapter:
     def __call__(self, image, predict_conf: float = 0.25, **kw) -> DetectionResult:
         torch = self._torch
         x = self._to_tensor(image)
+        try:
+            x = x.to(next(self.model.parameters()).device)
+        except StopIteration:  # parameterless stub models in tests
+            pass
         img_h, img_w = int(x.shape[2]), int(x.shape[3])
 
         captured = {}
@@ -105,19 +109,22 @@ class HFDetrAdapter:
         else:
             probs = logits.sigmoid()
         scores, classes = probs.max(-1)
-        keep = (scores > predict_conf).numpy()
 
-        boxes = cxcywh_to_xyxy(out.pred_boxes[0].numpy(), img_h, img_w)[keep]
-        features = out.last_hidden_state[0].numpy()[keep]  # decoder queries
+        def _np_host(t):  # GPU-resident models: always hop through host
+            return t.detach().cpu().numpy()
+
+        keep = _np_host(scores > predict_conf)
+        boxes = cxcywh_to_xyxy(_np_host(out.pred_boxes[0]), img_h, img_w)[keep]
+        features = _np_host(out.last_hidden_state[0])[keep]  # decoder queries
 
         feats, _pos = captured["backbone"]
         fmap = feats[self.backbone_level][0]  # (1, C, H', W') + its mask
         return DetectionResult(
             boxes=boxes,
             img_shape=(img_h, img_w),
-            scores=scores.numpy()[keep],
-            classes=classes.numpy()[keep].astype(np.int64),
-            logits=logits.numpy()[keep, : self.num_labels],
+            scores=_np_host(scores)[keep],
+            classes=_np_host(classes)[keep].astype(np.int64),
+            logits=_np_host(logits)[keep, : self.num_labels],
             features=features,
-            fmaps=[fmap.numpy()],
+            fmaps=[_np_host(fmap)],
         )

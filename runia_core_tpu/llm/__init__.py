@@ -25,7 +25,10 @@ from runia_core_tpu.llm.scores import (
 )
 from runia_core_tpu.llm.utils import (
     _are_equivalent,
+    _pairwise_equivalence_matrix,
     _semantic_clustering,
+    _semantic_clustering_batched,
+    make_nli_batch_labels,
     make_nli_equivalence,
 )
 
@@ -47,4 +50,5 @@ __all__ = [
     "run_generation",
     "StreamingAttentionAggregator",
     "make_nli_equivalence",
+    "make_nli_batch_labels",
 ]

@@ -44,70 +44,67 @@ def _to_np(x) -> np.ndarray:
     return np.asarray(x)
 
 
+def _step_rows(per_layer_attn) -> np.ndarray:
+    """Stack one generated step's per-layer attention rows into (L, H, t)."""
+    return np.stack([_to_np(a)[0, :, 0, :] for a in per_layer_attn])
+
+
 def _reconstruct_attention_matrix(attentions, input_length: int) -> np.ndarray:
     """Rebuild the dense (L, H, N, N) attention map from incremental HF
-    outputs (reference attention_aggregation.py:5-44)."""
-    num_generated = len(attentions)
-    num_layers = len(attentions[0])
-    first = _to_np(attentions[0][0])
-    batch_size, num_heads = first.shape[:2]
-    total_seq_len = input_length + num_generated
+    outputs (behavioral parity with reference attention_aggregation.py:5-44,
+    vectorized over layers and heads).
 
-    full = np.zeros((num_layers, batch_size, num_heads, total_seq_len, total_seq_len))
-    for generated_idx, per_layer_attn in enumerate(attentions):
-        for layer_idx, attn in enumerate(per_layer_attn):
-            attn = _to_np(attn)
-            if generated_idx == 0:
-                full[layer_idx, :, :, :input_length, :input_length] = attn
-            else:
-                full[
-                    layer_idx, :, :, input_length + generated_idx,
-                    : input_length + generated_idx,
-                ] = attn.squeeze(2)
-    return full.squeeze(1)
+    Step 0 contributes the (P, P) prompt self-attention block; step k >= 1
+    contributes one length-(P+k) row, stored at matrix row P+k (so row P
+    stays empty — see the module docstring)."""
+    prompt_block = np.stack([_to_np(a)[0] for a in attentions[0]])  # (L, H, P, P)
+    num_layers, num_heads = prompt_block.shape[:2]
+    total = input_length + len(attentions)
+
+    full = np.zeros((num_layers, num_heads, total, total))
+    full[:, :, :input_length, :input_length] = prompt_block
+    for k, per_layer_attn in enumerate(attentions[1:], start=1):
+        row = input_length + k
+        full[:, :, row, :row] = _step_rows(per_layer_attn)
+    return full
 
 
 def _augment(a: np.ndarray) -> np.ndarray:
-    """(mean-head attention + I) row-normalized (Abnar & Zuidema rollout)."""
-    n = a.shape[-1]
-    aug = a + np.eye(n)
+    """(mean-head attention + I) row-normalized (Abnar & Zuidema rollout).
+    Works on a single (N, N) matrix or a stacked (L, N, N) batch."""
+    aug = a + np.eye(a.shape[-1])
     return aug / aug.sum(axis=-1, keepdims=True)
 
 
 def _get_attention_rollout(attentions, input_length: int) -> np.ndarray:
-    """(N, N) joint rollout matrix (reference attention_aggregation.py:47-78)."""
-    attn = _reconstruct_attention_matrix(attentions, input_length)
-    num_layers = attn.shape[0]
-    joint = _augment(attn[0].mean(axis=0))
-    for layer in range(1, num_layers):
-        joint = _augment(attn[layer].mean(axis=0)) @ joint
+    """(N, N) joint rollout matrix (parity with reference
+    attention_aggregation.py:47-78): augment every head-averaged layer at
+    once, then left-multiply up the stack."""
+    per_layer = _augment(
+        _reconstruct_attention_matrix(attentions, input_length).mean(axis=1)
+    )
+    joint = per_layer[0]
+    for layer in per_layer[1:]:
+        joint = layer @ joint
     return joint
 
 
 def _get_recurent_attention(attentions, position: int = 1) -> np.ndarray:
-    """(L, H, num_generated-1) previous-token attention per step
-    (reference attention_aggregation.py:81-107)."""
-    num_generated = len(attentions)
-    num_layers = len(attentions[0])
-    num_heads = _to_np(attentions[0][0]).shape[1]
-    out = np.zeros((num_layers, num_heads, num_generated - 1))
-    for generated_idx, per_layer_attn in enumerate(attentions[1:]):
-        for layer_idx, attn in enumerate(per_layer_attn):
-            out[layer_idx, :, generated_idx] = _to_np(attn)[0, :, 0, -position - 1]
-    return out
+    """(L, H, num_generated-1) previous-token attention per step (parity with
+    reference attention_aggregation.py:81-107): column ``-position-1`` of each
+    generated step's attention row."""
+    steps = [_step_rows(s)[..., -position - 1] for s in attentions[1:]]
+    if not steps:
+        num_heads = _to_np(attentions[0][0]).shape[1]
+        return np.zeros((len(attentions[0]), num_heads, 0))
+    return np.stack(steps, axis=-1)
 
 
 def _get_average_attention_all(attentions) -> np.ndarray:
-    """(L, H, num_generated) mean attention over past tokens per step
-    (reference attention_aggregation.py:110-134)."""
-    num_generated = len(attentions)
-    num_layers = len(attentions[0])
-    num_heads = _to_np(attentions[0][0]).shape[1]
-    out = np.zeros((num_layers, num_heads, num_generated))
-    for generated_idx, per_layer_attn in enumerate(attentions):
-        for layer_idx, attn in enumerate(per_layer_attn):
-            out[layer_idx, :, generated_idx] = _to_np(attn)[0, :, 0, :].mean(axis=1)
-    return out
+    """(L, H, num_generated) mean attention over past tokens per step (parity
+    with reference attention_aggregation.py:110-134). Step 0 uses row 0 of
+    the prompt block — the reference's generated_idx=0 quirk."""
+    return np.stack([_step_rows(s).mean(axis=-1) for s in attentions], axis=-1)
 
 
 class StreamingAttentionAggregator:

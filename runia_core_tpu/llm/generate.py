@@ -611,6 +611,28 @@ def _jax_generation(generator, tokenizer, prompt, gen_config, num_samples,
     return deterministic, sampled, deterministic_text
 
 
+def validate_generation_request(model, needs_sampling, needs_hiddens) -> None:
+    """Raise backend-capability errors BEFORE any decode work.
+
+    ``compute_uncertainties`` calls this on the full request list so that an
+    unsatisfiable request (e.g. eigen_score on a SpeculativeGenerator, whose
+    fused loop emits no hidden states) fails immediately instead of after the
+    deterministic pass has already run."""
+    from runia_core_tpu.llm.speculative import SpeculativeGenerator
+
+    if isinstance(model, SpeculativeGenerator):
+        if needs_sampling and needs_hiddens:
+            raise ValueError(
+                "eigen_score needs sampled hidden states, which the fused "
+                "speculative loop does not emit — pass a JaxGenerator instead"
+            )
+        if needs_sampling and not model.do_sample:
+            raise ValueError(
+                "sampled uncertainty scores need SpeculativeGenerator("
+                "do_sample=True)"
+            )
+
+
 def _speculative_generation(spec, tokenizer, prompt, gen_config, num_samples,
                             needs_sampling, needs_attentions=True,
                             needs_hiddens=True):
@@ -618,17 +640,12 @@ def _speculative_generation(spec, tokenizer, prompt, gen_config, num_samples,
     JaxGenerator on the TARGET model (so attention taps for RAUQ are
     available), sampled pass through the fused speculative loop (~5x the
     plain N-sample decode — docs/PERFORMANCE.md). Hidden states are not
-    emitted by the fused loop, so eigen_score must use a JaxGenerator."""
-    if needs_sampling and needs_hiddens:
-        raise ValueError(
-            "eigen_score needs sampled hidden states, which the fused "
-            "speculative loop does not emit — pass a JaxGenerator instead"
-        )
-    if needs_sampling and not spec.do_sample:
-        raise ValueError(
-            "sampled uncertainty scores need SpeculativeGenerator("
-            "do_sample=True)"
-        )
+    emitted by the fused loop, so eigen_score must use a JaxGenerator.
+
+    Note: as on all JAX backends, ``gen_config`` is ignored here — sampling
+    settings (temperature/do_sample) come from the SpeculativeGenerator's
+    construction, not from a caller-supplied HF GenerationConfig."""
+    validate_generation_request(spec, needs_sampling, needs_hiddens)
     det_gen = getattr(spec, "_uncertainty_det_gen", None)
     if det_gen is None:
         det_gen = JaxGenerator(

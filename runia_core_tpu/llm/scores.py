@@ -24,6 +24,7 @@ from runia_core_tpu.llm.utils import (
     _construct_embedding_matrix,
     _get_probability_distribution,
     _semantic_clustering,
+    _semantic_clustering_batched,
 )
 
 __all__ = [
@@ -86,8 +87,16 @@ def semantic_entropy(
     """Discrete semantic entropy over NLI-equivalence clusters
     (reference scores.py:88-118; Kuhn et al. 2023). ``model`` may be an HF
     NLI model (with ``tokenizer``) or an equivalence callable
-    (tokenizer=None)."""
-    clusters = _semantic_clustering(model, tokenizer, texts)
+    (tokenizer=None).
+
+    With an HF model the O(n^2) NLI pairs ride ONE padded batched forward
+    (``_semantic_clustering_batched``) instead of the reference's sequential
+    per-pair calls; the pairwise callable path stays sequential and is the
+    parity oracle."""
+    if tokenizer is not None:
+        clusters = _semantic_clustering_batched(model, tokenizer, texts)
+    else:
+        clusters = _semantic_clustering(model, tokenizer, texts)
     total = sum(len(indices) for indices in clusters.values())
     entropy = 0.0
     for indices in clusters.values():
@@ -361,6 +370,25 @@ def compute_uncertainties(
         },
     }
 
+    # ---- request validation: fail before ANY decode work --------------------
+    from runia_core_tpu.llm.generate import run_generation, validate_generation_request
+
+    unknown = [
+        req["method_name"] for req in uncertainty_requests
+        if req["method_name"] not in registry
+    ]
+    if unknown:
+        raise KeyError(
+            f"unknown uncertainty method(s) {unknown}; valid: {sorted(registry)}"
+        )
+    method_names = {req["method_name"] for req in uncertainty_requests}
+    needs_sampling = any(
+        registry[req["method_name"]]["needs_sampling"] for req in uncertainty_requests
+    )
+    validate_generation_request(
+        model, needs_sampling, needs_hiddens="eigen_score" in method_names
+    )
+
     need_semantic_clustering = any(
         req["method_name"] == "semantic_entropy" for req in uncertainty_requests
     )
@@ -375,14 +403,9 @@ def compute_uncertainties(
         )
 
     # ---- deterministic + sampled generation via the backend -----------------
-    from runia_core_tpu.llm.generate import run_generation
-
-    method_names = {req["method_name"] for req in uncertainty_requests}
     deterministic, sampled_raw, deterministic_text = run_generation(
         model, tokenizer, prompt, gen_config, num_samples,
-        needs_sampling=any(
-            registry[req["method_name"]]["needs_sampling"] for req in uncertainty_requests
-        ),
+        needs_sampling=needs_sampling,
         needs_attentions="RAUQ" in method_names,
         needs_hiddens="eigen_score" in method_names,
     )

@@ -20,7 +20,7 @@ from runia_core_tpu.models.quant_vision import (
     quantize_resnet,
     quantize_resnet_params,
 )
-from runia_core_tpu.models.torch_convert import convert_torch_resnet
+from runia_core_tpu.models.torch_convert import convert_hf_vit, convert_torch_resnet
 from runia_core_tpu.models.transformer import CausalLM
 from runia_core_tpu.models.vit import ViT
 
@@ -42,6 +42,7 @@ __all__ = [
     "convert_hf_llama",
     "quantize_llama_params",
     "convert_torch_resnet",
+    "convert_hf_vit",
     "quantize_resnet",
     "quantize_resnet_params",
 ]

@@ -462,7 +462,7 @@ def convert_hf_llama(hf_model, max_len: Optional[int] = None,
 _QUANT_KERNELS = {"q", "k", "v", "o", "gate", "up", "down", "lm_head"}
 
 
-def quantize_llama_params(params):
+def quantize_llama_params(params, on_device: bool = False):
     """Symmetric per-output-channel int8 quantization of LlamaLM projection
     kernels: scale = max|w| / 127 per column, kernel_q = round(w / scale).
 
@@ -470,20 +470,38 @@ def quantize_llama_params(params):
     otherwise). Embeddings and RMSNorm scales stay full precision. Weight
     bytes drop 4x vs f32 / 2x vs bf16 — decode is weight-bound, so this is
     HBM bandwidth, not just footprint.
+
+    ``on_device=True`` runs the quantization as ONE jitted program on the
+    params' current device — required for multi-GB models behind the
+    tunneled TPU, where the default host path would round-trip every
+    kernel through numpy.
     """
 
-    def quantize_subtree(tree):
+    def q_host(w):
+        w = np.asarray(w, dtype=np.float32)
+        scale = np.maximum(np.abs(w).max(axis=0), 1e-12) / 127.0
+        q = np.clip(np.round(w / scale[None, :]), -127, 127).astype(np.int8)
+        return q, scale.astype(np.float32)
+
+    def q_dev(w):
+        w = w.astype(jnp.float32)
+        scale = jnp.maximum(jnp.abs(w).max(axis=0), 1e-12) / 127.0
+        q = jnp.clip(jnp.round(w / scale[None, :]), -127, 127).astype(jnp.int8)
+        return q, scale
+
+    def quantize_subtree(tree, qfn):
         out = {}
         for name, sub in tree.items():
             if name in _QUANT_KERNELS and isinstance(sub, dict) and "kernel" in sub:
-                w = np.asarray(sub["kernel"], dtype=np.float32)
-                scale = np.maximum(np.abs(w).max(axis=0), 1e-12) / 127.0
-                q = np.clip(np.round(w / scale[None, :]), -127, 127).astype(np.int8)
-                out[name] = {"kernel_q": q, "scale": scale.astype(np.float32)}
+                kernel_q, scale = qfn(sub["kernel"])
+                out[name] = {"kernel_q": kernel_q, "scale": scale}
             elif isinstance(sub, dict):
-                out[name] = quantize_subtree(sub)
+                out[name] = quantize_subtree(sub, qfn)
             else:
                 out[name] = sub
         return out
 
-    return {"params": quantize_subtree(params["params"])}
+    if on_device:
+        quantize = jax.jit(lambda p: quantize_subtree(p, q_dev))
+        return {"params": quantize(params["params"])}
+    return {"params": quantize_subtree(params["params"], q_host)}

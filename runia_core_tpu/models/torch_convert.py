@@ -23,7 +23,7 @@ import numpy as np
 
 from runia_core_tpu.models.resnet import ResNet, ResNetBlock, BottleneckResNetBlock
 
-__all__ = ["convert_torch_resnet"]
+__all__ = ["convert_torch_resnet", "convert_hf_vit"]
 
 _ARCHS = {
     "resnet18": ((2, 2, 2, 2), ResNetBlock),
@@ -116,3 +116,110 @@ def convert_torch_resnet(
         "bias": _np(sd["fc.bias"]),
     }
     return model, {"params": params, "batch_stats": stats}
+
+
+def _linear(w, h: int | None = None):
+    """torch Linear weight (out, in) -> flax kernel (in, out); optionally
+    split the out dim into (heads, head_dim) for flax MHA kernels."""
+    k = _np(w).T
+    if h is not None:
+        return k.reshape(k.shape[0], h, k.shape[1] // h)
+    return k
+
+
+def convert_hf_vit(hf_model) -> Tuple["ViT", Dict]:
+    """Convert a ``transformers`` ViT classifier to (ViT, variables).
+
+    Accepts ``ViTForImageClassification`` (or any model exposing the same
+    ``vit.*``/``classifier`` state-dict layout). Returns the CLS-token,
+    exact-GELU configuration matching the HF forward; parity vs the
+    eval-mode torch model is pinned by tests/test_torch_convert.py.
+
+    The reference consumes HF vision checkpoints through torch hooks
+    (reference feature_extraction/abstract_classes.py:104-246); this is the
+    conversion path that lets those checkpoints run the TPU pipeline
+    natively.
+    """
+    from runia_core_tpu.models.vit import ViT
+
+    cfg = hf_model.config
+    sd = {k: v for k, v in hf_model.state_dict().items()}
+    heads = cfg.num_attention_heads
+
+    model = ViT(
+        num_classes=getattr(cfg, "num_labels", None) or sd["classifier.weight"].shape[0],
+        patch_size=cfg.patch_size,
+        d_model=cfg.hidden_size,
+        num_layers=cfg.num_hidden_layers,
+        num_heads=heads,
+        use_cls_token=True,
+        pool="cls",
+        exact_gelu=True,
+        ln_eps=float(getattr(cfg, "layer_norm_eps", 1e-12)),
+    )
+
+    params: Dict[str, Any] = {
+        "patch_embed": {
+            "kernel": _conv(sd["vit.embeddings.patch_embeddings.projection.weight"]),
+            "bias": _np(sd["vit.embeddings.patch_embeddings.projection.bias"]),
+        },
+        "cls_token": _np(sd["vit.embeddings.cls_token"]),
+        "pos_embed": _np(sd["vit.embeddings.position_embeddings"]),
+        "encoder_norm": {
+            "scale": _np(sd["vit.layernorm.weight"]),
+            "bias": _np(sd["vit.layernorm.bias"]),
+        },
+        "head": {
+            "kernel": _linear(sd["classifier.weight"]),
+            "bias": _np(sd["classifier.bias"]),
+        },
+    }
+
+    for i in range(cfg.num_hidden_layers):
+        pre = f"vit.encoder.layer.{i}"
+        attn = f"{pre}.attention"
+        head_dim = cfg.hidden_size // heads
+        params[f"block_{i}"] = {
+            "LayerNorm_0": {
+                "scale": _np(sd[f"{pre}.layernorm_before.weight"]),
+                "bias": _np(sd[f"{pre}.layernorm_before.bias"]),
+            },
+            "MultiHeadDotProductAttention_0": {
+                **{
+                    name: {
+                        "kernel": _linear(
+                            sd[f"{attn}.attention.{name}.weight"], heads
+                        ),
+                        "bias": _np(
+                            sd[f"{attn}.attention.{name}.bias"]
+                        ).reshape(heads, head_dim),
+                    }
+                    for name in ("query", "key", "value")
+                },
+                "out": {
+                    # (out, in=H*hd) -> transpose -> (H, hd, out)
+                    "kernel": _linear(sd[f"{attn}.output.dense.weight"]).reshape(
+                        heads, head_dim, cfg.hidden_size
+                    ),
+                    "bias": _np(sd[f"{attn}.output.dense.bias"]),
+                },
+            },
+            "LayerNorm_1": {
+                "scale": _np(sd[f"{pre}.layernorm_after.weight"]),
+                "bias": _np(sd[f"{pre}.layernorm_after.bias"]),
+            },
+            "Dense_0": {
+                "kernel": _linear(sd[f"{pre}.intermediate.dense.weight"]),
+                "bias": _np(sd[f"{pre}.intermediate.dense.bias"]),
+            },
+            "Dense_1": {
+                "kernel": _linear(sd[f"{pre}.output.dense.weight"]),
+                "bias": _np(sd[f"{pre}.output.dense.bias"]),
+            },
+        }
+
+    import jax  # deferred: keep module importable torch-free
+    import jax.numpy as jnp
+
+    variables = {"params": jax.tree_util.tree_map(jnp.asarray, params)}
+    return model, variables

@@ -19,8 +19,20 @@ from runia_core_tpu.parallel.ring_attention import (
     ring_attention,
     ring_self_attention,
 )
+from runia_core_tpu.parallel.sharded import (
+    data_parallel_scorer,
+    fit_md_sharded,
+    sharded_kde_log_density,
+    sharded_knn_score,
+    sharded_mean_and_covariance,
+)
 
 __all__ = [
+    "data_parallel_scorer",
+    "fit_md_sharded",
+    "sharded_kde_log_density",
+    "sharded_knn_score",
+    "sharded_mean_and_covariance",
     "initialize_distributed",
     "make_mesh",
     "shard_batch",

@@ -84,15 +84,18 @@ def mc_dropblock_samples(
                 spatial = (2, 3) if channel_axis == 1 else (1, 2)
                 return jnp.mean(noised, axis=spatial)  # (B, C)
             if channel_axis != 1:
-                # NHWC 'mean': reduce W, flatten the remaining (H, C) — the
-                # NHWC twin of the reference's mean-over-W + flatten
-                # (utils.py get_mean_or_fullmean_ls_sample; same layout as
-                # MCDSamplesExtractor._reduce). Validate like the NCHW path
-                # does so unknown reductions fail loudly.
+                # NHWC 'mean': reduce W, then transpose (B, H, C) -> (B, C, H)
+                # before flattening so the feature ordering is C-major —
+                # identical to the NCHW path (utils.py
+                # get_mean_or_fullmean_ls_sample). Fitted detector state is
+                # therefore interchangeable across layouts. Validate like the
+                # NCHW path does so unknown reductions fail loudly.
                 assert reduction == "mean", (
                     f"Unsupported reduction {reduction!r}: 'mean'/'fullmean'"
                 )
-                return jnp.mean(noised, axis=2).reshape(noised.shape[0], -1)
+                return jnp.mean(noised, axis=2).swapaxes(1, 2).reshape(
+                    noised.shape[0], -1
+                )
             return get_mean_or_fullmean_ls_sample(noised, reduction).reshape(
                 noised.shape[0], -1
             )

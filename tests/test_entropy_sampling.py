@@ -251,3 +251,22 @@ class TestMCSampler:
         assert h_z.shape == (1, 1)
         assert h_z_i.shape == (1, 16)
         assert np.isfinite(h_z_i).all()
+
+
+class TestLayoutInterchangeability:
+    def test_nhwc_mean_matches_nchw_ordering(self):
+        """NHWC 'mean' reduction must emit features in the same C-major
+        ordering as the NCHW path, so fitted detector state transfers across
+        layouts (ADVICE r2)."""
+        from runia_core_tpu.sampling import mc_dropblock_samples
+
+        rng = np.random.default_rng(7)
+        x_nchw = jnp.asarray(rng.standard_normal((2, 5, 6, 6)).astype(np.float32))
+        x_nhwc = jnp.transpose(x_nchw, (0, 2, 3, 1))
+        key = jax.random.key(11)
+        a = mc_dropblock_samples(key, x_nchw, 4, 3, 0.4, "Conv",
+                                 reduction="mean", channel_axis=1)
+        b = mc_dropblock_samples(key, x_nhwc, 4, 3, 0.4, "Conv",
+                                 reduction="mean", channel_axis=3)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)

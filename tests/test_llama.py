@@ -456,3 +456,31 @@ class TestLLMCheckpoint:
         a, *_ = model.apply(params, tokens)
         b, *_ = m2.apply(p2, tokens)
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+class TestOnDeviceQuantization:
+    def test_on_device_matches_host_path(self):
+        """quantize_llama_params(on_device=True) runs as one jitted program
+        (needed for multi-GB models over the TPU tunnel) and must produce
+        bit-identical int8 kernels and scales to the numpy host path."""
+        from runia_core_tpu.models import quantize_llama_params
+
+        model = LlamaLM(
+            vocab_size=64, num_layers=2, num_heads=4, num_kv_heads=2,
+            d_model=32, hidden_dim=64, max_len=32,
+        )
+        fparams = model.init(jax.random.key(3), jnp.zeros((1, 4), jnp.int32))
+
+        host = quantize_llama_params(jax.tree_util.tree_map(np.asarray, fparams))
+        dev = quantize_llama_params(fparams, on_device=True)
+
+        host_leaves, host_tree = jax.tree_util.tree_flatten(host)
+        dev_leaves, dev_tree = jax.tree_util.tree_flatten(dev)
+        assert host_tree == dev_tree
+        for h, d in zip(host_leaves, dev_leaves):
+            d = np.asarray(d)
+            if h.dtype == np.int8:
+                np.testing.assert_array_equal(h, d)
+            else:
+                np.testing.assert_allclose(h, np.asarray(d, h.dtype),
+                                           rtol=1e-6, atol=1e-7)

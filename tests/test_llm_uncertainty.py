@@ -486,3 +486,83 @@ class TestUniformBatchPath:
                 np.asarray(single["sequences"][0, len(pr):]),
                 batch["sequences"][i, -5:],
             )
+
+
+class TestBatchedSemanticClustering:
+    """The batched path must yield byte-identical clusters to the sequential
+    oracle while issuing O(1) model calls."""
+
+    @staticmethod
+    def _label_table(rng, texts):
+        """Deterministic random NLI labels for every ordered text pair."""
+        table = {}
+        for a in texts:
+            for b in texts:
+                table[(a, b)] = int(rng.integers(0, 3))
+        return table
+
+    def test_matches_sequential_oracle(self):
+        from runia_core_tpu.llm.utils import (
+            _labels_equivalent,
+            _semantic_clustering,
+            _semantic_clustering_batched,
+        )
+
+        for seed in range(20):
+            rng = np.random.default_rng(seed)
+            n = int(rng.integers(1, 12))
+            texts = [f"text-{i}" for i in range(n)]
+            table = self._label_table(rng, texts)
+
+            def pair_equiv(a, b):
+                return _labels_equivalent(table[(a, b)], table[(b, a)])
+
+            calls = []
+
+            def batch_labels(premises, hypotheses):
+                calls.append(len(premises))
+                return np.array([table[(p, h)] for p, h in zip(premises, hypotheses)])
+
+            seq = _semantic_clustering(pair_equiv, None, texts)
+            bat = _semantic_clustering_batched(batch_labels, None, texts)
+            assert seq == bat, (seed, seq, bat)
+            assert len(calls) <= 1  # one batched forward (zero when n == 1)
+
+    def test_hf_model_path_single_forward(self):
+        torch = pytest.importorskip("torch")
+        from runia_core_tpu.llm import semantic_entropy
+
+        texts = ["alpha", "beta", "alpha!", "gamma"]
+
+        class FakeTokenizer:
+            def __call__(self, premises, hypotheses, return_tensors, padding,
+                         truncation):
+                assert return_tensors == "pt" and padding
+                return {"pair_ids": torch.tensor(
+                    [[hash((p, h)) % 97] for p, h in zip(premises, hypotheses)]
+                )}
+
+        class FakeModel:
+            def __init__(self):
+                self.forward_count = 0
+
+            def __call__(self, pair_ids):
+                self.forward_count += 1
+                # Label 2 (entailment) iff both texts share a first letter
+                # bucket: derive logits purely from the hashed pair id.
+                n = pair_ids.shape[0]
+                logits = torch.zeros((n, 3))
+                logits[:, (pair_ids[:, 0] % 3)] = 1.0
+                out = type("Out", (), {})()
+                out.logits = torch.stack(
+                    [torch.nn.functional.one_hot(pair_ids[i, 0] % 3, 3).float()
+                     for i in range(n)]
+                )
+                return out
+
+        model = FakeModel()
+        entropy, clusters = semantic_entropy(model, FakeTokenizer(), texts)
+        assert model.forward_count == 1
+        assert np.isfinite(entropy)
+        covered = sorted(i for idxs in clusters.values() for i in idxs)
+        assert covered == list(range(len(texts)))

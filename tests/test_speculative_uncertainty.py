@@ -103,3 +103,39 @@ class TestSpeculativeUncertainty:
             spec, None, [1, 2, 3], [{"method_name": "perplexity"}],
         )
         assert np.isfinite(float(scores["perplexity"]))
+
+    def test_validation_happens_before_any_decode(self, models, monkeypatch):
+        """The capability error must fire with ZERO decode work — before the
+        deterministic pass runs (VERDICT r2 item 8)."""
+        import runia_core_tpu.llm.scores as scores_mod
+
+        def explode(*a, **k):  # pragma: no cover - must never be reached
+            raise AssertionError("decode ran before request validation")
+
+        monkeypatch.setattr(scores_mod, "run_generation", explode, raising=False)
+        import runia_core_tpu.llm.generate as gen_mod
+        monkeypatch.setattr(gen_mod, "run_generation", explode)
+
+        target, t_params, draft, d_params = models
+        spec = SpeculativeGenerator(target, t_params, draft, d_params,
+                                    gamma=3, max_new_tokens=MAX_NEW,
+                                    do_sample=True)
+        with pytest.raises(ValueError, match="eigen_score"):
+            compute_uncertainties(
+                spec, None, [1, 2, 3], [{"method_name": "eigen_score"}],
+                num_samples=2,
+            )
+
+    def test_unknown_method_rejected_before_decode(self, models, monkeypatch):
+        import runia_core_tpu.llm.generate as gen_mod
+
+        def explode(*a, **k):  # pragma: no cover
+            raise AssertionError("decode ran for an unknown method")
+
+        monkeypatch.setattr(gen_mod, "run_generation", explode)
+        target, t_params, _, _ = models
+        gen = JaxGenerator(target, t_params, max_new_tokens=MAX_NEW)
+        with pytest.raises(KeyError, match="no_such_method"):
+            compute_uncertainties(
+                gen, None, [1, 2, 3], [{"method_name": "no_such_method"}],
+            )

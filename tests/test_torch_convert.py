@@ -128,3 +128,53 @@ class TestConvertTorchResnet:
         out = ex.get_ls_samples([(imgs, np.zeros(4))])
         assert out["latent_space_means"].shape == (16, 128)
         assert np.isfinite(out["latent_space_means"]).all()
+
+
+class TestConvertHFViT:
+    """convert_hf_vit parity vs an eval-mode transformers ViT."""
+
+    @pytest.fixture(scope="class")
+    def hf_vit(self):
+        transformers = pytest.importorskip("transformers")
+        cfg = transformers.ViTConfig(
+            image_size=32, patch_size=8, hidden_size=32, num_hidden_layers=2,
+            num_attention_heads=4, intermediate_size=128, num_labels=5,
+        )
+        torch.manual_seed(0)
+        return transformers.ViTForImageClassification(cfg).eval()
+
+    def test_logits_match_hf_eval(self, hf_vit):
+        from runia_core_tpu.models import convert_hf_vit
+
+        model, variables = convert_hf_vit(hf_vit)
+        x = np.random.RandomState(0).rand(3, 32, 32, 3).astype(np.float32)
+        with torch.no_grad():
+            ref = hf_vit(torch.from_numpy(x.transpose(0, 3, 1, 2))).logits.numpy()
+        ours, taps = model.apply(variables, jnp.asarray(x))
+        np.testing.assert_allclose(np.asarray(ours), ref, rtol=1e-4, atol=1e-5)
+        # CLS token excluded: the tap is the full patch grid.
+        assert taps["encoder_tokens"].shape == (3, 4, 4, 32)
+        assert taps["pre_head"].shape == (3, 32)
+
+    def test_larex_pipeline_on_converted_vit(self, hf_vit):
+        """The converted checkpoint drives the fused LaREx scorer on the
+        encoder_tokens tap — the end a reference user actually wants."""
+        from runia_core_tpu.detectors import MDLatentSpace
+        from runia_core_tpu.inference import build_larex_scorer
+        from runia_core_tpu.models import build_tapped_forward, convert_hf_vit
+
+        model, variables = convert_hf_vit(hf_vit)
+        forward = build_tapped_forward(model, variables, taps=("encoder_tokens",))
+        md = MDLatentSpace()
+        md.setup(np.random.RandomState(1).randn(64, 32).astype(np.float32))
+        scorer = build_larex_scorer(
+            forward, pca_state=None, detector_state=md.state,
+            mcd_samples_nro=4, drop_block_prob=0.4, drop_block_size=2,
+            tap="encoder_tokens", channel_axis=3,
+        )
+        logits, scores = scorer(
+            jnp.asarray(np.random.RandomState(2).rand(4, 32, 32, 3), jnp.float32),
+            jax.random.key(0),
+        )
+        assert logits.shape == (4, 5)
+        assert np.isfinite(np.asarray(scores)).all()
