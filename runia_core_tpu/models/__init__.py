@@ -1,6 +1,7 @@
 """Model zoo: flax modules with built-in feature taps."""
 
 from runia_core_tpu.models.detection import JaxDetectorAdapter, SimpleDetector
+from runia_core_tpu.models.detr import DETR, DetrJaxAdapter, convert_hf_detr
 from runia_core_tpu.models.deeplab import ASPP, DeepLabV3Plus
 from runia_core_tpu.models.segmentation import SimpleSegmenter
 from runia_core_tpu.models.resnet import (
@@ -33,6 +34,9 @@ __all__ = [
     "SimpleConvNet",
     "build_tapped_forward",
     "SimpleDetector",
+    "DETR",
+    "DetrJaxAdapter",
+    "convert_hf_detr",
     "JaxDetectorAdapter",
     "SimpleSegmenter",
     "DeepLabV3Plus",
