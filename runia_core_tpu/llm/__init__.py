@@ -7,6 +7,7 @@ from runia_core_tpu.llm.attention import (
     _get_recurent_attention,
     _reconstruct_attention_matrix,
 )
+from runia_core_tpu.llm.continuous import ContinuousBatchingEngine
 from runia_core_tpu.llm.generate import JaxGenerator, run_generation
 from runia_core_tpu.llm.service import GenerationService
 from runia_core_tpu.llm.speculative import SpeculativeGenerator
@@ -47,6 +48,7 @@ __all__ = [
     "JaxGenerator",
     "SpeculativeGenerator",
     "GenerationService",
+    "ContinuousBatchingEngine",
     "run_generation",
     "StreamingAttentionAggregator",
     "make_nli_equivalence",

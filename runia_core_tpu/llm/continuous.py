@@ -1,0 +1,305 @@
+"""Continuous (in-flight) batching decode engine.
+
+Production LLM serving decodes many requests of different lengths at once;
+a static batch (``GenerationService``) makes late arrivals wait for the
+whole batch and finished sequences idle until the longest one ends. This
+engine keeps a FIXED number of decode slots hot: every device step decodes
+one token for all slots, and whenever a slot finishes (EOS or token budget)
+it is refilled from the queue by prefilling the new prompt into that slot's
+region of the shared KV cache — the Orca/vLLM scheduling model, built
+TPU-first:
+
+  - one shared (S, max_ctx) KV cache; per-slot write offsets ride the
+    vector ``cache_index`` path of ``LlamaLM`` (each slot has its own
+    physical clock, no re-padding or cache shuffling on refill);
+  - decode runs in jitted ``lax.scan`` CHUNKS of ``chunk_tokens`` steps
+    between host syncs — over a tunneled TPU a per-step sync (~30 ms)
+    would dominate, so a finished slot idles at most chunk-1 steps before
+    the host notices and refills it;
+  - prefill is its own jitted program per bucketed prompt length, writing
+    the slot row of every cache buffer in place (donated argument) and
+    refreshing that slot's next-token logits;
+  - slot state (positions, pad offsets, active flags) lives on device;
+    the host only sees the per-chunk (K, S) token/log-prob block.
+
+No reference counterpart (the reference's LLM path is one blocking HF
+``generate`` per call — reference llm_uncertainty/scores.py:429-524); this
+is the serving-throughput story for the TPU rebuild.
+"""
+
+from __future__ import annotations
+
+from collections import deque
+from functools import partial
+from typing import Any, Dict, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from runia_core_tpu.models.transformer import init_cache
+
+__all__ = ["ContinuousBatchingEngine"]
+
+
+class ContinuousBatchingEngine:
+    """Fixed-slot in-flight batching over a ``LlamaLM``-style model.
+
+    Usage::
+
+        eng = ContinuousBatchingEngine(model, params, num_slots=8,
+                                       max_ctx=256, max_new_tokens=32)
+        results = eng.generate_all(prompts)   # any number of prompts
+
+    Each result dict carries ``tokens`` (generated ids, EOS-stripped),
+    ``log_probs`` (per generated token), and ``prompt_length``. Greedy
+    decode is token-identical to ``JaxGenerator.generate`` per prompt.
+    """
+
+    def __init__(
+        self,
+        model,
+        params,
+        num_slots: int = 8,
+        max_ctx: int = 512,
+        max_new_tokens: int = 64,
+        chunk_tokens: int = 8,
+        eos_id: Optional[int] = None,
+        do_sample: bool = False,
+        temperature: float = 1.0,
+        prompt_bucket: int = 16,
+        key: Optional[jax.Array] = None,
+    ):
+        if getattr(model, "use_flash", False):
+            # Flash prefill needs the plain causal case (no pad mask); the
+            # engine left-pads prompts into slots, so require the standard
+            # attention path.
+            raise ValueError(
+                "ContinuousBatchingEngine needs use_flash=False (slot "
+                "prefill uses padded masks)"
+            )
+        self.model = model
+        self.params = params
+        self.num_slots = int(num_slots)
+        self.max_ctx = int(max_ctx)
+        self.max_new_tokens = int(max_new_tokens)
+        self.chunk_tokens = int(chunk_tokens)
+        self.eos_id = eos_id
+        self.do_sample = do_sample
+        self.temperature = float(temperature)
+        self.prompt_bucket = max(1, int(prompt_bucket))
+        self._key = key if key is not None else jax.random.key(0)
+
+        vocab = model.vocab_size
+        self.cache = init_cache(model, self.num_slots, self.max_ctx)
+        self.step_logits = jnp.zeros((self.num_slots, vocab), jnp.float32)
+        self.slot_pos = jnp.zeros((self.num_slots,), jnp.int32)   # next write
+        self.kv_start = jnp.zeros((self.num_slots,), jnp.int32)   # pad offset
+        self.limit = jnp.zeros((self.num_slots,), jnp.int32)      # phys cap
+        self.active = jnp.zeros((self.num_slots,), bool)
+
+        self._prefill_cache: Dict[int, Any] = {}
+        self._chunk_fn = None
+
+        # host-side per-slot request bookkeeping
+        self._slot_req: List[Optional[dict]] = [None] * self.num_slots
+        self._queue: deque = deque()
+        self._results: Dict[int, dict] = {}
+        self._next_id = 0
+
+    # -- device programs ------------------------------------------------------
+    def _prefill_fn(self, p_pad: int):
+        """Jitted: prefill one prompt into slot ``slot`` of the shared state."""
+        if p_pad in self._prefill_cache:
+            return self._prefill_cache[p_pad]
+        model, max_ctx = self.model, self.max_ctx
+
+        # Donate the big buffers: the cache row update happens in place
+        # instead of allocating a second full cache.
+        @partial(jax.jit, donate_argnums=(1, 2))
+        def prefill(params, cache, step_logits, slot, tokens, valid):
+            # Fresh single-row cache for this prompt, then splice the row in.
+            local = init_cache(model, 1, max_ctx)
+            kv_valid = jnp.concatenate(
+                [valid, jnp.ones((1, max_ctx - p_pad), bool)], axis=1
+            )
+            positions = jnp.maximum(
+                jnp.cumsum(valid.astype(jnp.int32), axis=1) - 1, 0
+            )
+            logits, _, _, local = model.apply(
+                params, tokens, local, jnp.int32(0),
+                token_valid=kv_valid, positions=positions,
+            )
+
+            def splice(g, l):
+                return jax.lax.dynamic_update_slice(
+                    g, l.astype(g.dtype), (slot,) + (0,) * (g.ndim - 1)
+                )
+
+            cache = jax.tree_util.tree_map(splice, cache, local)
+            step_logits = jax.lax.dynamic_update_slice(
+                step_logits, logits[:, -1, :], (slot, 0)
+            )
+            return cache, step_logits
+
+        self._prefill_cache[p_pad] = prefill
+        return prefill
+
+    def _chunk(self):
+        """Jitted: K decode steps for all slots, per-slot clocks."""
+        if self._chunk_fn is not None:
+            return self._chunk_fn
+        model, eos = self.model, self.eos_id
+        max_ctx, K = self.max_ctx, self.chunk_tokens
+        do_sample, temperature = self.do_sample, self.temperature
+
+        @partial(jax.jit, donate_argnums=(1, 2, 3, 6, 7))
+        def chunk(params, cache, step_logits, slot_pos, kv_start, limit,
+                  active, rng_key):
+            def body(carry, _):
+                cache, step_logits, slot_pos, active, key = carry
+                key, sub = jax.random.split(key)
+                log_soft = jax.nn.log_softmax(step_logits, axis=-1)
+                if do_sample:
+                    next_tok = jax.random.categorical(
+                        sub, step_logits / temperature, axis=-1
+                    )
+                else:
+                    next_tok = jnp.argmax(step_logits, axis=-1)
+                lp = jnp.take_along_axis(
+                    log_soft, next_tok[:, None], axis=-1
+                )[:, 0]
+                emitted = active
+                lp = jnp.where(active, lp, -jnp.inf)
+                next_tok = jnp.where(active, next_tok, 0)
+                if eos is not None:
+                    active = active & (next_tok != eos)
+
+                # Physical rows each slot may attend: its own [kv_start,
+                # slot_pos] window (upper bound enforced causally by the
+                # per-slot clock).
+                kv_valid = (
+                    jnp.arange(max_ctx)[None, :] >= kv_start[:, None]
+                )
+                positions = (slot_pos - kv_start)[:, None]
+                new_logits, _, _, cache = model.apply(
+                    params, next_tok[:, None], cache, slot_pos,
+                    token_valid=kv_valid, positions=positions,
+                )
+                # Only active slots advance their clock; stopping keeps the
+                # slot's cache frozen until refill. Budget: a slot whose next
+                # write position would overflow its limit goes inactive.
+                slot_pos = slot_pos + active.astype(jnp.int32)
+                active = active & (slot_pos < limit)
+                step_logits = jnp.where(
+                    emitted[:, None], new_logits[:, 0, :], step_logits
+                )
+                return (
+                    (cache, step_logits, slot_pos, active, key),
+                    (next_tok, lp, emitted),
+                )
+
+            (cache, step_logits, slot_pos, active, rng_key), out = jax.lax.scan(
+                body, (cache, step_logits, slot_pos, active, rng_key),
+                None, length=K,
+            )
+            return cache, step_logits, slot_pos, active, rng_key, out
+
+        self._chunk_fn = chunk
+        return chunk
+
+    # -- host-side scheduling -------------------------------------------------
+    def _refill(self) -> None:
+        """Prefill queued prompts into every free slot."""
+        free = [
+            s for s in range(self.num_slots) if self._slot_req[s] is None
+        ]
+        for slot in free:
+            if not self._queue:
+                break
+            req = self._queue.popleft()
+            p = len(req["prompt"])
+            p_pad = -(-max(p, 1) // self.prompt_bucket) * self.prompt_bucket
+            if p_pad + self.max_new_tokens > self.max_ctx:
+                raise ValueError(
+                    f"prompt of {p} tokens + {self.max_new_tokens} new "
+                    f"exceeds max_ctx={self.max_ctx}"
+                )
+            tokens = np.zeros((1, p_pad), np.int32)
+            valid = np.zeros((1, p_pad), bool)
+            tokens[0, p_pad - p:] = np.asarray(req["prompt"], np.int32)
+            valid[0, p_pad - p:] = True
+            self.cache, self.step_logits = self._prefill_fn(p_pad)(
+                self.params, self.cache, self.step_logits,
+                jnp.int32(slot), jnp.asarray(tokens), jnp.asarray(valid),
+            )
+            self.slot_pos = self.slot_pos.at[slot].set(p_pad)
+            self.kv_start = self.kv_start.at[slot].set(p_pad - p)
+            self.limit = self.limit.at[slot].set(
+                min(p_pad + self.max_new_tokens, self.max_ctx)
+            )
+            self.active = self.active.at[slot].set(True)
+            self._slot_req[slot] = req
+
+    def _finish_slot(self, slot: int) -> None:
+        req = self._slot_req[slot]
+        toks, lps = req["tokens"], req["lps"]
+        if self.eos_id is not None and self.eos_id in toks:
+            cut = toks.index(self.eos_id)
+            toks, lps = toks[:cut], lps[:cut]
+        self._results[req["id"]] = {
+            "tokens": toks,
+            "log_probs": np.asarray(lps, np.float32),
+            "prompt_length": len(req["prompt"]),
+        }
+        self._slot_req[slot] = None
+
+    def submit(self, prompt_tokens: Sequence[int]) -> int:
+        """Enqueue one prompt; returns its request id."""
+        rid = self._next_id
+        self._next_id += 1
+        self._queue.append({
+            "id": rid, "prompt": list(prompt_tokens), "tokens": [], "lps": [],
+        })
+        return rid
+
+    def run_until_drained(self) -> None:
+        """Decode until every submitted request has a result."""
+        self._refill()
+        chunk = self._chunk()
+        while any(r is not None for r in self._slot_req):
+            (self.cache, self.step_logits, self.slot_pos, self.active,
+             self._key, (toks, lps, emitted)) = chunk(
+                self.params, self.cache, self.step_logits, self.slot_pos,
+                self.kv_start, self.limit, self.active, self._key,
+            )
+            toks = np.asarray(toks)          # (K, S)
+            lps = np.asarray(lps)
+            emitted = np.asarray(emitted)
+            active_now = np.asarray(self.active)
+            for slot in range(self.num_slots):
+                req = self._slot_req[slot]
+                if req is None:
+                    continue
+                for k in range(toks.shape[0]):
+                    if emitted[k, slot]:
+                        req["tokens"].append(int(toks[k, slot]))
+                        req["lps"].append(float(lps[k, slot]))
+                done = (not active_now[slot]) or (
+                    len(req["tokens"]) >= self.max_new_tokens
+                )
+                if done:
+                    self.active = self.active.at[slot].set(False)
+                    self._finish_slot(slot)
+            self._refill()
+
+    def result(self, request_id: int) -> dict:
+        return self._results[request_id]
+
+    def generate_all(
+        self, prompts: Sequence[Sequence[int]]
+    ) -> List[Dict[str, Any]]:
+        """Submit every prompt, drain the engine, return ordered results."""
+        ids = [self.submit(p) for p in prompts]
+        self.run_until_drained()
+        return [self.result(i) for i in ids]

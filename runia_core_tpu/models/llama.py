@@ -127,6 +127,20 @@ class _LlamaBlock(nn.Module):
         q = _apply_rope(q, cos, sin).astype(self.dtype)
         k = _apply_rope(k, cos, sin).astype(self.dtype)
 
+        def cache_write(buf, val):
+            """Insert val at the cache position(s). A scalar ``cache_index``
+            writes all rows at one shared offset (the left-pad-aligned batch
+            decode); a (B,) vector writes each row at its own offset (the
+            continuous-batching engine, where every slot has its own
+            timeline)."""
+            if jnp.ndim(cache_index) == 0:
+                start = (0, cache_index) + (0,) * (buf.ndim - 2)
+                return jax.lax.dynamic_update_slice(buf, val, start)
+            per_row = lambda b_row, v_row, i: jax.lax.dynamic_update_slice(
+                b_row, v_row, (i,) + (0,) * (buf.ndim - 2)
+            )
+            return jax.vmap(per_row)(buf, val, cache_index)
+
         if cache is not None and "k_scale" in cache:
             # KV8 cache: insert int8 values + per-(B, pos, G) scales, then
             # dequantize on read (the cast*scale fuses into the attention
@@ -143,18 +157,10 @@ class _LlamaBlock(nn.Module):
             k_q, k_s = quant(k)
             v_q, v_s = quant(v)
             new_kv = {
-                "k": jax.lax.dynamic_update_slice(
-                    cache["k"], k_q, (0, cache_index, 0, 0)
-                ),
-                "v": jax.lax.dynamic_update_slice(
-                    cache["v"], v_q, (0, cache_index, 0, 0)
-                ),
-                "k_scale": jax.lax.dynamic_update_slice(
-                    cache["k_scale"], k_s, (0, cache_index, 0)
-                ),
-                "v_scale": jax.lax.dynamic_update_slice(
-                    cache["v_scale"], v_s, (0, cache_index, 0)
-                ),
+                "k": cache_write(cache["k"], k_q),
+                "v": cache_write(cache["v"], v_q),
+                "k_scale": cache_write(cache["k_scale"], k_s),
+                "v_scale": cache_write(cache["v_scale"], v_s),
             }
             k_all = new_kv["k"].astype(self.dtype) * new_kv["k_scale"][
                 ..., None
@@ -163,12 +169,8 @@ class _LlamaBlock(nn.Module):
                 ..., None
             ].astype(self.dtype)
         elif cache is not None:
-            k_cache = jax.lax.dynamic_update_slice(
-                cache["k"], k, (0, cache_index, 0, 0)
-            )
-            v_cache = jax.lax.dynamic_update_slice(
-                cache["v"], v, (0, cache_index, 0, 0)
-            )
+            k_cache = cache_write(cache["k"], k)
+            v_cache = cache_write(cache["v"], v)
             k_all, v_all = k_cache, v_cache
             new_kv = {"k": k_cache, "v": v_cache}
         else:
@@ -327,12 +329,24 @@ class LlamaLM(nn.Module):
                 mask = mask & token_valid[:, None, None, :]
         else:
             kv_len = cache["layers"][0]["k"].shape[1]
-            q_phys = cache_index + jnp.arange(t)
-            if positions is None:
-                positions = jnp.broadcast_to(q_phys[None, :], (b, t))
-            mask = (
-                jnp.arange(kv_len)[None, None, None, :] <= q_phys[None, None, :, None]
-            )
+            if jnp.ndim(cache_index) == 0:
+                q_phys = cache_index + jnp.arange(t)  # shared physical clock
+                if positions is None:
+                    positions = jnp.broadcast_to(q_phys[None, :], (b, t))
+                mask = (
+                    jnp.arange(kv_len)[None, None, None, :]
+                    <= q_phys[None, None, :, None]
+                )
+            else:
+                # Per-slot physical clocks (continuous batching): each batch
+                # row writes and attends at its own cache offset.
+                q_phys = cache_index[:, None] + jnp.arange(t)[None, :]  # (B, t)
+                if positions is None:
+                    positions = q_phys
+                mask = (
+                    jnp.arange(kv_len)[None, None, None, :]
+                    <= q_phys[:, None, :, None]
+                )
             if token_valid is not None:
                 mask = mask & token_valid[:, None, None, :]
 

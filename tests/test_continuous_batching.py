@@ -1,0 +1,142 @@
+"""Continuous (in-flight) batching engine vs the single-prompt decoder.
+
+Greedy decode through ContinuousBatchingEngine must be token-identical to
+JaxGenerator.generate per prompt — slots share one KV cache but each rides
+its own physical clock (the vector cache_index path of LlamaLM), so
+cohabitation must not perturb numerics. Refill is exercised by submitting
+more prompts than slots.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from runia_core_tpu.llm.continuous import ContinuousBatchingEngine
+from runia_core_tpu.llm.generate import JaxGenerator
+from runia_core_tpu.models import LlamaLM
+
+VOCAB = 64
+MAX_NEW = 10
+
+
+@pytest.fixture(scope="module")
+def model_and_params():
+    model = LlamaLM(vocab_size=VOCAB, num_layers=2, num_heads=4,
+                    num_kv_heads=2, d_model=32, hidden_dim=64, max_len=128)
+    params = model.init(jax.random.key(0), np.zeros((1, 8), np.int32))
+    return model, params
+
+
+@pytest.fixture(scope="module")
+def prompts():
+    rng = np.random.RandomState(3)
+    return [list(rng.randint(1, VOCAB, rng.randint(3, 20))) for _ in range(7)]
+
+
+def reference_outputs(model, params, prompts, eos_id):
+    gen = JaxGenerator(model, params, max_new_tokens=MAX_NEW, eos_id=eos_id)
+    outs = []
+    for p in prompts:
+        out = gen.generate(p, do_sample=False, output_attentions=False,
+                           output_hidden_states=False)
+        toks = np.asarray(out["sequences"][0, len(p):]).tolist()
+        lps = np.asarray(out["log_probs"]).ravel()
+        if eos_id is not None and eos_id in toks:
+            cut = toks.index(eos_id)
+            toks, lps = toks[:cut], lps[:cut]
+        outs.append((toks, lps))
+    return outs
+
+
+class TestContinuousBatching:
+    def test_greedy_matches_single_prompt_with_refill(
+        self, model_and_params, prompts
+    ):
+        model, params = model_and_params
+        ref = reference_outputs(model, params, prompts, eos_id=None)
+
+        # 3 slots < 7 prompts: every slot refills at least once.
+        eng = ContinuousBatchingEngine(
+            model, params, num_slots=3, max_ctx=64, max_new_tokens=MAX_NEW,
+            chunk_tokens=4, eos_id=None,
+        )
+        results = eng.generate_all(prompts)
+        for i, ((ref_toks, ref_lps), res) in enumerate(zip(ref, results)):
+            assert res["tokens"] == ref_toks, f"prompt {i}"
+            np.testing.assert_allclose(
+                res["log_probs"], ref_lps[: len(res["tokens"])],
+                rtol=1e-4, atol=1e-5, err_msg=f"prompt {i}",
+            )
+            assert res["prompt_length"] == len(prompts[i])
+
+    def test_eos_stops_and_strips(self, model_and_params, prompts):
+        model, params = model_and_params
+        # Choose as EOS a token the greedy trace actually emits mid-sequence,
+        # so the engine must stop that slot early and refill it.
+        no_eos = reference_outputs(model, params, prompts, eos_id=None)
+        eos_id = no_eos[0][0][min(2, len(no_eos[0][0]) - 1)]
+        ref = reference_outputs(model, params, prompts, eos_id=eos_id)
+
+        eng = ContinuousBatchingEngine(
+            model, params, num_slots=2, max_ctx=64, max_new_tokens=MAX_NEW,
+            chunk_tokens=3, eos_id=eos_id,
+        )
+        results = eng.generate_all(prompts)
+        for i, ((ref_toks, _), res) in enumerate(zip(ref, results)):
+            assert res["tokens"] == ref_toks, f"prompt {i}"
+            assert eos_id not in res["tokens"]
+
+    def test_sampled_mode_well_formed(self, model_and_params, prompts):
+        model, params = model_and_params
+        eng = ContinuousBatchingEngine(
+            model, params, num_slots=4, max_ctx=64, max_new_tokens=MAX_NEW,
+            chunk_tokens=5, do_sample=True, temperature=0.8,
+            key=jax.random.key(7),
+        )
+        results = eng.generate_all(prompts[:5])
+        for res in results:
+            assert len(res["tokens"]) == MAX_NEW
+            assert np.isfinite(res["log_probs"]).all()
+            assert all(0 <= t < VOCAB for t in res["tokens"])
+
+    def test_context_overflow_rejected(self, model_and_params):
+        model, params = model_and_params
+        eng = ContinuousBatchingEngine(
+            model, params, num_slots=2, max_ctx=32, max_new_tokens=30,
+        )
+        eng.submit(list(range(1, 20)))
+        with pytest.raises(ValueError, match="max_ctx"):
+            eng.run_until_drained()
+
+    def test_flash_model_rejected(self, model_and_params):
+        _, params = model_and_params
+        flash = LlamaLM(vocab_size=VOCAB, num_layers=2, num_heads=4,
+                        num_kv_heads=2, d_model=32, hidden_dim=64,
+                        max_len=128, use_flash=True)
+        with pytest.raises(ValueError, match="use_flash"):
+            ContinuousBatchingEngine(flash, params)
+
+
+class TestVectorCacheIndex:
+    def test_vector_index_equals_scalar_when_uniform(self, model_and_params):
+        """A (B,) cache_index with equal entries must reproduce the scalar
+        path bit-for-bit (the continuous engine's degenerate case)."""
+        from runia_core_tpu.models.transformer import init_cache
+
+        model, params = model_and_params
+        b, p = 3, 8
+        rng = np.random.RandomState(0)
+        prompt = jnp.asarray(rng.randint(1, VOCAB, (b, p)), jnp.int32)
+        cache = init_cache(model, b, 32)
+        logits, _, _, cache = model.apply(params, prompt, cache, jnp.int32(0))
+        tok = jnp.argmax(logits[:, -1, :], axis=-1)[:, None]
+
+        s_logits, _, _, _ = model.apply(params, tok, cache, jnp.int32(p))
+        v_logits, _, _, _ = model.apply(
+            params, tok, cache, jnp.full((b,), p, jnp.int32)
+        )
+        np.testing.assert_allclose(
+            np.asarray(v_logits), np.asarray(s_logits), rtol=1e-6, atol=1e-6
+        )
