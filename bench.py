@@ -344,6 +344,62 @@ def measure_llm_decode_int8():
     return _decode_leg(int8=True)
 
 
+def measure_llm_continuous():
+    """Continuous in-flight batching vs static batched decode on a mixed
+    serving workload (32 requests, prompt lengths 16-192, per-request
+    budgets 8-64). Static batching pads every prompt to the longest and
+    decodes the longest budget for the whole batch; the engine refills a
+    slot the moment its request finishes. The metric is USEFUL tok/s —
+    requested tokens / wall — which is what a serving deployment sells."""
+    import jax
+    import jax.numpy as jnp
+
+    from runia_core_tpu.llm import ContinuousBatchingEngine, JaxGenerator
+    from runia_core_tpu.models import LlamaLM
+
+    st = _get_prod_llama()
+    model = LlamaLM(**_PROD_CFG, dtype=jnp.bfloat16)  # engine: no flash
+    rng = np.random.RandomState(5)
+    n_req = 32
+    lengths = rng.randint(16, 193, n_req)
+    budgets = rng.randint(8, 65, n_req)
+    prompts = [list(rng.randint(1, 32000, int(n))) for n in lengths]
+    useful = int(budgets.sum())
+
+    eng = ContinuousBatchingEngine(
+        model, st["params"], num_slots=16, max_ctx=320, max_new_tokens=64,
+        chunk_tokens=16, prompt_bucket=64,
+    )
+
+    def engine_pass():
+        for p_, b_ in zip(prompts, budgets):
+            eng.submit(p_, int(b_))
+        eng.run_until_drained()
+
+    engine_pass()  # compile warmup (prefill shapes + chunk program)
+    t0 = time.perf_counter()
+    engine_pass()
+    engine_tps = useful / (time.perf_counter() - t0)
+
+    gen = JaxGenerator(model, st["params"], max_new_tokens=64)
+    kwargs = dict(do_sample=False, output_scores=False, pad_to=192)
+
+    def static_pass():
+        return gen.generate_batch(prompts, key=jax.random.key(0), **kwargs)[
+            "sequences"
+        ]
+
+    jax.block_until_ready(static_pass())  # compile warmup
+    t0 = time.perf_counter()
+    jax.block_until_ready(static_pass())
+    static_tps = useful / (time.perf_counter() - t0)
+
+    return engine_tps, None, {
+        "useful_tokens": useful,
+        "speedup_vs_static_batch": round(engine_tps / static_tps, 4),
+    }
+
+
 def measure_llm_speculative_production():
     """Speculative decode on the production target with a CORRELATED draft:
     the target's own first 4 layers (+ shared embed/norm/lm_head) — a
@@ -457,6 +513,7 @@ def run_suite():
     leg("llama1b_prefill_8x1024", "tok/s", measure_llm_prefill)
     leg("llama1b_decode_greedy_16x64", "tok/s", measure_llm_decode)
     leg("llama1b_decode_int8kv8_16x64", "tok/s", measure_llm_decode_int8)
+    leg("llama1b_continuous_batching_32req", "tok/s", measure_llm_continuous)
     leg("llama1b_speculative_1x32", "tok/s", measure_llm_speculative_production)
     return ips18, suite
 

@@ -220,9 +220,9 @@ class ContinuousBatchingEngine:
             req = self._queue.popleft()
             p = len(req["prompt"])
             p_pad = -(-max(p, 1) // self.prompt_bucket) * self.prompt_bucket
-            if p_pad + self.max_new_tokens > self.max_ctx:
+            if p_pad + req["max_new"] > self.max_ctx:
                 raise ValueError(
-                    f"prompt of {p} tokens + {self.max_new_tokens} new "
+                    f"prompt of {p} tokens + {req['max_new']} new "
                     f"exceeds max_ctx={self.max_ctx}"
                 )
             tokens = np.zeros((1, p_pad), np.int32)
@@ -236,7 +236,7 @@ class ContinuousBatchingEngine:
             self.slot_pos = self.slot_pos.at[slot].set(p_pad)
             self.kv_start = self.kv_start.at[slot].set(p_pad - p)
             self.limit = self.limit.at[slot].set(
-                min(p_pad + self.max_new_tokens, self.max_ctx)
+                min(p_pad + req["max_new"], self.max_ctx)
             )
             self.active = self.active.at[slot].set(True)
             self._slot_req[slot] = req
@@ -254,12 +254,17 @@ class ContinuousBatchingEngine:
         }
         self._slot_req[slot] = None
 
-    def submit(self, prompt_tokens: Sequence[int]) -> int:
-        """Enqueue one prompt; returns its request id."""
+    def submit(self, prompt_tokens: Sequence[int],
+               max_new_tokens: Optional[int] = None) -> int:
+        """Enqueue one prompt; returns its request id. ``max_new_tokens``
+        overrides the engine default for THIS request (real traffic has
+        per-request budgets; the slot frees as soon as its own budget or
+        EOS hits, not the longest request's)."""
         rid = self._next_id
         self._next_id += 1
         self._queue.append({
             "id": rid, "prompt": list(prompt_tokens), "tokens": [], "lps": [],
+            "max_new": int(max_new_tokens or self.max_new_tokens),
         })
         return rid
 
@@ -286,7 +291,7 @@ class ContinuousBatchingEngine:
                         req["tokens"].append(int(toks[k, slot]))
                         req["lps"].append(float(lps[k, slot]))
                 done = (not active_now[slot]) or (
-                    len(req["tokens"]) >= self.max_new_tokens
+                    len(req["tokens"]) >= req["max_new"]
                 )
                 if done:
                     self.active = self.active.at[slot].set(False)

@@ -140,3 +140,21 @@ class TestVectorCacheIndex:
         np.testing.assert_allclose(
             np.asarray(v_logits), np.asarray(s_logits), rtol=1e-6, atol=1e-6
         )
+
+
+class TestPerRequestBudget:
+    def test_per_request_max_new(self, model_and_params, prompts):
+        """Each request stops at ITS budget; slots free early and refill."""
+        model, params = model_and_params
+        budgets = [3, 7, 5, 2, 9, 4, 6]
+        eng = ContinuousBatchingEngine(
+            model, params, num_slots=2, max_ctx=64, max_new_tokens=MAX_NEW,
+            chunk_tokens=4, eos_id=None,
+        )
+        ids = [eng.submit(p, max_new_tokens=b)
+               for p, b in zip(prompts, budgets)]
+        eng.run_until_drained()
+        ref = reference_outputs(model, params, prompts, eos_id=None)
+        for rid, (ref_toks, _), budget in zip(ids, ref, budgets):
+            res = eng.result(rid)
+            assert res["tokens"] == ref_toks[:budget]
