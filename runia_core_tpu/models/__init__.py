@@ -24,7 +24,7 @@ from runia_core_tpu.models.quant_vision import (
 from runia_core_tpu.models.torch_convert import convert_hf_vit, convert_torch_resnet
 from runia_core_tpu.models.transformer import CausalLM
 from runia_core_tpu.models.vit import ViT
-from runia_core_tpu.models.yolov8 import YoloV8, convert_ultralytics_yolov8
+from runia_core_tpu.models.yolov8 import YoloV8, YoloV8JaxAdapter, convert_ultralytics_yolov8
 
 __all__ = [
     "ViT",
@@ -49,6 +49,7 @@ __all__ = [
     "convert_torch_resnet",
     "convert_hf_vit",
     "YoloV8",
+    "YoloV8JaxAdapter",
     "convert_ultralytics_yolov8",
     "quantize_resnet",
     "quantize_resnet_params",

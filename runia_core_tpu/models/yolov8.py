@@ -36,7 +36,7 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
-__all__ = ["YoloV8", "convert_ultralytics_yolov8", "yolov8_widths"]
+__all__ = ["YoloV8", "YoloV8JaxAdapter", "convert_ultralytics_yolov8", "yolov8_widths"]
 
 _BN_EPS = 1e-3  # ultralytics BatchNorm2d(eps=0.001)
 
@@ -336,3 +336,78 @@ def convert_ultralytics_yolov8(
         "batch_stats": jax.tree_util.tree_map(jnp.asarray, stats),
     }
     return model, variables
+
+
+class YoloV8JaxAdapter:
+    """``adapter(image, predict_conf) -> DetectionResult`` over a flax
+    YOLOv8 — the torch-free counterpart of driving an ultralytics model
+    through the reference's output scraping (abstract_classes.py:437-518).
+
+    Per-detection selection is best-class confidence thresholding followed
+    by class-offset NMS on xyxy boxes (ultralytics postprocess semantics);
+    ``logits`` carries log class scores (what ``yolo_get_logits`` emits for
+    the replay path), ``raw_prediction`` the full (1, 4+nc, N) head tensor,
+    and ``fmaps`` the requested neck taps as NCHW arrays for ROI pooling.
+    """
+
+    def __init__(self, model: YoloV8, variables: Dict,
+                 fmap_taps: Sequence[str] = ("backbone_p5",),
+                 iou_threshold: float = 0.7, max_det: int = 300,
+                 max_wh: int = 7680):
+        import jax as _jax
+
+        self.model = model
+        self.variables = variables
+        self.fmap_taps = tuple(fmap_taps)
+        self.iou_threshold = float(iou_threshold)
+        self.max_det = int(max_det)
+        self.max_wh = int(max_wh)
+        self._forward = _jax.jit(
+            lambda imgs: model.apply(variables, imgs, train=False)
+        )
+
+    def __call__(self, image, predict_conf: float = 0.25, **kw):
+        from runia_core_tpu.extraction.adapters import DetectionResult
+        from runia_core_tpu.ops.nms import nms_indices
+
+        x = np.asarray(image, np.float32)
+        if x.ndim == 3:
+            x = x[None]
+        img_h, img_w = int(x.shape[1]), int(x.shape[2])
+        preds, taps = self._forward(jnp.asarray(x))
+        preds = np.asarray(preds)
+
+        pred = preds[0].T  # (N, 4 + nc)
+        cls = pred[:, 4:]
+        conf = cls.max(1)
+        classes = cls.argmax(1)
+        sel = conf > predict_conf
+
+        cx, cy, w, h = pred[sel, 0], pred[sel, 1], pred[sel, 2], pred[sel, 3]
+        xyxy = np.stack(
+            [cx - w / 2, cy - h / 2, cx + w / 2, cy + h / 2], axis=-1
+        ).astype(np.float32)
+        if xyxy.shape[0]:
+            offset = classes[sel][:, None].astype(np.float32) * self.max_wh
+            keep = nms_indices(
+                xyxy + offset, conf[sel], self.iou_threshold,
+                max_det=self.max_det,
+            )
+        else:
+            keep = np.zeros((0,), np.int64)
+
+        fmaps = [
+            np.transpose(np.asarray(taps[name]), (0, 3, 1, 2))
+            for name in self.fmap_taps
+        ]
+        log_cls = np.log(np.clip(cls[sel][keep], 1e-12, None))
+        return DetectionResult(
+            boxes=xyxy[keep],
+            img_shape=(img_h, img_w),
+            scores=conf[sel][keep],
+            classes=classes[sel][keep].astype(np.int64),
+            logits=log_cls,
+            features=None,
+            fmaps=fmaps,
+            raw_prediction=preds,
+        )

@@ -247,3 +247,38 @@ class TestConvertUltralyticsYolov8:
         )
         assert out.ndim == 2 and out.shape[1] == NC
         assert np.isfinite(out).all()
+
+    def test_jax_adapter_drives_object_stack(self, torch_yolo):
+        """Converted model -> DetectionResult -> ROI features + MD scoring,
+        no torch in the loop."""
+        from runia_core_tpu.detectors import MDLatentSpace
+        from runia_core_tpu.extraction.object_level import BoxFeaturesExtractor
+        from runia_core_tpu.models import YoloV8JaxAdapter
+
+        model, variables = convert_ultralytics_yolov8(
+            torch_yolo.state_dict(), num_classes=NC, scale=SCALE
+        )
+        adapter = YoloV8JaxAdapter(model, variables)
+        rng = np.random.RandomState(3)
+        det = adapter(rng.rand(IMG, IMG, 3).astype(np.float32),
+                      predict_conf=0.0)
+        n = det.boxes.shape[0]
+        assert n > 0
+        assert det.logits.shape == (n, NC)
+        assert det.raw_prediction.shape[1] == 4 + NC
+        assert det.fmaps[0].ndim == 4 and det.fmaps[0].shape[1] == det.fmaps[0].shape[1]
+
+        ex = BoxFeaturesExtractor(
+            model=adapter, architecture="yolov8", roi_output_sizes=[2],
+        )
+        data = [(f"im{i}", rng.rand(IMG, IMG, 3).astype(np.float32), i)
+                for i in range(2)]
+        out = ex.get_ls_samples(data, predict_conf=0.0)
+        feats = np.concatenate([out[i]["latent_space_means"] for i in range(2)])
+        assert np.isfinite(feats).all() and feats.shape[0] > 0
+
+        md = MDLatentSpace()
+        md.setup(feats)
+        assert np.isfinite(
+            np.asarray(md.postprocess(out[0]["latent_space_means"]))
+        ).all()
