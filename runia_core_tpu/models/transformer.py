@@ -19,7 +19,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-__all__ = ["CausalLM", "init_cache"]
+__all__ = ["CausalLM", "convert_hf_gpt2", "init_cache"]
 
 
 class Block(nn.Module):
@@ -27,11 +27,12 @@ class Block(nn.Module):
     d_model: int
     num_experts: int = 0  # 0 = dense MLP; >0 = MoE FFN (top-2 routing)
     moe_capacity_factor: float = 2.0
+    ln_eps: float = 1e-6  # GPT-2 checkpoints use 1e-5 (set via CausalLM)
 
     @nn.compact
     def __call__(self, x, mask, cache=None, cache_index=None):
         """Pre-LN block. Returns (x, attention (B, H, Tq, Tkv), new_kv)."""
-        h = nn.LayerNorm()(x)
+        h = nn.LayerNorm(epsilon=self.ln_eps)(x)
         head_dim = self.d_model // self.num_heads
         b, t, _ = h.shape
 
@@ -64,7 +65,7 @@ class Block(nn.Module):
         out = jnp.einsum("bhqk,bkhd->bqhd", attn, v_all).reshape(b, t, self.d_model)
         x = x + nn.Dense(self.d_model, name="attn_out")(out)
 
-        h2 = nn.LayerNorm()(x)
+        h2 = nn.LayerNorm(epsilon=self.ln_eps)(x)
         if self.num_experts > 0:
             x = x + self._moe_ffn(h2)
         else:
@@ -110,6 +111,10 @@ class CausalLM(nn.Module):
     max_len: int = 256
     num_experts: int = 0
     moe_capacity_factor: float = 2.0
+    ln_eps: float = 1e-6
+    # GPT-2-style weight tying: logits = embedding^T matmul, no lm_head
+    # params (required for converted GPT-2 checkpoints).
+    tie_embeddings: bool = False
     # jax.checkpoint each block for training: recompute activations in the
     # backward pass (O(L) less activation HBM, ~1 extra forward of FLOPs).
     # Only applies to the no-cache (training/prefill) path — decode steps
@@ -165,7 +170,8 @@ class CausalLM(nn.Module):
                 # token_valid marks valid physical KV slots (B, kv_len).
                 mask = mask & token_valid[:, None, None, :]
 
-        x = nn.Embed(self.vocab_size, self.d_model, name="embed")(tokens)
+        embed = nn.Embed(self.vocab_size, self.d_model, name="embed")
+        x = embed(tokens)
         x = x + nn.Embed(self.max_len, self.d_model, name="pos_embed")(positions)
 
         hiddens = [x]
@@ -178,14 +184,17 @@ class CausalLM(nn.Module):
             layer_cache = cache["layers"][i] if cache is not None else None
             x, attn, new_kv = block_cls(
                 self.num_heads, self.d_model, self.num_experts,
-                self.moe_capacity_factor, name=f"block_{i}",
+                self.moe_capacity_factor, self.ln_eps, name=f"block_{i}",
             )(x, mask, layer_cache, cache_index)
             hiddens.append(x)
             attns.append(attn)
             if new_kv is not None:
                 new_layer_caches.append(new_kv)
-        x = nn.LayerNorm(name="ln_f")(x)
-        logits = nn.Dense(self.vocab_size, name="lm_head")(x)
+        x = nn.LayerNorm(epsilon=self.ln_eps, name="ln_f")(x)
+        if self.tie_embeddings:
+            logits = embed.attend(x)
+        else:
+            logits = nn.Dense(self.vocab_size, name="lm_head")(x)
 
         new_cache = {"layers": new_layer_caches} if cache is not None else None
         return logits, jnp.stack(attns), jnp.stack(hiddens), new_cache
@@ -216,3 +225,78 @@ def init_cache(model, batch: int, max_len: int) -> Dict:
             "v": jnp.zeros((batch, max_len, kv_heads, head_dim), dtype),
         }
     return {"layers": [layer() for _ in range(model.num_layers)]}
+
+
+def convert_hf_gpt2(hf_model) -> Tuple["CausalLM", Dict]:
+    """Convert a ``transformers`` GPT2LMHeadModel to (CausalLM, variables).
+
+    GPT-2 is the pre-LN learned-position architecture CausalLM implements;
+    the converter maps wte/wpe, per-block fused c_attn (HF Conv1D stores
+    (in, out) — split, no transpose), c_proj, the two LayerNorms, the MLP
+    pair, and ln_f, with weight tying for the logits. Eval parity vs torch
+    is pinned by tests/test_torch_convert.py. Together with
+    ``llama.convert_hf_llama`` this covers both HF causal-LM layout families
+    the reference's LLM flow consumes (reference llm_uncertainty/
+    scores.py:429-456 drives GPT-2-style checkpoints through HF generate).
+    """
+    import numpy as np
+
+    cfg = hf_model.config
+    sd = {k: v for k, v in hf_model.state_dict().items()}
+
+    def _np(t):
+        return np.asarray(t.detach().cpu().float().numpy(), np.float32)
+
+    d = cfg.n_embd
+    model = CausalLM(
+        vocab_size=cfg.vocab_size,
+        num_layers=cfg.n_layer,
+        num_heads=cfg.n_head,
+        d_model=d,
+        max_len=cfg.n_positions,
+        ln_eps=float(cfg.layer_norm_epsilon),
+        tie_embeddings=True,
+    )
+
+    params: Dict[str, Any] = {
+        "embed": {"embedding": _np(sd["transformer.wte.weight"])},
+        "pos_embed": {"embedding": _np(sd["transformer.wpe.weight"])},
+        "ln_f": {
+            "scale": _np(sd["transformer.ln_f.weight"]),
+            "bias": _np(sd["transformer.ln_f.bias"]),
+        },
+    }
+    for i in range(cfg.n_layer):
+        pre = f"transformer.h.{i}"
+        # HF Conv1D weight is (in, out) == the flax kernel layout.
+        w_attn = _np(sd[f"{pre}.attn.c_attn.weight"])  # (d, 3d)
+        b_attn = _np(sd[f"{pre}.attn.c_attn.bias"])    # (3d,)
+        wq, wk, wv = np.split(w_attn, 3, axis=1)
+        bq, bk, bv = np.split(b_attn, 3)
+        params[f"block_{i}"] = {
+            "LayerNorm_0": {
+                "scale": _np(sd[f"{pre}.ln_1.weight"]),
+                "bias": _np(sd[f"{pre}.ln_1.bias"]),
+            },
+            "q": {"kernel": wq, "bias": bq},
+            "k": {"kernel": wk, "bias": bk},
+            "v": {"kernel": wv, "bias": bv},
+            "attn_out": {
+                "kernel": _np(sd[f"{pre}.attn.c_proj.weight"]),
+                "bias": _np(sd[f"{pre}.attn.c_proj.bias"]),
+            },
+            "LayerNorm_1": {
+                "scale": _np(sd[f"{pre}.ln_2.weight"]),
+                "bias": _np(sd[f"{pre}.ln_2.bias"]),
+            },
+            "Dense_0": {
+                "kernel": _np(sd[f"{pre}.mlp.c_fc.weight"]),
+                "bias": _np(sd[f"{pre}.mlp.c_fc.bias"]),
+            },
+            "mlp_out": {
+                "kernel": _np(sd[f"{pre}.mlp.c_proj.weight"]),
+                "bias": _np(sd[f"{pre}.mlp.c_proj.bias"]),
+            },
+        }
+    variables = {"params": jax.tree_util.tree_map(jnp.asarray, params)}
+    return model, variables

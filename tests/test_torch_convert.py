@@ -178,3 +178,53 @@ class TestConvertHFViT:
         )
         assert logits.shape == (4, 5)
         assert np.isfinite(np.asarray(scores)).all()
+
+
+class TestConvertHFGPT2:
+    @pytest.fixture(scope="class")
+    def hf_gpt2(self):
+        transformers = pytest.importorskip("transformers")
+        cfg = transformers.GPT2Config(
+            vocab_size=128, n_positions=64, n_embd=32, n_layer=2, n_head=4,
+        )
+        torch.manual_seed(0)
+        return transformers.GPT2LMHeadModel(cfg).eval()
+
+    def test_logits_match_hf_eval(self, hf_gpt2):
+        from runia_core_tpu.models import convert_hf_gpt2
+
+        model, variables = convert_hf_gpt2(hf_gpt2)
+        ids = np.random.RandomState(0).randint(0, 128, (2, 10))
+        with torch.no_grad():
+            ref = hf_gpt2(torch.from_numpy(ids)).logits.numpy()
+        ours, attns, hiddens, _ = model.apply(
+            variables, jnp.asarray(ids, jnp.int32)
+        )
+        np.testing.assert_allclose(
+            np.asarray(ours), ref, rtol=2e-4, atol=2e-5
+        )
+        assert attns.shape == (2, 2, 4, 10, 10)
+        assert hiddens.shape == (3, 2, 10, 32)
+
+    def test_greedy_decode_matches_hf_generate(self, hf_gpt2):
+        """The converted checkpoint's KV-cache decode reproduces HF
+        generate's greedy trace — the cross-backend contract the LLM
+        uncertainty flow relies on."""
+        transformers = pytest.importorskip("transformers")
+        from runia_core_tpu.llm.generate import JaxGenerator
+        from runia_core_tpu.models import convert_hf_gpt2
+
+        model, variables = convert_hf_gpt2(hf_gpt2)
+        prompt = [3, 17, 42, 9]
+        gen = JaxGenerator(model, variables, max_new_tokens=8, eos_id=None)
+        ours = gen.generate(prompt, do_sample=False, output_attentions=False,
+                            output_hidden_states=False)
+        with torch.no_grad():
+            ref = hf_gpt2.generate(
+                torch.tensor([prompt]),
+                generation_config=transformers.GenerationConfig(
+                    max_new_tokens=8, do_sample=False, pad_token_id=0,
+                    eos_token_id=None,
+                ),
+            ).numpy()
+        np.testing.assert_array_equal(np.asarray(ours["sequences"]), ref)
