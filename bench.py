@@ -413,7 +413,8 @@ def measure_llm_speculative_production():
     from runia_core_tpu.models import LlamaLM
 
     st = _get_prod_llama()
-    max_new, draft_layers = 32, 4
+    max_new = 32
+    draft_layers = max(1, min(4, _PROD_CFG["num_layers"] - 1))
     target = LlamaLM(**_PROD_CFG, dtype=jnp.bfloat16)
     draft_cfg = dict(_PROD_CFG, num_layers=draft_layers)
     draft = LlamaLM(**draft_cfg, dtype=jnp.bfloat16)
