@@ -11,6 +11,8 @@ from runia_core_tpu.models.resnet import (
     ResNet50,
     SimpleConvNet,
     build_tapped_forward,
+    space_to_depth_2x2,
+    stem_to_s2d,
 )
 from runia_core_tpu.models.llama import (
     LlamaLM,
@@ -54,4 +56,6 @@ __all__ = [
     "convert_ultralytics_yolov8",
     "quantize_resnet",
     "quantize_resnet_params",
+    "space_to_depth_2x2",
+    "stem_to_s2d",
 ]

@@ -35,9 +35,42 @@ __all__ = [
     "ResNet50",
     "SimpleConvNet",
     "build_tapped_forward",
+    "space_to_depth_2x2",
+    "stem_to_s2d",
 ]
 
 ModuleDef = Any
+
+
+def space_to_depth_2x2(x: jnp.ndarray) -> jnp.ndarray:
+    """(B, H, W, C) -> (B, H/2, W/2, 4C): each 2x2 pixel block becomes one
+    position whose channels are ordered (row_parity, col_parity, channel) —
+    the layout ``stem_to_s2d``'s regrouped kernel contracts against."""
+    b, h, w, c = x.shape
+    x = x.reshape(b, h // 2, 2, w // 2, 2, c)
+    return x.transpose(0, 1, 3, 2, 4, 5).reshape(b, h // 2, w // 2, 4 * c)
+
+
+def stem_to_s2d(variables: Dict) -> Dict:
+    """Convert a 7x7/s2-stem param tree to the ``s2d_stem=True`` layout.
+
+    The 7x7 kernel zero-pads to 8x8 at the leading row/column (those taps
+    fall on positions the original padding never reached) and regroups into
+    a (4, 4, 4*C_in, C_out) kernel whose input channels match
+    :func:`space_to_depth_2x2`'s (parity-row, parity-col, channel) order.
+    Outputs of the converted model are bit-equal to the original up to
+    float summation order. Works on trees from ``init`` or
+    ``convert_torch_resnet``; every non-stem entry is passed through.
+    """
+    w = variables["params"]["conv_init"]["kernel"]
+    kh, kw, cin, cout = w.shape
+    assert (kh, kw) == (7, 7), f"expected a 7x7 stem kernel, got {w.shape}"
+    w = jnp.pad(w, ((1, 0), (1, 0), (0, 0), (0, 0)))
+    w = w.reshape(4, 2, 4, 2, cin, cout).transpose(0, 2, 1, 3, 4, 5)
+    w = w.reshape(4, 4, 4 * cin, cout)
+    params = dict(variables["params"])
+    params["conv_init"] = {**variables["params"]["conv_init"], "kernel": w}
+    return {**variables, "params": params}
 
 
 class ResNetBlock(nn.Module):
@@ -132,6 +165,15 @@ class ResNet(nn.Module):
     # Needed for spatial parity when loading torchvision checkpoints via
     # convert_torch_resnet; default off to keep existing goldens.
     torch_padding: bool = False
+    # Space-to-depth stem: rearrange the input into 2x2 pixel blocks
+    # (H/2, W/2, 4*C) and run an equivalent 4x4/stride-1 conv instead of the
+    # 7x7/stride-2 one. Mathematically EXACT (the 7x7 kernel zero-pads to
+    # 8x8 and regroups — see stem_to_s2d), but the MXU sees a 192-deep
+    # contraction instead of a stride-2 gather over 3 channels, which is
+    # the standard TPU ResNet stem optimization. Ignored for cifar_stem.
+    # Fresh inits train identically; convert existing params with
+    # stem_to_s2d.
+    s2d_stem: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -160,6 +202,17 @@ class ResNet(nn.Module):
             x = conv(self.num_filters, (3, 3), name="conv_init")(x)
             x = norm(name="bn_init")(x)
             x = nn.relu(x)
+        elif self.s2d_stem:
+            x = space_to_depth_2x2(x)
+            # Equivalent receptive field/stride as the 7x7/s2 conv: padded
+            # kernel rows 0..7 = 2*u_off + parity with u_off in [-2, 1],
+            # hence kernel 4 with (2, 1) padding on the half-res input.
+            x = conv(self.num_filters, (4, 4), (1, 1),
+                     padding=[(2, 1), (2, 1)], name="conv_init")(x)
+            x = norm(name="bn_init")(x)
+            x = nn.relu(x)
+            pool_pad = ((1, 1), (1, 1)) if self.torch_padding else "SAME"
+            x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=pool_pad)
         else:
             x = conv(self.num_filters, (7, 7), (2, 2), padding=[(3, 3), (3, 3)],
                      name="conv_init")(x)
