@@ -121,7 +121,12 @@ def roi_align(
     else:
         out_h, out_w = output_size
 
-    boxes = boxes.astype(features.dtype)
+    # Interpolation positions/weights are ALWAYS built in f32: in bf16 a
+    # 256px coordinate quantizes to ~1px and the bilinear fractions lose
+    # most of their mantissa. Only the final matmul against the feature map
+    # runs in the feature dtype (bf16 on the production path — one MXU pass
+    # with f32 accumulation instead of HIGHEST's multi-pass emulation).
+    boxes = boxes.astype(jnp.float32)
     offset = 0.5 if aligned else 0.0
     x1 = boxes[:, 0] * spatial_scale - offset
     y1 = boxes[:, 1] * spatial_scale - offset
@@ -147,11 +152,17 @@ def roi_align(
     ay = _axis_weights(y1, bin_h, grid_h, out_h, h, cap)  # (N, out_h, H)
     ax = _axis_weights(x1, bin_w, grid_w, out_w, w, cap)  # (N, out_w, W)
 
+    if features.dtype == jnp.bfloat16:
+        mm = dict(precision=None, preferred_element_type=jnp.float32)
+        ay = ay.astype(jnp.bfloat16)
+        ax = ax.astype(jnp.bfloat16)
+    else:
+        mm = dict(precision=jax.lax.Precision.HIGHEST)
+        ay = ay.astype(features.dtype)
+        ax = ax.astype(features.dtype)
+
     # out[n, c, ph, pw] = Ay[n,ph,:] @ F[c,:,:] @ Ax[n,pw,:]^T  — two matmuls.
-    tmp = jnp.einsum(
-        "nph,chw->ncpw", ay, features, precision=jax.lax.Precision.HIGHEST
-    )  # (N, C, out_h, W)
-    out = jnp.einsum(
-        "ncpw,nqw->ncpq", tmp, ax, precision=jax.lax.Precision.HIGHEST
-    )  # (N, C, out_h, out_w)
-    return out
+    tmp = jnp.einsum("nph,chw->ncpw", ay, features, **mm)  # (N, C, out_h, W)
+    tmp = tmp.astype(features.dtype)  # keep matmul 2 single-pass on the MXU
+    out = jnp.einsum("ncpw,nqw->ncpq", tmp, ax, **mm)  # (N, C, out_h, out_w)
+    return out.astype(features.dtype)

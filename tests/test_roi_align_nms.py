@@ -114,6 +114,27 @@ class TestROIAlign:
         expected = np_roi_align(fmap, boxes, 7, scale)
         np.testing.assert_allclose(ours, expected, rtol=1e-4, atol=1e-5)
 
+    def test_bf16_features_track_f32_positions(self, rng):
+        # Production fmaps are bf16, but positions/weights must be built in
+        # f32: a 256px coordinate quantized to bf16 moves by up to ~1px,
+        # which shifts the bilinear sample off the reference grid entirely.
+        # The bf16 path may only differ from f32 by matmul rounding (~1e-2).
+        fmap = rng.rand(8, 16, 16).astype(np.float32)
+        boxes = np.array(
+            [[200.3, 100.7, 231.9, 140.2], [13.6, 7.1, 57.8, 44.4]],
+            np.float32,
+        )
+        ref = np.asarray(
+            roi_align(jnp.asarray(fmap), jnp.asarray(boxes), 7, 16 / 256, -1, True)
+        )
+        got = np.asarray(
+            roi_align(
+                jnp.asarray(fmap, jnp.bfloat16), jnp.asarray(boxes), 7,
+                16 / 256, -1, True,
+            ).astype(jnp.float32)
+        )
+        np.testing.assert_allclose(got, ref, rtol=2e-2, atol=2e-2)
+
     def test_fixed_sampling_ratio(self, rng):
         fmap = rng.rand(2, 8, 8).astype(np.float32)
         boxes = np.array([[1.0, 1.0, 6.0, 7.0]], np.float32)
