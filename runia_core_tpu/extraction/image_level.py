@@ -227,8 +227,15 @@ class MCDSamplesExtractor(_ExtractorBase):
             spatial = (2, 3) if self.channel_axis == 1 else (1, 2)
             return jnp.mean(latent, axis=spatial)
         if self.reduction_method == "mean":
-            axis = 3 if self.channel_axis == 1 else 2
-            return jnp.mean(latent, axis=axis).reshape(latent.shape[0], -1)
+            if self.channel_axis == 1:
+                return jnp.mean(latent, axis=3).reshape(latent.shape[0], -1)
+            # NHWC: transpose (B, H, C) -> (B, C, H) before flattening so the
+            # feature columns are C-major — the same ordering as the NCHW
+            # path and sampling.mc_dropblock_samples, keeping fitted detector
+            # state interchangeable across layouts and extractors.
+            return jnp.mean(latent, axis=2).swapaxes(1, 2).reshape(
+                latent.shape[0], -1
+            )
         # avgpool
         k, s, p = self.avg_pooling_parameters
         if self.channel_axis == 1:

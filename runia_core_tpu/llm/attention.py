@@ -46,7 +46,18 @@ def _to_np(x) -> np.ndarray:
 
 def _step_rows(per_layer_attn) -> np.ndarray:
     """Stack one generated step's per-layer attention rows into (L, H, t)."""
-    return np.stack([_to_np(a)[0, :, 0, :] for a in per_layer_attn])
+    return np.stack([_batch1(_to_np(a))[:, 0, :] for a in per_layer_attn])
+
+
+def _batch1(a: np.ndarray) -> np.ndarray:
+    """Strip a size-1 batch axis, raising loudly for batched inputs (these
+    aggregators are per-sequence; silently taking row 0 of a batched
+    generate would compute uncertainty on the wrong sequence)."""
+    if a.shape[0] != 1:
+        raise ValueError(
+            f"attention aggregation expects batch 1, got batch {a.shape[0]}"
+        )
+    return a[0]
 
 
 def _reconstruct_attention_matrix(attentions, input_length: int) -> np.ndarray:
@@ -57,7 +68,9 @@ def _reconstruct_attention_matrix(attentions, input_length: int) -> np.ndarray:
     Step 0 contributes the (P, P) prompt self-attention block; step k >= 1
     contributes one length-(P+k) row, stored at matrix row P+k (so row P
     stays empty — see the module docstring)."""
-    prompt_block = np.stack([_to_np(a)[0] for a in attentions[0]])  # (L, H, P, P)
+    prompt_block = np.stack(
+        [_batch1(_to_np(a)) for a in attentions[0]]
+    )  # (L, H, P, P)
     num_layers, num_heads = prompt_block.shape[:2]
     total = input_length + len(attentions)
 

@@ -264,7 +264,9 @@ class ContinuousBatchingEngine:
         self._next_id += 1
         self._queue.append({
             "id": rid, "prompt": list(prompt_tokens), "tokens": [], "lps": [],
-            "max_new": int(max_new_tokens or self.max_new_tokens),
+            "max_new": int(
+                self.max_new_tokens if max_new_tokens is None else max_new_tokens
+            ),
         })
         return rid
 

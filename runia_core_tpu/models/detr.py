@@ -313,6 +313,22 @@ def convert_hf_detr(hf_model) -> Tuple[DETR, Dict]:
             "timm-backbone DETR checkpoints: reload with use_timm_backbone="
             "False (HF-native ResNet) before converting"
         )
+    # Configs that change the forward without changing any param shape —
+    # they would load cleanly and produce silently wrong outputs, so raise
+    # (the converter contract in docs/CONVERTERS.md).
+    if getattr(cfg, "decoder_attention_heads", cfg.encoder_attention_heads) \
+            != cfg.encoder_attention_heads:
+        raise NotImplementedError(
+            "DETR with decoder_attention_heads != encoder_attention_heads"
+        )
+    if cfg.decoder_ffn_dim != cfg.encoder_ffn_dim:
+        raise NotImplementedError(
+            "DETR with decoder_ffn_dim != encoder_ffn_dim"
+        )
+    if getattr(cfg.backbone_config, "downsample_in_first_stage", False):
+        raise NotImplementedError(
+            "DETR backbone with downsample_in_first_stage=True"
+        )
     sd = {k: v for k, v in hf_model.state_dict().items()}
 
     backbone, b_params, b_stats = _convert_hf_native_resnet(

@@ -242,6 +242,17 @@ def convert_hf_gpt2(hf_model) -> Tuple["CausalLM", Dict]:
     import numpy as np
 
     cfg = hf_model.config
+    # Knobs that change the forward without changing any param shape — such
+    # checkpoints would load cleanly and diverge silently, so raise instead
+    # (the converter contract in docs/CONVERTERS.md). gelu_new is GPT-2's
+    # tanh approximation, which is what CausalLM computes.
+    act = getattr(cfg, "activation_function", "gelu_new")
+    if act not in ("gelu_new", "gelu_pytorch_tanh"):
+        raise NotImplementedError(f"GPT-2 activation_function={act!r}")
+    if getattr(cfg, "scale_attn_by_inverse_layer_idx", False):
+        raise NotImplementedError("GPT-2 scale_attn_by_inverse_layer_idx=True")
+    if getattr(cfg, "reorder_and_upcast_attn", False):
+        raise NotImplementedError("GPT-2 reorder_and_upcast_attn=True")
     sd = {k: v for k, v in hf_model.state_dict().items()}
 
     def _np(t):

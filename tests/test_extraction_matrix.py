@@ -172,6 +172,29 @@ class TestClassicExtractorMatrix:
         out = ex.get_ls_samples(loader(rng))
         assert out.shape == (N * S, HW * C_PRE)
 
+    def test_mean_feature_ordering_matches_nchw(self, rng):
+        """NHWC and NCHW 'mean' reductions must emit the SAME feature
+        columns (C-major) for the same tensor — fitted detector state is
+        layout-portable. Regression: the NHWC path once flattened H-major,
+        silently permuting columns vs every other extractor path."""
+        t = rng.rand(2, HW, HW, C_PRE).astype(np.float32)
+
+        def fwd_nhwc(images, key):
+            return None, {"pre_pool": jnp.asarray(t)}
+
+        def fwd_nchw(images, key):
+            return None, {"pre_pool": jnp.asarray(t.transpose(0, 3, 1, 2))}
+
+        outs = []
+        for fwd, axis in ((fwd_nhwc, 3), (fwd_nchw, 1)):
+            ex = MCDSamplesExtractor(
+                model=fwd, layer_type="Conv", reduction_method="mean",
+                mcd_nro_samples=S, dropblock_probs=0.0, channel_axis=axis,
+                rng=jax.random.key(0),
+            )
+            outs.append(np.asarray(ex.get_ls_samples(loader(rng, n=2, bs=2))))
+        np.testing.assert_allclose(outs[0], outs[1], rtol=1e-6, atol=1e-6)
+
     @pytest.mark.parametrize("pool,expect_d", [((2, 2, 0), 2 * 2 * C_PRE),
                                                ((4, 4, 0), 1 * 1 * C_PRE)])
     def test_avgpool_shapes(self, rng, stochastic, pool, expect_d):

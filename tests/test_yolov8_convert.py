@@ -266,7 +266,11 @@ class TestConvertUltralyticsYolov8:
         assert n > 0
         assert det.logits.shape == (n, NC)
         assert det.raw_prediction.shape[1] == 4 + NC
-        assert det.fmaps[0].ndim == 4 and det.fmaps[0].shape[1] == det.fmaps[0].shape[1]
+        # NCHW layout: p5 spatial is IMG/32, channels sit in dim 1 (an NHWC
+        # regression would leave channels trailing and fail the spatial dims).
+        p5 = IMG // 32
+        assert det.fmaps[0].shape[0] == 1 and det.fmaps[0].shape[2:] == (p5, p5)
+        assert det.fmaps[0].shape[1] > p5
 
         ex = BoxFeaturesExtractor(
             model=adapter, architecture="yolov8", roi_output_sizes=[2],
