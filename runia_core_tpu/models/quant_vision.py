@@ -259,6 +259,14 @@ def quantize_resnet_params(
     program would otherwise dominate quantization wall-clock. Pass
     ``calib_device=None`` to use the default device.
     """
+    if getattr(model, "s2d_stem", False):
+        raise NotImplementedError(
+            "quantize_resnet does not model the space-to-depth stem: the "
+            "structural mirror would skip the input rearrange and run the "
+            "4x4 kernel at stride 2, silently diverging. Quantize the plain "
+            "7x7-stem model (int8 only wins on small-image compute-bound "
+            "configs, where s2d_stem is moot — see docs/PERFORMANCE.md)."
+        )
     if model.output_stride is not None or not model.include_head:
         raise NotImplementedError(
             "quantize_resnet supports plain classification ResNets only "

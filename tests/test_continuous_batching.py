@@ -158,3 +158,17 @@ class TestPerRequestBudget:
         for rid, (ref_toks, _), budget in zip(ids, ref, budgets):
             res = eng.result(rid)
             assert res["tokens"] == ref_toks[:budget]
+
+    def test_zero_budget_returns_empty(self, model_and_params, prompts):
+        """max_new_tokens=0 means zero tokens — not the engine default
+        (regression: the falsy-or in submit once swapped 0 for the default)."""
+        model, params = model_and_params
+        eng = ContinuousBatchingEngine(
+            model, params, num_slots=2, max_ctx=64, max_new_tokens=MAX_NEW,
+            chunk_tokens=4, eos_id=None,
+        )
+        rid_zero = eng.submit(prompts[0], max_new_tokens=0)
+        rid_two = eng.submit(prompts[1], max_new_tokens=2)
+        eng.run_until_drained()
+        assert eng.result(rid_zero)["tokens"] == []
+        assert len(eng.result(rid_two)["tokens"]) == 2

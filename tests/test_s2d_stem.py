@@ -81,6 +81,18 @@ class TestS2dStemParity:
         )
         assert variables["params"]["conv_init"]["kernel"].shape == (4, 4, 12, 16)
 
+    def test_quantize_resnet_rejects_s2d(self):
+        from runia_core_tpu.models import quantize_resnet
+
+        model = _small(ResNet18, s2d_stem=True)
+        variables = model.init(
+            jax.random.key(4), jnp.zeros((1, 32, 32, 3), jnp.float32)
+        )
+        with pytest.raises(NotImplementedError, match="space-to-depth"):
+            quantize_resnet(
+                model, variables, np.zeros((2, 32, 32, 3), np.float32)
+            )
+
     def test_stem_to_s2d_rejects_cifar_stem(self):
         model = _small(ResNet18, cifar_stem=True)
         variables = model.init(
