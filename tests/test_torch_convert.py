@@ -97,6 +97,26 @@ class TestConvertTorchResnet:
         np.testing.assert_allclose(np.asarray(got), want, atol=2e-4, rtol=1e-3)
         assert "pre_pool" in taps and "penultimate" in taps
 
+    def test_s2d_stem_on_converted_checkpoint_matches_torch(self, torch_net):
+        """Converted torchvision weights -> stem_to_s2d must still match the
+        torch forward: the s2d path is a drop-in serving layout for real
+        checkpoints, not just fresh inits."""
+        import dataclasses
+
+        from runia_core_tpu.models import stem_to_s2d
+
+        model, variables = convert_torch_resnet(
+            torch_net.state_dict(), arch="resnet18"
+        )
+        s2d_model = dataclasses.replace(model, s2d_stem=True)
+        rng = np.random.RandomState(1)
+        x = rng.rand(2, 64, 64, 3).astype(np.float32)
+        with torch.no_grad():
+            want = torch_net(torch.tensor(x).permute(0, 3, 1, 2)).numpy()
+        got, _ = s2d_model.apply(stem_to_s2d(variables), jnp.asarray(x),
+                                 train=False)
+        np.testing.assert_allclose(np.asarray(got), want, atol=2e-4, rtol=1e-3)
+
     def test_num_classes_inferred(self, torch_net):
         model, _ = convert_torch_resnet(torch_net.state_dict())
         assert model.num_classes == 10
