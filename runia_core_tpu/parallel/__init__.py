@@ -1,5 +1,10 @@
 """Device-mesh parallelism: sharded scoring, fitting, and training helpers."""
 
+from runia_core_tpu.parallel.fsdp import (
+    fsdp_shard_params,
+    fsdp_spec,
+    fsdp_train_step,
+)
 from runia_core_tpu.parallel.llama_tp import llama_tp_specs, shard_llama_params
 from runia_core_tpu.parallel.mesh import (
     initialize_distributed,
@@ -33,6 +38,9 @@ __all__ = [
     "sharded_kde_log_density",
     "sharded_knn_score",
     "sharded_mean_and_covariance",
+    "fsdp_shard_params",
+    "fsdp_spec",
+    "fsdp_train_step",
     "initialize_distributed",
     "make_mesh",
     "shard_batch",
