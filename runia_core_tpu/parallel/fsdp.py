@@ -66,6 +66,7 @@ def fsdp_train_step(
     eps: float = 1e-8,
     min_size: int = 2**14,
     extra_variables: Optional[dict] = None,
+    task: str = "classifier",
 ) -> Callable:
     """Build a jitted Adam training step with FSDP parameter/state sharding.
 
@@ -74,12 +75,17 @@ def fsdp_train_step(
     ZeRO-3 memory story. The update runs on the SHARDED tensors (pure
     elementwise work, no gather); only the forward/backward gathers weights.
 
+    ``task`` selects the loss: ``"classifier"`` (images, int labels) or
+    ``"causal_lm"`` (token batch; next-token cross entropy with the batch
+    as its own shifted target — ``step(params, opt, tokens, tokens)``).
+
     Returns:
-        ``step(params, opt_state, images, labels) -> (params, opt_state,
+        ``step(params, opt_state, inputs, labels) -> (params, opt_state,
         loss)``, jitted over ``mesh``; with helpers ``step.shard_params``
         (:func:`fsdp_shard_params`) and ``step.init_opt`` (zeros matching
         the sharded params).
     """
+    assert task in ("classifier", "causal_lm"), task
     extra = extra_variables or {}
     b1, b2 = betas
 
@@ -92,9 +98,14 @@ def fsdp_train_step(
         )
 
     @jax.jit
-    def step(params, opt_state: AdamState, images, labels):
+    def step(params, opt_state: AdamState, inputs, labels):
         def loss_fn(p):
-            logits, _ = model.apply({"params": p, **extra}, images, train=False)
+            out = model.apply({"params": p, **extra}, inputs)
+            logits = out[0] if isinstance(out, tuple) else out
+            if task == "causal_lm":
+                logp = jax.nn.log_softmax(logits[:, :-1])
+                tgt = labels[:, 1:, None]
+                return -jnp.mean(jnp.take_along_axis(logp, tgt, axis=2))
             logp = jax.nn.log_softmax(logits)
             return -jnp.mean(
                 jnp.take_along_axis(logp, labels[:, None], axis=1)

@@ -82,3 +82,28 @@ class TestFsdpTrainStep:
             lambda a, b: np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-5),
             got, want,
         )
+
+    def test_causal_lm_task(self, rng, mesh):
+        from runia_core_tpu.models import LlamaLM
+
+        model = LlamaLM(vocab_size=64, num_layers=2, num_heads=4,
+                        num_kv_heads=2, d_model=32, hidden_dim=64, max_len=32)
+        tokens = rng.randint(1, 64, (16, 12)).astype(np.int32)
+        variables = model.init(jax.random.key(0), jnp.asarray(tokens[:2]))
+        params = variables["params"]
+
+        step = fsdp_train_step(model, mesh, task="causal_lm", min_size=512)
+        sh_params = step.shard_params(params)
+        sh_opt = step.init_opt(sh_params)
+        toks = shard_batch(jnp.asarray(tokens), mesh)
+        sh_params, sh_opt, loss = step(sh_params, sh_opt, toks, toks)
+
+        ref_step = fsdp_train_step(model, mesh, task="causal_lm")
+        _, _, ref_loss = ref_step(
+            params, ref_step.init_opt(params),
+            jnp.asarray(tokens), jnp.asarray(tokens),
+        )
+        np.testing.assert_allclose(float(loss), float(ref_loss),
+                                   rtol=1e-5, atol=1e-6)
+        emb = sh_params["embed"]["embedding"]
+        assert "data" in tuple(emb.sharding.spec), emb.sharding
