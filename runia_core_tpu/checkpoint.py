@@ -115,11 +115,32 @@ def save_state_dict_orbax(path: Union[str, os.PathLike], state: Dict[str, Any]) 
         ckptr.save(os.path.abspath(path), state)
 
 
-def load_state_dict_orbax(path: Union[str, os.PathLike]) -> Dict[str, Any]:
+def load_state_dict_orbax(
+    path: Union[str, os.PathLike], like: Any = None
+) -> Dict[str, Any]:
+    """Restore an orbax checkpoint, optionally straight into a mesh layout.
+
+    ``like`` is a pytree of arrays (or ShapeDtypeStructs) whose shardings
+    the restored leaves should carry — e.g. the live FSDP-sharded params
+    from ``fsdp_train_step.shard_params``. Each host then reads only its
+    own shards and training resumes in place, with no replicated
+    full-tree materialization. Without ``like`` the tree is restored
+    unsharded (single-host convenience path).
+    """
+    import jax
+
     import orbax.checkpoint as ocp
 
     with ocp.StandardCheckpointer() as ckptr:
-        return ckptr.restore(os.path.abspath(path))
+        if like is None:
+            return ckptr.restore(os.path.abspath(path))
+        abstract = jax.tree_util.tree_map(
+            lambda a: jax.ShapeDtypeStruct(
+                a.shape, a.dtype, sharding=getattr(a, "sharding", None)
+            ),
+            like,
+        )
+        return ckptr.restore(os.path.abspath(path), abstract)
 
 
 def save_pca(path: Union[str, os.PathLike], pca: PCAState) -> None:

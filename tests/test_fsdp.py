@@ -83,6 +83,42 @@ class TestFsdpTrainStep:
             got, want,
         )
 
+    def test_checkpoint_resume_preserves_sharding(self, rng, mesh, tmp_path):
+        """Save sharded params+opt mid-training, restore with like= into the
+        mesh layout, and the resumed run must match the uninterrupted one."""
+        from runia_core_tpu.checkpoint import (
+            load_state_dict_orbax,
+            save_state_dict_orbax,
+        )
+
+        model = SimpleConvNet(num_classes=3, features=16)
+        images = rng.rand(8, 16, 16, 1).astype(np.float32)
+        labels = rng.randint(0, 3, 8)
+        variables = model.init(jax.random.key(1), jnp.asarray(images[:2]))
+        step = fsdp_train_step(model, mesh, min_size=256)
+        params = step.shard_params(variables["params"])
+        opt = step.init_opt(params)
+        imgs = shard_batch(jnp.asarray(images), mesh)
+        lbls = shard_batch(jnp.asarray(labels), mesh)
+
+        params, opt, _ = step(params, opt, imgs, lbls)
+        save_state_dict_orbax(tmp_path / "params", params)
+        save_state_dict_orbax(tmp_path / "mu", opt.mu)
+        cont_params, cont_opt, _ = step(params, opt, imgs, lbls)
+
+        res_params = load_state_dict_orbax(tmp_path / "params", like=params)
+        res_mu = load_state_dict_orbax(tmp_path / "mu", like=opt.mu)
+        big = res_params["Conv_1"]["kernel"]
+        assert "data" in tuple(big.sharding.spec), big.sharding
+        resumed = opt._replace(mu=res_mu)
+        res_params2, _, _ = step(res_params, resumed, imgs, lbls)
+        jax.tree_util.tree_map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-7
+            ),
+            res_params2, cont_params,
+        )
+
     def test_causal_lm_task(self, rng, mesh):
         from runia_core_tpu.models import LlamaLM
 
