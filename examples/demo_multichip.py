@@ -98,6 +98,22 @@ def main():
                             num_microbatches=4, stage_axis="model")
     print(f"pipeline (pp): {n_dev} stages x 4 microbatches -> {pp_out.shape}")
 
+    # --- 6. FSDP / ZeRO-3: params + Adam moments sharded over `data` ---
+    from runia_core_tpu.parallel import fsdp_train_step
+
+    fsdp_mesh = make_mesh(n_dev, model_parallel=1)
+    step = fsdp_train_step(model, fsdp_mesh, min_size=256)
+    params = step.shard_params(variables["params"])
+    opt = step.init_opt(params)
+    lbls = shard_batch(jnp.asarray(rng.randint(0, 4, images.shape[0])), mesh)
+    imgs = shard_batch(jnp.asarray(images), fsdp_mesh)
+    for _ in range(3):
+        params, opt, loss = step(params, opt, imgs, lbls)
+    n_sharded = sum("data" in tuple(p.sharding.spec)
+                    for p in jax.tree_util.tree_leaves(params))
+    print(f"fsdp: loss {float(loss):.4f}, {n_sharded} param leaves sharded "
+          f"1/{n_dev} per device (Adam state sharded alike)")
+
 
 if __name__ == "__main__":
     main()
