@@ -25,7 +25,40 @@ import warnings
 
 from runia_core_tpu.models.transformer import CausalLM, init_cache
 
-__all__ = ["JaxGenerator", "run_generation"]
+__all__ = ["JaxGenerator", "run_generation", "sample_logits"]
+
+
+def sample_logits(
+    key: jax.Array,
+    logits: jnp.ndarray,
+    temperature: float = 1.0,
+    top_k: int = 0,
+    top_p: float = 1.0,
+) -> jnp.ndarray:
+    """Sample token ids from (..., V) logits — jit-safe, HF semantics.
+
+    ``top_k=0`` and ``top_p=1.0`` disable the respective filters (HF
+    generate's conventions: top-k keeps the k highest logits; nucleus keeps
+    the smallest set whose cumulative probability reaches top_p, always
+    including the crossing token). Filters compose: top-k applies first,
+    then top-p over the survivors, then categorical sampling at
+    ``temperature``. All static args, so each config is one compiled
+    program — no data-dependent shapes.
+    """
+    logits = logits / temperature
+    if top_k:
+        kth = jax.lax.top_k(logits, top_k)[0][..., -1:]
+        logits = jnp.where(logits < kth, -jnp.inf, logits)
+    if top_p < 1.0:
+        sorted_desc = jnp.flip(jnp.sort(logits, axis=-1), axis=-1)
+        probs = jax.nn.softmax(sorted_desc, axis=-1)
+        cum = jnp.cumsum(probs, axis=-1)
+        keep = (cum - probs) < top_p  # cumulative BEFORE this token
+        cutoff = jnp.min(
+            jnp.where(keep, sorted_desc, jnp.inf), axis=-1, keepdims=True
+        )
+        logits = jnp.where(logits < cutoff, -jnp.inf, logits)
+    return jax.random.categorical(key, logits, axis=-1)
 
 
 class JaxGenerator:
@@ -89,7 +122,8 @@ class JaxGenerator:
 
     def _scanned_decode(self, p: int, max_new: int, s: int, do_sample: bool,
                         temperature: float, out_attn: bool = True,
-                        out_hid: bool = True):
+                        out_hid: bool = True, top_k: int = 0,
+                        top_p: float = 1.0):
         """Build (and cache) the fully-fused lax.scan decode for one config.
 
         One compiled program runs all decode steps on device and emits the
@@ -100,7 +134,7 @@ class JaxGenerator:
         O(T·L·S·H·total) / O(T·L·S·D) device->host transfer.
         """
         key_shape = (p, max_new, s, do_sample, float(temperature),
-                     out_attn, out_hid)
+                     out_attn, out_hid, int(top_k), float(top_p))
         if key_shape in self._decode_cache:
             return self._decode_cache[key_shape]
         model, params = self.model, self.params
@@ -125,8 +159,8 @@ class JaxGenerator:
                 key, sub = jax.random.split(key)
                 log_soft = jax.nn.log_softmax(step_logits, axis=-1)
                 if do_sample:
-                    next_tok = jax.random.categorical(
-                        sub, step_logits / temperature, axis=-1
+                    next_tok = sample_logits(
+                        sub, step_logits, temperature, top_k, top_p
                     )
                 else:
                     next_tok = jnp.argmax(step_logits, axis=-1)
@@ -182,6 +216,8 @@ class JaxGenerator:
         output_attentions: bool = False,
         output_scores: bool = True,
         pad_to: Optional[int] = None,
+        top_k: int = 0,
+        top_p: float = 1.0,
     ) -> Dict[str, Any]:
         """Decode a batch of DIFFERENT prompts in one fused program.
 
@@ -243,6 +279,7 @@ class JaxGenerator:
         cfg = (
             "batch", b, p, max_new, do_sample, float(temperature),
             output_attentions, output_scores, uniform,
+            int(top_k), float(top_p),
         )
         if cfg not in self._decode_cache:
             flash_model = self._flash_model
@@ -278,8 +315,8 @@ class JaxGenerator:
                     key_, sub = jax.random.split(key_)
                     log_soft = jax.nn.log_softmax(step_logits, axis=-1)
                     if do_sample:
-                        next_tok = jax.random.categorical(
-                            sub, step_logits / temperature, axis=-1
+                        next_tok = sample_logits(
+                            sub, step_logits, temperature, top_k, top_p
                         )
                     else:
                         next_tok = jnp.argmax(step_logits, axis=-1)
@@ -360,6 +397,8 @@ class JaxGenerator:
         max_new_tokens: Optional[int] = None,
         output_attentions: bool = True,
         output_hidden_states: bool = True,
+        top_k: int = 0,
+        top_p: float = 1.0,
     ) -> Dict[str, Any]:
         """Decode with per-step taps; returns HF-shaped numpy structures.
 
@@ -386,6 +425,7 @@ class JaxGenerator:
             run = self._scanned_decode(
                 p, max_new, s, do_sample, temperature,
                 out_attn=output_attentions, out_hid=output_hidden_states,
+                top_k=top_k, top_p=top_p,
             )
             tokens, scores_seq, lps, attn_rows, hidden_rows, attn0, hiddens0 = (
                 jax.tree_util.tree_map(np.asarray, run(prompt, key))
@@ -445,7 +485,8 @@ class JaxGenerator:
             log_soft = jax.nn.log_softmax(step_logits, axis=-1)
             if do_sample:
                 key, sub = jax.random.split(key)
-                next_tok = jax.random.categorical(sub, step_logits / temperature, axis=-1)
+                next_tok = sample_logits(sub, step_logits, temperature,
+                                         top_k, top_p)
             else:
                 next_tok = jnp.argmax(step_logits, axis=-1)
             scores.append(np.asarray(step_logits))
@@ -558,9 +599,34 @@ def _strip_eos(ids, eos_id):
     return out
 
 
+def _sampling_kwargs(gen_config) -> Dict[str, Any]:
+    """Extract the sampling knobs JaxGenerator honors from an HF-style
+    GenerationConfig (object or dict): temperature, top_k, top_p. Other
+    fields (beam search, penalties) are not supported on the JAX backends
+    and are ignored, as documented on each backend."""
+    if gen_config is None:
+        return {}
+    if isinstance(gen_config, dict):
+        get = gen_config.get
+    else:
+        get = lambda k, d=None: getattr(gen_config, k, d)
+    kw: Dict[str, Any] = {}
+    if get("temperature") is not None:
+        kw["temperature"] = float(get("temperature"))
+    if get("top_k") is not None:
+        kw["top_k"] = int(get("top_k"))
+    if get("top_p") is not None:
+        kw["top_p"] = float(get("top_p"))
+    return kw
+
+
 def _jax_generation(generator, tokenizer, prompt, gen_config, num_samples,
                     needs_sampling, needs_attentions=True, needs_hiddens=True):
     """JaxGenerator flow mirroring the two HF phases.
+
+    The deterministic pass is greedy (as in the reference); the sampled
+    pass honors ``gen_config``'s temperature/top_k/top_p via
+    :func:`_sampling_kwargs` (beam-search and penalty fields are ignored).
 
     ``needs_attentions`` gates the deterministic pass's attention taps (only
     RAUQ reads them) and ``needs_hiddens`` the sampled pass's hidden states
@@ -594,6 +660,7 @@ def _jax_generation(generator, tokenizer, prompt, gen_config, num_samples,
         samp = generator.generate(
             prompt_tokens, num_return_sequences=num_samples, do_sample=True,
             output_attentions=False, output_hidden_states=needs_hiddens,
+            **_sampling_kwargs(gen_config),
         )
         samp_ids = [
             _strip_eos(samp["sequences"][i, input_length:].tolist(), eos_id)
