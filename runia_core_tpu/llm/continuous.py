@@ -69,6 +69,8 @@ class ContinuousBatchingEngine:
         temperature: float = 1.0,
         prompt_bucket: int = 16,
         key: Optional[jax.Array] = None,
+        top_k: int = 0,
+        top_p: float = 1.0,
     ):
         if getattr(model, "use_flash", False):
             # Flash prefill needs the plain causal case (no pad mask); the
@@ -87,6 +89,8 @@ class ContinuousBatchingEngine:
         self.eos_id = eos_id
         self.do_sample = do_sample
         self.temperature = float(temperature)
+        self.top_k = int(top_k)
+        self.top_p = float(top_p)
         self.prompt_bucket = max(1, int(prompt_bucket))
         self._key = key if key is not None else jax.random.key(0)
 
@@ -152,6 +156,7 @@ class ContinuousBatchingEngine:
         model, eos = self.model, self.eos_id
         max_ctx, K = self.max_ctx, self.chunk_tokens
         do_sample, temperature = self.do_sample, self.temperature
+        top_k, top_p = self.top_k, self.top_p
 
         @partial(jax.jit, donate_argnums=(1, 2, 3, 6, 7))
         def chunk(params, cache, step_logits, slot_pos, kv_start, limit,
@@ -161,17 +166,22 @@ class ContinuousBatchingEngine:
                 key, sub = jax.random.split(key)
                 log_soft = jax.nn.log_softmax(step_logits, axis=-1)
                 if do_sample:
-                    next_tok = jax.random.categorical(
-                        sub, step_logits / temperature, axis=-1
+                    from runia_core_tpu.llm.generate import sample_logits
+
+                    next_tok = sample_logits(
+                        sub, step_logits, temperature, top_k, top_p
                     )
                 else:
                     next_tok = jnp.argmax(step_logits, axis=-1)
                 lp = jnp.take_along_axis(
                     log_soft, next_tok[:, None], axis=-1
                 )[:, 0]
-                emitted = active
-                lp = jnp.where(active, lp, -jnp.inf)
-                next_tok = jnp.where(active, next_tok, 0)
+                # A slot only emits while its clock is inside the budget
+                # window (slot_pos < limit); a zero-budget request emits
+                # nothing at all.
+                emitted = active & (slot_pos < limit)
+                lp = jnp.where(emitted, lp, -jnp.inf)
+                next_tok = jnp.where(emitted, next_tok, 0)
                 if eos is not None:
                     active = active & (next_tok != eos)
 
@@ -189,7 +199,7 @@ class ContinuousBatchingEngine:
                 # Only active slots advance their clock; stopping keeps the
                 # slot's cache frozen until refill. Budget: a slot whose next
                 # write position would overflow its limit goes inactive.
-                slot_pos = slot_pos + active.astype(jnp.int32)
+                slot_pos = slot_pos + emitted.astype(jnp.int32)
                 active = active & (slot_pos < limit)
                 step_logits = jnp.where(
                     emitted[:, None], new_logits[:, 0, :], step_logits

@@ -46,12 +46,16 @@ class GenerationService:
         do_sample: bool = False,
         temperature: float = 1.0,
         length_bucket: int = 16,
+        top_k: int = 0,
+        top_p: float = 1.0,
     ):
         self.generator = generator
         self.max_batch = int(max_batch)
         self.max_wait_s = float(max_wait_s)
         self.do_sample = do_sample
         self.temperature = temperature
+        self.top_k = int(top_k)
+        self.top_p = float(top_p)
         # jit specializes per (batch, padded-length) shape; padding the
         # longest prompt up to a bucket multiple collapses the shape space
         # so steady-state traffic reuses a handful of compiled programs
@@ -122,6 +126,8 @@ class GenerationService:
                     filled,
                     do_sample=self.do_sample,
                     temperature=self.temperature,
+                    top_k=self.top_k,
+                    top_p=self.top_p,
                     output_scores=False,
                     pad_to=pad_to,
                 )
