@@ -10,6 +10,7 @@ from runia_core_tpu.utils.health import (
 )
 from runia_core_tpu.utils.profiling import (
     benchmark,
+    profile_taps,
     record_time,
     trace_annotation,
     tpu_profile,
@@ -20,6 +21,7 @@ __all__ = [
     "benchmark",
     "tpu_profile",
     "trace_annotation",
+    "profile_taps",
     "HealthCheckError",
     "NonFiniteError",
     "device_healthcheck",

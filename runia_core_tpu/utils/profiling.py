@@ -17,7 +17,13 @@ import jax
 
 from runia_core_tpu.detectors.base import record_time
 
-__all__ = ["record_time", "benchmark", "tpu_profile", "trace_annotation"]
+__all__ = [
+    "record_time",
+    "benchmark",
+    "tpu_profile",
+    "trace_annotation",
+    "profile_taps",
+]
 
 
 def benchmark(
@@ -64,3 +70,35 @@ def tpu_profile(log_dir: str = "/tmp/runia_profile", create_perfetto_link: bool 
 def trace_annotation(name: str):
     """Named region that shows up in profiler traces."""
     return jax.profiler.TraceAnnotation(name)
+
+
+def profile_taps(
+    model,
+    variables,
+    images,
+    taps: Optional[tuple] = None,
+    iters: int = 10,
+    warmup: int = 2,
+):
+    """Per-stage device time of a tapped model's forward.
+
+    For each tap name, jits a truncated forward returning ONLY that tap —
+    XLA dead-code-eliminates every later stage — and times it with
+    :func:`benchmark`. The delta between successive taps localizes stage
+    cost (the method behind the docs/PERFORMANCE.md war tables). ``taps``
+    defaults to every tap the model emits, in emission order.
+
+    Returns:
+        {tap_name: seconds_per_call} ordered dict.
+    """
+    if taps is None:
+        _, all_taps = jax.eval_shape(
+            lambda v, x: model.apply(v, x), variables, images
+        )
+        taps = tuple(all_taps.keys())
+    results = {}
+    for name in taps:
+        fn = jax.jit(lambda x, name=name: model.apply(variables, x)[1][name])
+        _, dt = benchmark(fn, images, iters=iters, warmup=warmup)
+        results[name] = dt
+    return results
