@@ -94,3 +94,16 @@ class TestUtils:
     def test_trace_annotation_context(self):
         with trace_annotation("test-region"):
             _ = jnp.ones(8) + 1
+
+    def test_profile_taps_orders_and_times_stages(self):
+        from runia_core_tpu.models import SimpleConvNet
+        from runia_core_tpu.utils import profile_taps
+
+        model = SimpleConvNet(num_classes=3, features=8)
+        x = jnp.zeros((2, 16, 16, 3))
+        variables = model.init(jax.random.key(0), x)
+        out = profile_taps(model, variables, x, iters=2, warmup=1)
+        assert list(out.keys()) == ["pre_pool", "penultimate"]
+        assert all(dt > 0 for dt in out.values())
+        sub = profile_taps(model, variables, x, taps=("penultimate",), iters=2)
+        assert list(sub.keys()) == ["penultimate"]
