@@ -86,7 +86,8 @@ def profile_taps(
     XLA dead-code-eliminates every later stage — and times it with
     :func:`benchmark`. The delta between successive taps localizes stage
     cost (the method behind the docs/PERFORMANCE.md war tables). ``taps``
-    defaults to every tap the model emits, in emission order.
+    defaults to every tap the model emits (dict key order — pass an
+    explicit tuple for stage order).
 
     Returns:
         {tap_name: seconds_per_call} ordered dict.

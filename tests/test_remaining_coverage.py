@@ -103,7 +103,7 @@ class TestUtils:
         x = jnp.zeros((2, 16, 16, 3))
         variables = model.init(jax.random.key(0), x)
         out = profile_taps(model, variables, x, iters=2, warmup=1)
-        assert list(out.keys()) == ["pre_pool", "penultimate"]
+        assert set(out.keys()) == {"pre_pool", "penultimate"}
         assert all(dt > 0 for dt in out.values())
         sub = profile_taps(model, variables, x, taps=("penultimate",), iters=2)
         assert list(sub.keys()) == ["penultimate"]
