@@ -41,6 +41,7 @@ class QDense(nn.Module):
 
     features: int
     dtype: jnp.dtype = jnp.float32
+    use_bias: bool = False  # Qwen2-family q/k/v biases (kept f32)
 
     @nn.compact
     def __call__(self, x):
@@ -52,7 +53,14 @@ class QDense(nn.Module):
             "scale", nn.initializers.ones_init(), (self.features,), jnp.float32
         )
         w = kernel_q.astype(self.dtype) * scale.astype(self.dtype)[None, :]
-        return x.astype(self.dtype) @ w
+        out = x.astype(self.dtype) @ w
+        if self.use_bias:
+            bias = self.param(
+                "bias", nn.initializers.zeros_init(), (self.features,),
+                jnp.float32,
+            )
+            out = out + bias.astype(self.dtype)
+        return out
 
 
 def _rope_cos_sin(positions: jnp.ndarray, head_dim: int, theta: float):
@@ -100,6 +108,7 @@ class _LlamaBlock(nn.Module):
     dtype: jnp.dtype = jnp.float32
     use_flash: bool = False
     quantized: bool = False
+    attn_bias: bool = False  # q/k/v projection biases (Qwen2 family)
 
     @nn.compact
     def __call__(self, x, mask, cos, sin, cache=None, cache_index=None,
@@ -112,14 +121,17 @@ class _LlamaBlock(nn.Module):
         ).astype(self.dtype)
 
         if self.quantized:
-            dense = lambda f, name: QDense(f, dtype=self.dtype, name=name)
-        else:
-            dense = lambda f, name: nn.Dense(
-                f, use_bias=False, dtype=self.dtype, name=name
+            dense = lambda f, name, bias=False: QDense(
+                f, dtype=self.dtype, use_bias=bias, name=name
             )
-        q = dense(self.num_heads * self.head_dim, "q")(h)
-        k = dense(self.num_kv_heads * self.head_dim, "k")(h)
-        v = dense(self.num_kv_heads * self.head_dim, "v")(h)
+        else:
+            dense = lambda f, name, bias=False: nn.Dense(
+                f, use_bias=bias, dtype=self.dtype, name=name
+            )
+        ab = self.attn_bias
+        q = dense(self.num_heads * self.head_dim, "q", ab)(h)
+        k = dense(self.num_kv_heads * self.head_dim, "k", ab)(h)
+        v = dense(self.num_kv_heads * self.head_dim, "v", ab)(h)
         q = q.reshape(b, t, self.num_heads, self.head_dim)
         k = k.reshape(b, t, self.num_kv_heads, self.head_dim)
         v = v.reshape(b, t, self.num_kv_heads, self.head_dim)
@@ -289,6 +301,10 @@ class LlamaLM(nn.Module):
     # bandwidth at long context. Dequantization fuses into the attention
     # reads; Q stays full precision.
     quantized_kv: bool = False
+    # q/k/v projection biases — the Qwen2/Qwen2.5 family. o/gate/up/down
+    # stay bias-free (as in those checkpoints). convert_hf_llama sets this
+    # automatically when the checkpoint carries attention biases.
+    attn_bias: bool = False
 
     def _head_dim(self) -> int:
         return self.head_dim or self.d_model // self.num_heads
@@ -364,7 +380,8 @@ class LlamaLM(nn.Module):
             x, attn, new_kv = _LlamaBlock(
                 self.num_heads, self.num_kv_heads, self._head_dim(),
                 self.d_model, self.hidden_dim, self.rms_eps, self.dtype,
-                self.use_flash, self.quantized, name=f"block_{i}",
+                self.use_flash, self.quantized, self.attn_bias,
+                name=f"block_{i}",
             )(x, mask, cos, sin, layer_cache, cache_index,
               flash_ok=flash_ok, assume_prefill=assume_prefill)
             hiddens.append(x)
@@ -423,6 +440,18 @@ def convert_hf_llama(hf_model, max_len: Optional[int] = None,
         None, "default",
     ):
         raise NotImplementedError(f"rope_scaling {scaling!r} not supported")
+    # Sliding-window attention changes the mask, not any param shape — a
+    # Mistral-style checkpoint would convert cleanly and attend wrong at
+    # long range, so raise (Qwen2 sets sliding_window but gates it off via
+    # use_sliding_window=False, which is fine).
+    if getattr(cfg, "sliding_window", None) and getattr(
+        cfg, "use_sliding_window", True
+    ):
+        raise NotImplementedError(
+            f"sliding-window attention (window {cfg.sliding_window}) is not "
+            "implemented; full-attention checkpoints only"
+        )
+    attn_bias = hf_model.model.layers[0].self_attn.q_proj.bias is not None
     model = LlamaLM(
         vocab_size=cfg.vocab_size,
         num_layers=cfg.num_hidden_layers,
@@ -440,6 +469,7 @@ def convert_hf_llama(hf_model, max_len: Optional[int] = None,
         use_flash=use_flash,
         quantized=quantize,
         quantized_kv=quantize_kv,
+        attn_bias=attn_bias,
     )
 
     hf = hf_model.model  # LlamaModel inside LlamaForCausalLM
@@ -465,6 +495,11 @@ def convert_hf_llama(hf_model, max_len: Optional[int] = None,
             "up": {"kernel": _t(layer.mlp.up_proj.weight, wd)},
             "down": {"kernel": _t(layer.mlp.down_proj.weight, wd)},
         }
+        if attn_bias:
+            for proj in ("q", "k", "v"):
+                p[f"block_{i}"][proj]["bias"] = _vec(
+                    getattr(layer.self_attn, f"{proj}_proj").bias
+                )
     if not model.tie_embeddings:
         p["lm_head"] = {"kernel": _t(hf_model.lm_head.weight, wd)}
     params = {"params": p}
@@ -508,7 +543,9 @@ def quantize_llama_params(params, on_device: bool = False):
         for name, sub in tree.items():
             if name in _QUANT_KERNELS and isinstance(sub, dict) and "kernel" in sub:
                 kernel_q, scale = qfn(sub["kernel"])
-                out[name] = {"kernel_q": kernel_q, "scale": scale}
+                # non-kernel leaves (q/k/v biases) pass through untouched
+                rest = {k: v for k, v in sub.items() if k != "kernel"}
+                out[name] = {"kernel_q": kernel_q, "scale": scale, **rest}
             elif isinstance(sub, dict):
                 out[name] = quantize_subtree(sub, qfn)
             else:

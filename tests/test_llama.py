@@ -484,3 +484,70 @@ class TestOnDeviceQuantization:
             else:
                 np.testing.assert_allclose(h, np.asarray(d, h.dtype),
                                            rtol=1e-6, atol=1e-7)
+
+
+class TestQwen2Family:
+    """Qwen2/Qwen2.5 checkpoints: Llama layout + q/k/v projection biases."""
+
+    @pytest.fixture(scope="class")
+    def qwen(self):
+        cfg = transformers.Qwen2Config(
+            vocab_size=96, hidden_size=32, intermediate_size=64,
+            num_hidden_layers=2, num_attention_heads=4,
+            num_key_value_heads=2, max_position_embeddings=64,
+            tie_word_embeddings=False,
+        )
+        torch.manual_seed(0)
+        return transformers.Qwen2ForCausalLM(cfg).eval()
+
+    def test_logits_match_torch(self, qwen):
+        model, params = convert_hf_llama(qwen)
+        assert model.attn_bias  # auto-detected from the checkpoint
+        toks = np.random.RandomState(0).randint(1, 96, (2, 10))
+        with torch.no_grad():
+            want = qwen(torch.tensor(toks)).logits.numpy()
+        got, *_ = model.apply(params, jnp.asarray(toks))
+        np.testing.assert_allclose(np.asarray(got), want, rtol=1e-3, atol=1e-4)
+
+    def test_int8_keeps_biases(self, qwen):
+        import dataclasses
+
+        from runia_core_tpu.models import quantize_llama_params
+
+        model, params = convert_hf_llama(qwen)
+        qp = quantize_llama_params(params)
+        assert "bias" in qp["params"]["block_0"]["q"]
+        qmodel = dataclasses.replace(model, quantized=True)
+        toks = np.random.RandomState(1).randint(1, 96, (1, 8))
+        with torch.no_grad():
+            want = qwen(torch.tensor(toks)).logits.numpy()
+        got, *_ = qmodel.apply(qp, jnp.asarray(toks))
+        rel = np.abs(np.asarray(got) - want).max() / np.abs(want).max()
+        assert rel < 0.05, rel  # int8 weight rounding only
+
+    def test_greedy_decode_matches_hf_generate(self, qwen):
+        from runia_core_tpu.llm.generate import JaxGenerator
+
+        model, params = convert_hf_llama(qwen)
+        gen = JaxGenerator(model, params, max_new_tokens=6)
+        prompt = [3, 17, 42, 9]
+        ours = gen.generate(prompt, do_sample=False,
+                            output_attentions=False,
+                            output_hidden_states=False)["sequences"][0]
+        with torch.no_grad():
+            hf_out = qwen.generate(
+                torch.tensor([prompt]), max_new_tokens=6, do_sample=False,
+            )[0].numpy()
+        np.testing.assert_array_equal(np.asarray(ours), hf_out)
+
+    def test_sliding_window_rejected(self):
+        cfg = transformers.Qwen2Config(
+            vocab_size=64, hidden_size=32, intermediate_size=64,
+            num_hidden_layers=2, num_attention_heads=4,
+            num_key_value_heads=2, max_position_embeddings=64,
+            sliding_window=16, use_sliding_window=True,
+            max_window_layers=0,
+        )
+        hf = transformers.Qwen2ForCausalLM(cfg).eval()
+        with pytest.raises(NotImplementedError, match="sliding-window"):
+            convert_hf_llama(hf)
