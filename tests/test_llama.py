@@ -551,3 +551,36 @@ class TestQwen2Family:
         hf = transformers.Qwen2ForCausalLM(cfg).eval()
         with pytest.raises(NotImplementedError, match="sliding-window"):
             convert_hf_llama(hf)
+
+
+class TestMistralFamily:
+    """Mistral checkpoints with full attention (sliding_window=None) share
+    the exact Llama layout; windowed ones must raise, not mis-attend."""
+
+    def test_full_attention_mistral_converts(self):
+        cfg = transformers.MistralConfig(
+            vocab_size=96, hidden_size=32, intermediate_size=64,
+            num_hidden_layers=2, num_attention_heads=4,
+            num_key_value_heads=2, max_position_embeddings=64,
+            sliding_window=None, tie_word_embeddings=False,
+        )
+        torch.manual_seed(1)
+        hf = transformers.MistralForCausalLM(cfg).eval()
+        model, params = convert_hf_llama(hf)
+        assert not model.attn_bias
+        toks = np.random.RandomState(2).randint(1, 96, (2, 9))
+        with torch.no_grad():
+            want = hf(torch.tensor(toks)).logits.numpy()
+        got, *_ = model.apply(params, jnp.asarray(toks))
+        np.testing.assert_allclose(np.asarray(got), want, rtol=1e-3, atol=1e-4)
+
+    def test_windowed_mistral_rejected(self):
+        cfg = transformers.MistralConfig(
+            vocab_size=64, hidden_size=32, intermediate_size=64,
+            num_hidden_layers=1, num_attention_heads=4,
+            num_key_value_heads=2, max_position_embeddings=64,
+            sliding_window=16,
+        )
+        hf = transformers.MistralForCausalLM(cfg).eval()
+        with pytest.raises(NotImplementedError, match="sliding-window"):
+            convert_hf_llama(hf)
