@@ -24,6 +24,7 @@ from runia_core_tpu.models.quant_vision import (
     quantize_resnet_params,
 )
 from runia_core_tpu.models.torch_convert import convert_hf_vit, convert_torch_resnet
+from runia_core_tpu.models.neox import NeoXLM, convert_hf_gpt_neox
 from runia_core_tpu.models.transformer import CausalLM, convert_hf_gpt2
 from runia_core_tpu.models.vit import ViT
 from runia_core_tpu.models.yolov8 import YoloV8, YoloV8JaxAdapter, convert_ultralytics_yolov8
@@ -46,6 +47,8 @@ __all__ = [
     "ASPP",
     "CausalLM",
     "convert_hf_gpt2",
+    "NeoXLM",
+    "convert_hf_gpt_neox",
     "LlamaLM",
     "convert_hf_llama",
     "quantize_llama_params",
