@@ -16,6 +16,7 @@ from runia_core_tpu.models.resnet import (
 )
 from runia_core_tpu.models.llama import (
     LlamaLM,
+    convert_hf_gemma,
     convert_hf_llama,
     quantize_llama_params,
 )
@@ -50,6 +51,7 @@ __all__ = [
     "NeoXLM",
     "convert_hf_gpt_neox",
     "LlamaLM",
+    "convert_hf_gemma",
     "convert_hf_llama",
     "quantize_llama_params",
     "convert_torch_resnet",

@@ -109,6 +109,7 @@ class _LlamaBlock(nn.Module):
     use_flash: bool = False
     quantized: bool = False
     attn_bias: bool = False  # q/k/v projection biases (Qwen2 family)
+    mlp_act: str = "silu"  # "gelu_tanh" for the Gemma family's GeGLU
 
     @nn.compact
     def __call__(self, x, mask, cos, sin, cache=None, cache_index=None,
@@ -257,7 +258,11 @@ class _LlamaBlock(nn.Module):
         ).astype(self.dtype)
         gate = dense(self.hidden_dim, "gate")(h2)
         up = dense(self.hidden_dim, "up")(h2)
-        mlp = dense(self.d_model, "down")(nn.silu(gate) * up)
+        if self.mlp_act == "silu":
+            act = nn.silu(gate)
+        else:  # "gelu_tanh" — the Gemma family's GeGLU
+            act = nn.gelu(gate, approximate=True)
+        mlp = dense(self.d_model, "down")(act * up)
         return x + mlp, attn, new_kv
 
 
@@ -305,6 +310,13 @@ class LlamaLM(nn.Module):
     # stay bias-free (as in those checkpoints). convert_hf_llama sets this
     # automatically when the checkpoint carries attention biases.
     attn_bias: bool = False
+    # Gemma-family deltas (set by convert_hf_gemma): scale the input
+    # embedding by sqrt(d_model) (NOT foldable into the table — Gemma ties
+    # embeddings, so the tied logits matmul must see the unscaled weights),
+    # and GeGLU (gelu-tanh) instead of SwiGLU. Gemma's (1 + weight) RMSNorm
+    # is folded into the scales at conversion time instead.
+    embed_scale: bool = False
+    mlp_act: str = "silu"
 
     def _head_dim(self) -> int:
         return self.head_dim or self.d_model // self.num_heads
@@ -372,6 +384,8 @@ class LlamaLM(nn.Module):
             self.vocab_size, self.d_model, dtype=self.dtype, name="embed"
         )
         x = embed(tokens)
+        if self.embed_scale:
+            x = x * jnp.asarray(self.d_model**0.5, x.dtype)
         hiddens = [x]
         attns = []
         new_layer_caches = []
@@ -381,7 +395,7 @@ class LlamaLM(nn.Module):
                 self.num_heads, self.num_kv_heads, self._head_dim(),
                 self.d_model, self.hidden_dim, self.rms_eps, self.dtype,
                 self.use_flash, self.quantized, self.attn_bias,
-                name=f"block_{i}",
+                self.mlp_act, name=f"block_{i}",
             )(x, mask, cos, sin, layer_cache, cache_index,
               flash_ok=flash_ok, assume_prefill=assume_prefill)
             hiddens.append(x)
@@ -502,6 +516,85 @@ def convert_hf_llama(hf_model, max_len: Optional[int] = None,
                 )
     if not model.tie_embeddings:
         p["lm_head"] = {"kernel": _t(hf_model.lm_head.weight, wd)}
+    params = {"params": p}
+    if quantize:
+        params = quantize_llama_params(params)
+    return model, params
+
+
+def convert_hf_gemma(hf_model, max_len: Optional[int] = None,
+                     dtype=jnp.float32, use_flash: bool = False,
+                     quantize: bool = False, quantize_kv: bool = False):
+    """Map a ``transformers.GemmaForCausalLM`` onto (LlamaLM, params).
+
+    Gemma is the Llama layout with three forward deltas: the input
+    embedding scales by sqrt(d_model) (``embed_scale=True`` — not foldable
+    into the tied table), the MLP is GeGLU (gelu-tanh on the gate), and
+    RMSNorm multiplies by ``1 + weight`` — folded into the flax scales here
+    so the module stays unchanged. Gemma-2's attention/final logit
+    soft-capping and alternating sliding windows are different forwards and
+    raise. Logits parity vs torch is pinned by tests/test_llama.py.
+    """
+    cfg = hf_model.config
+    if getattr(cfg, "attn_logit_softcapping", None) or getattr(
+        cfg, "final_logit_softcapping", None
+    ) or (getattr(cfg, "sliding_window", None) and getattr(
+        cfg, "use_sliding_window", True
+    )):
+        raise NotImplementedError(
+            "Gemma-2-style soft-capping / sliding-window attention is not "
+            "implemented; Gemma-1-style full-attention checkpoints only"
+        )
+    act = getattr(cfg, "hidden_activation", None) or getattr(
+        cfg, "hidden_act", "gelu_pytorch_tanh"
+    )
+    if act not in ("gelu_pytorch_tanh", "gelu_new"):
+        raise NotImplementedError(f"Gemma hidden activation {act!r}")
+    model = LlamaLM(
+        vocab_size=cfg.vocab_size,
+        num_layers=cfg.num_hidden_layers,
+        num_heads=cfg.num_attention_heads,
+        num_kv_heads=cfg.num_key_value_heads,
+        d_model=cfg.hidden_size,
+        hidden_dim=cfg.intermediate_size,
+        max_len=max_len or cfg.max_position_embeddings,
+        head_dim=getattr(cfg, "head_dim", None)
+        or cfg.hidden_size // cfg.num_attention_heads,
+        rope_theta=float(getattr(cfg, "rope_theta", 10000.0)),
+        rms_eps=float(cfg.rms_norm_eps),
+        tie_embeddings=True,  # Gemma always ties
+        dtype=dtype,
+        use_flash=use_flash,
+        quantized=quantize,
+        quantized_kv=quantize_kv,
+        embed_scale=True,
+        mlp_act="gelu_tanh",
+    )
+
+    hf = hf_model.model
+    wd = dtype if dtype != jnp.float32 else np.float32
+
+    def _norm(w):  # Gemma RMSNorm: x_hat * (1 + w) -> flax scale = 1 + w
+        return _vec(w) + 1.0
+
+    p: Dict = {
+        "embed": {"embedding": _vec(hf.embed_tokens.weight, wd)},
+        "norm_f": {"scale": _norm(hf.norm.weight)},
+    }
+    for i, layer in enumerate(hf.layers):
+        p[f"block_{i}"] = {
+            "input_norm": {"scale": _norm(layer.input_layernorm.weight)},
+            "post_attn_norm": {
+                "scale": _norm(layer.post_attention_layernorm.weight)
+            },
+            "q": {"kernel": _t(layer.self_attn.q_proj.weight, wd)},
+            "k": {"kernel": _t(layer.self_attn.k_proj.weight, wd)},
+            "v": {"kernel": _t(layer.self_attn.v_proj.weight, wd)},
+            "o": {"kernel": _t(layer.self_attn.o_proj.weight, wd)},
+            "gate": {"kernel": _t(layer.mlp.gate_proj.weight, wd)},
+            "up": {"kernel": _t(layer.mlp.up_proj.weight, wd)},
+            "down": {"kernel": _t(layer.mlp.down_proj.weight, wd)},
+        }
     params = {"params": p}
     if quantize:
         params = quantize_llama_params(params)

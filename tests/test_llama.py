@@ -584,3 +584,60 @@ class TestMistralFamily:
         hf = transformers.MistralForCausalLM(cfg).eval()
         with pytest.raises(NotImplementedError, match="sliding-window"):
             convert_hf_llama(hf)
+
+
+class TestGemmaFamily:
+    """Gemma-1: Llama layout + sqrt(d) embedding scale, GeGLU, and a
+    (1 + weight) RMSNorm (folded into the scales at conversion)."""
+
+    @pytest.fixture(scope="class")
+    def gemma(self):
+        cfg = transformers.GemmaConfig(
+            vocab_size=96, hidden_size=32, intermediate_size=64,
+            num_hidden_layers=2, num_attention_heads=4,
+            num_key_value_heads=2, head_dim=8,
+            max_position_embeddings=64,
+        )
+        torch.manual_seed(0)
+        return transformers.GemmaForCausalLM(cfg).eval()
+
+    def test_logits_match_torch(self, gemma):
+        from runia_core_tpu.models import convert_hf_gemma
+
+        model, params = convert_hf_gemma(gemma)
+        assert model.embed_scale and model.mlp_act == "gelu_tanh"
+        assert model.tie_embeddings and "lm_head" not in params["params"]
+        toks = np.random.RandomState(0).randint(1, 96, (2, 10))
+        with torch.no_grad():
+            want = gemma(torch.tensor(toks)).logits.numpy()
+        got, *_ = model.apply(params, jnp.asarray(toks))
+        np.testing.assert_allclose(np.asarray(got), want, rtol=1e-3, atol=1e-4)
+
+    def test_greedy_decode_matches_hf_generate(self, gemma):
+        from runia_core_tpu.llm.generate import JaxGenerator
+        from runia_core_tpu.models import convert_hf_gemma
+
+        model, params = convert_hf_gemma(gemma)
+        gen = JaxGenerator(model, params, max_new_tokens=6)
+        prompt = [7, 21, 33]
+        ours = gen.generate(prompt, do_sample=False,
+                            output_attentions=False,
+                            output_hidden_states=False)["sequences"][0]
+        with torch.no_grad():
+            hf_out = gemma.generate(
+                torch.tensor([prompt]), max_new_tokens=6, do_sample=False,
+            )[0].numpy()
+        np.testing.assert_array_equal(np.asarray(ours), hf_out)
+
+    def test_gemma2_softcapping_rejected(self):
+        from runia_core_tpu.models import convert_hf_gemma
+
+        cfg = transformers.Gemma2Config(
+            vocab_size=64, hidden_size=32, intermediate_size=64,
+            num_hidden_layers=2, num_attention_heads=4,
+            num_key_value_heads=2, head_dim=8,
+            max_position_embeddings=64,
+        )
+        hf = transformers.Gemma2ForCausalLM(cfg).eval()
+        with pytest.raises(NotImplementedError, match="soft-capping"):
+            convert_hf_gemma(hf)
