@@ -8,7 +8,7 @@ from runia_core_tpu.llm.attention import (
     _reconstruct_attention_matrix,
 )
 from runia_core_tpu.llm.continuous import ContinuousBatchingEngine
-from runia_core_tpu.llm.generate import JaxGenerator, run_generation
+from runia_core_tpu.llm.generate import JaxGenerator, run_generation, sample_logits
 from runia_core_tpu.llm.service import GenerationService
 from runia_core_tpu.llm.speculative import SpeculativeGenerator
 from runia_core_tpu.llm.scores import (
@@ -50,6 +50,7 @@ __all__ = [
     "GenerationService",
     "ContinuousBatchingEngine",
     "run_generation",
+    "sample_logits",
     "StreamingAttentionAggregator",
     "make_nli_equivalence",
     "make_nli_batch_labels",
