@@ -48,6 +48,9 @@ def llama_tp_specs(params, axis: str = "model"):
             return P(axis, None)
         if leaf_name == "scale" and parent in _COLUMN:
             return P(axis)
+        # Qwen2-family q/k/v biases follow their column-sharded output dim.
+        if leaf_name == "bias" and parent in _COLUMN:
+            return P(axis)
         # Embedding table vocab-sharded (Megatron): large-vocab checkpoints
         # are exactly the ones TP exists to serve; XLA partitions the
         # lookup (and the tied lm_head matmul) across the vocab shards.

@@ -191,6 +191,29 @@ class TestTensorParallel:
         got, *_ = jax.jit(lambda pr, t: model.apply(pr, t))(sharded, tokens)
         np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
 
+    def test_attn_bias_model_shards_and_matches(self):
+        """Qwen2-shaped params (q/k/v biases): biases follow their
+        column-sharded output dim and the TP forward stays exact."""
+        from jax.sharding import Mesh, PartitionSpec
+        from runia_core_tpu.parallel import llama_tp_specs, shard_llama_params
+
+        model = LlamaLM(
+            vocab_size=64, num_layers=2, num_heads=4, num_kv_heads=2,
+            d_model=32, hidden_dim=64, max_len=32, attn_bias=True,
+        )
+        rng = np.random.RandomState(3)
+        tokens = jnp.asarray(rng.randint(0, 64, (2, 7)))
+        params = model.init(jax.random.key(1), tokens)
+        want, *_ = model.apply(params, tokens)
+
+        specs = llama_tp_specs(params)
+        assert specs["params"]["block_0"]["q"]["bias"] == PartitionSpec("model")
+
+        mesh = Mesh(np.array(jax.devices()[:8]).reshape(8), ("model",))
+        sharded = shard_llama_params(params, mesh)
+        got, *_ = jax.jit(lambda pr, t: model.apply(pr, t))(sharded, tokens)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+
     def test_sharded_decode_via_generator(self):
         from jax.sharding import Mesh
         from runia_core_tpu.llm.generate import JaxGenerator
