@@ -67,6 +67,7 @@ def fsdp_train_step(
     min_size: int = 2**14,
     extra_variables: Optional[dict] = None,
     task: str = "classifier",
+    loss_fn: Optional[Callable] = None,
 ) -> Callable:
     """Build a jitted Adam training step with FSDP parameter/state sharding.
 
@@ -78,6 +79,8 @@ def fsdp_train_step(
     ``task`` selects the loss: ``"classifier"`` (images, int labels) or
     ``"causal_lm"`` (token batch; next-token cross entropy with the batch
     as its own shifted target — ``step(params, opt, tokens, tokens)``).
+    A custom ``loss_fn(model_output, labels) -> scalar`` overrides both
+    (``model_output`` is whatever ``model.apply`` returns).
 
     Returns:
         ``step(params, opt_state, inputs, labels) -> (params, opt_state,
@@ -99,8 +102,10 @@ def fsdp_train_step(
 
     @jax.jit
     def step(params, opt_state: AdamState, inputs, labels):
-        def loss_fn(p):
+        def objective(p):
             out = model.apply({"params": p, **extra}, inputs)
+            if loss_fn is not None:
+                return loss_fn(out, labels)
             logits = out[0] if isinstance(out, tuple) else out
             if task == "causal_lm":
                 logp = jax.nn.log_softmax(logits[:, :-1])
@@ -111,7 +116,7 @@ def fsdp_train_step(
                 jnp.take_along_axis(logp, labels[:, None], axis=1)
             )
 
-        loss, grads = jax.value_and_grad(loss_fn)(params)
+        loss, grads = jax.value_and_grad(objective)(params)
         t = opt_state.step + 1
         tf = t.astype(jnp.float32)
 

@@ -83,6 +83,24 @@ class TestFsdpTrainStep:
             got, want,
         )
 
+    def test_custom_loss_fn(self, rng, mesh):
+        model = SimpleConvNet(num_classes=4, features=16)
+        images = rng.rand(8, 16, 16, 1).astype(np.float32)
+        variables = model.init(jax.random.key(2), jnp.asarray(images[:2]))
+
+        def mse_on_logits(out, targets):
+            logits, _taps = out
+            return jnp.mean((logits - targets) ** 2)
+
+        step = fsdp_train_step(model, mesh, loss_fn=mse_on_logits,
+                               min_size=256)
+        params = step.shard_params(variables["params"])
+        opt = step.init_opt(params)
+        targets = shard_batch(jnp.zeros((8, 4)), mesh)
+        imgs = shard_batch(jnp.asarray(images), mesh)
+        _, _, loss = step(params, opt, imgs, targets)
+        assert np.isfinite(float(loss))
+
     def test_checkpoint_resume_preserves_sharding(self, rng, mesh, tmp_path):
         """Save sharded params+opt mid-training, restore with like= into the
         mesh layout, and the resumed run must match the uninterrupted one."""
