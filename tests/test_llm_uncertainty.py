@@ -476,7 +476,9 @@ class TestUniformBatchPath:
         prompts = [[1, 2, 3, 4], [9, 8, 7, 6], [5, 5, 5, 5]]
         batch = gen.generate_batch(prompts, do_sample=False)
         key = next(k for k in gen._decode_cache if k[0] == "batch")
-        assert key[-1] is True  # uniform path taken
+        # cfg = ("batch", b, p, max_new, do_sample, temperature,
+        #        output_attentions, output_scores, uniform, top_k, top_p)
+        assert key[8] is True  # uniform path taken
         for i, pr in enumerate(prompts):
             single = gen.generate(
                 pr, do_sample=False,
