@@ -457,11 +457,17 @@ def run_suite():
     is the only one main() requires)."""
     suite = []
 
+    # Iteration aid over the tunneled TPU: RUNIA_BENCH_LEGS="prefix,prefix"
+    # runs only matching legs (substring match); unset runs everything.
+    only = [s for s in os.environ.get("RUNIA_BENCH_LEGS", "").split(",") if s]
+
     def leg(metric, unit, fn, extra_key=None):
         """Run one benchmark; fn returns (value, tflops, third). ``third``
         is reported under "mfu" (default), under ``extra_key``, or — when it
         is a dict — merged into the entry verbatim (e.g. the decode legs'
         {"hbm_gbs", "hbm_util"})."""
+        if only and not any(s in metric for s in only):
+            return None
         print(f"bench: running {metric} ...", file=sys.stderr, flush=True)
         try:
             value, tflops, third = fn()
