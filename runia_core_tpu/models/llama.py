@@ -310,6 +310,11 @@ class LlamaLM(nn.Module):
     # stay bias-free (as in those checkpoints). convert_hf_llama sets this
     # automatically when the checkpoint carries attention biases.
     attn_bias: bool = False
+    # Sliding-window attention (Mistral v0.1 / fully-windowed Qwen2): each
+    # query attends only to the last `sliding_window` positions. None =
+    # full causal attention. Incompatible with use_flash (the Pallas
+    # kernel is plain-causal) — flash silently falls back to dense.
+    sliding_window: Optional[int] = None
     # Gemma-family deltas (set by convert_hf_gemma): scale the input
     # embedding by sqrt(d_model) (NOT foldable into the table — Gemma ties
     # embeddings, so the tied logits matmul must see the unscaled weights),
@@ -342,8 +347,13 @@ class LlamaLM(nn.Module):
         b, t = tokens.shape
         # Flash prefill only for the plain causal case: default positions,
         # no padding mask (custom positions would desync flash's built-in
-        # causal structure from the RoPE phases).
-        flash_ok = token_valid is None and positions is None
+        # causal structure from the RoPE phases), and no sliding window
+        # (the Pallas kernel computes plain causal attention).
+        flash_ok = (
+            token_valid is None and positions is None
+            and self.sliding_window is None
+        )
+        q_phys = None
         if cache is None:
             if positions is None:
                 if token_valid is not None:
@@ -377,6 +387,29 @@ class LlamaLM(nn.Module):
                 )
             if token_valid is not None:
                 mask = mask & token_valid[:, None, None, :]
+
+        if self.sliding_window is not None:
+            # Keep kv only within the last `window` positions of each query
+            # (q - k < window, the HF band convention). In cache mode the
+            # window runs over PHYSICAL slots, which equals the logical
+            # distance row-by-row: pads sit at the front, so query and kv
+            # of the same sequence share one offset.
+            w = int(self.sliding_window)
+            if cache is None:
+                delta = positions[:, None, :, None] - positions[:, None, None, :]
+            elif jnp.ndim(cache_index) == 0:
+                kv_len = cache["layers"][0]["k"].shape[1]
+                delta = (
+                    q_phys[None, None, :, None]
+                    - jnp.arange(kv_len)[None, None, None, :]
+                )
+            else:
+                kv_len = cache["layers"][0]["k"].shape[1]
+                delta = (
+                    q_phys[:, None, :, None]
+                    - jnp.arange(kv_len)[None, None, None, :]
+                )
+            mask = mask & (delta < w)
 
         cos, sin = _rope_cos_sin(positions, self._head_dim(), self.rope_theta)
 
@@ -454,16 +487,30 @@ def convert_hf_llama(hf_model, max_len: Optional[int] = None,
         None, "default",
     ):
         raise NotImplementedError(f"rope_scaling {scaling!r} not supported")
-    # Sliding-window attention changes the mask, not any param shape — a
-    # Mistral-style checkpoint would convert cleanly and attend wrong at
-    # long range, so raise (Qwen2 sets sliding_window but gates it off via
-    # use_sliding_window=False, which is fine).
-    if getattr(cfg, "sliding_window", None) and getattr(
-        cfg, "use_sliding_window", True
-    ):
+    # Sliding-window attention: supported uniformly across layers
+    # (Mistral v0.1 — always windowed; Qwen2 — windowed when
+    # use_sliding_window=True). Qwen2's max_window_layers can make only
+    # the layers >= that index windowed; a MIXED stack is a different
+    # per-layer forward and raises.
+    window = None
+    sw = getattr(cfg, "sliding_window", None)
+    if sw:
+        if hasattr(cfg, "use_sliding_window"):  # Qwen2-style gate
+            if cfg.use_sliding_window:
+                mwl = getattr(cfg, "max_window_layers", 0) or 0
+                if 0 < mwl < cfg.num_hidden_layers:
+                    raise NotImplementedError(
+                        f"mixed per-layer sliding windows (max_window_layers="
+                        f"{mwl} of {cfg.num_hidden_layers})"
+                    )
+                if mwl < cfg.num_hidden_layers:
+                    window = int(sw)
+        else:  # Mistral-style: window always active
+            window = int(sw)
+    if window is not None and use_flash:
         raise NotImplementedError(
-            f"sliding-window attention (window {cfg.sliding_window}) is not "
-            "implemented; full-attention checkpoints only"
+            "use_flash with sliding-window attention (the flash kernel is "
+            "plain-causal); convert with use_flash=False"
         )
     attn_bias = hf_model.model.layers[0].self_attn.q_proj.bias is not None
     model = LlamaLM(
@@ -484,6 +531,7 @@ def convert_hf_llama(hf_model, max_len: Optional[int] = None,
         quantized=quantize,
         quantized_kv=quantize_kv,
         attn_bias=attn_bias,
+        sliding_window=window,
     )
 
     hf = hf_model.model  # LlamaModel inside LlamaForCausalLM

@@ -563,16 +563,34 @@ class TestQwen2Family:
             )[0].numpy()
         np.testing.assert_array_equal(np.asarray(ours), hf_out)
 
-    def test_sliding_window_rejected(self):
+    def test_fully_windowed_qwen2_converts_with_parity(self):
         cfg = transformers.Qwen2Config(
             vocab_size=64, hidden_size=32, intermediate_size=64,
             num_hidden_layers=2, num_attention_heads=4,
             num_key_value_heads=2, max_position_embeddings=64,
-            sliding_window=16, use_sliding_window=True,
+            sliding_window=8, use_sliding_window=True,
             max_window_layers=0,
         )
+        torch.manual_seed(4)
         hf = transformers.Qwen2ForCausalLM(cfg).eval()
-        with pytest.raises(NotImplementedError, match="sliding-window"):
+        model, params = convert_hf_llama(hf)
+        assert model.sliding_window == 8
+        toks = np.random.RandomState(4).randint(1, 64, (2, 20))  # > window
+        with torch.no_grad():
+            want = hf(torch.tensor(toks)).logits.numpy()
+        got, *_ = model.apply(params, jnp.asarray(toks))
+        np.testing.assert_allclose(np.asarray(got), want, rtol=1e-3, atol=1e-4)
+
+    def test_mixed_window_layers_rejected(self):
+        cfg = transformers.Qwen2Config(
+            vocab_size=64, hidden_size=32, intermediate_size=64,
+            num_hidden_layers=2, num_attention_heads=4,
+            num_key_value_heads=2, max_position_embeddings=64,
+            sliding_window=8, use_sliding_window=True,
+            max_window_layers=1,
+        )
+        hf = transformers.Qwen2ForCausalLM(cfg).eval()
+        with pytest.raises(NotImplementedError, match="mixed per-layer"):
             convert_hf_llama(hf)
 
 
@@ -597,16 +615,37 @@ class TestMistralFamily:
         got, *_ = model.apply(params, jnp.asarray(toks))
         np.testing.assert_allclose(np.asarray(got), want, rtol=1e-3, atol=1e-4)
 
-    def test_windowed_mistral_rejected(self):
+    def test_windowed_mistral_parity_and_decode(self):
+        """Mistral v0.1-style window: prefill logits AND the KV-cache decode
+        trace must match HF beyond the window boundary."""
+        from runia_core_tpu.llm.generate import JaxGenerator
+
         cfg = transformers.MistralConfig(
             vocab_size=64, hidden_size=32, intermediate_size=64,
-            num_hidden_layers=1, num_attention_heads=4,
+            num_hidden_layers=2, num_attention_heads=4,
             num_key_value_heads=2, max_position_embeddings=64,
-            sliding_window=16,
+            sliding_window=8,
         )
+        torch.manual_seed(5)
         hf = transformers.MistralForCausalLM(cfg).eval()
-        with pytest.raises(NotImplementedError, match="sliding-window"):
-            convert_hf_llama(hf)
+        model, params = convert_hf_llama(hf)
+        assert model.sliding_window == 8
+        toks = np.random.RandomState(5).randint(1, 64, (1, 20))  # > window
+        with torch.no_grad():
+            want = hf(torch.tensor(toks)).logits.numpy()
+        got, *_ = model.apply(params, jnp.asarray(toks))
+        np.testing.assert_allclose(np.asarray(got), want, rtol=1e-3, atol=1e-4)
+
+        gen = JaxGenerator(model, params, max_new_tokens=8)
+        prompt = toks[0, :12].tolist()
+        ours = gen.generate(prompt, do_sample=False,
+                            output_attentions=False,
+                            output_hidden_states=False)["sequences"][0]
+        with torch.no_grad():
+            hf_out = hf.generate(
+                torch.tensor([prompt]), max_new_tokens=8, do_sample=False,
+            )[0].numpy()
+        np.testing.assert_array_equal(np.asarray(ours), hf_out)
 
 
 class TestGemmaFamily:
