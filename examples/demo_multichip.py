@@ -105,7 +105,8 @@ def main():
     step = fsdp_train_step(model, fsdp_mesh, min_size=256)
     params = step.shard_params(variables["params"])
     opt = step.init_opt(params)
-    lbls = shard_batch(jnp.asarray(rng.randint(0, 4, images.shape[0])), mesh)
+    lbls = shard_batch(jnp.asarray(rng.randint(0, 4, images.shape[0])),
+                       fsdp_mesh)
     imgs = shard_batch(jnp.asarray(images), fsdp_mesh)
     for _ in range(3):
         params, opt, loss = step(params, opt, imgs, lbls)

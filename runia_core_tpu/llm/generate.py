@@ -47,6 +47,10 @@ def sample_logits(
     """
     logits = logits / temperature
     if top_k:
+        # HF's TopKLogitsWarper clamps k to the vocab size (an HF
+        # GenerationConfig materializes its default top_k=50 even when the
+        # caller never set it, so small-vocab models hit top_k > V).
+        top_k = min(int(top_k), logits.shape[-1])
         kth = jax.lax.top_k(logits, top_k)[0][..., -1:]
         logits = jnp.where(logits < kth, -jnp.inf, logits)
     if top_p < 1.0:
@@ -54,6 +58,9 @@ def sample_logits(
         probs = jax.nn.softmax(sorted_desc, axis=-1)
         cum = jnp.cumsum(probs, axis=-1)
         keep = (cum - probs) < top_p  # cumulative BEFORE this token
+        # min_tokens_to_keep=1 (HF): the top token always survives, so
+        # top_p <= 0 degrades to greedy instead of masking every logit.
+        keep = keep.at[..., :1].set(True)
         cutoff = jnp.min(
             jnp.where(keep, sorted_desc, jnp.inf), axis=-1, keepdims=True
         )

@@ -593,9 +593,19 @@ def convert_hf_gemma(hf_model, max_len: Optional[int] = None,
             "Gemma-2-style soft-capping / sliding-window attention is not "
             "implemented; Gemma-1-style full-attention checkpoints only"
         )
-    act = getattr(cfg, "hidden_activation", None) or getattr(
-        cfg, "hidden_act", "gelu_pytorch_tanh"
-    )
+    # GemmaMLP in the installed transformers builds ACT2FN[cfg.hidden_act];
+    # hidden_activation is a legacy alias that the modeling code ignores.
+    # Key off the field that drives the torch forward we pin parity
+    # against, and refuse configs where the two disagree rather than
+    # silently converting a different activation than torch runs.
+    act = getattr(cfg, "hidden_act", None) or "gelu_pytorch_tanh"
+    legacy = getattr(cfg, "hidden_activation", None)
+    if legacy is not None and legacy != act:
+        raise ValueError(
+            f"Gemma config disagrees with itself: hidden_act={act!r} (what "
+            f"the torch forward runs) vs hidden_activation={legacy!r}; fix "
+            "the checkpoint config before converting"
+        )
     if act not in ("gelu_pytorch_tanh", "gelu_new"):
         raise NotImplementedError(f"Gemma hidden activation {act!r}")
     model = LlamaLM(

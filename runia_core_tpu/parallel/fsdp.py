@@ -15,6 +15,7 @@ FLOPs for activation memory on top of the parameter sharding.
 
 from __future__ import annotations
 
+from functools import partial
 from typing import Callable, NamedTuple, Optional, Tuple
 
 import jax
@@ -100,7 +101,11 @@ def fsdp_train_step(
             nu=jax.tree_util.tree_map(jnp.zeros_like, params),
         )
 
-    @jax.jit
+    # Donating params + opt_state lets XLA update the sharded tensors in
+    # place — without it each step holds old AND new (params, mu, nu) live,
+    # doubling exactly the footprint ZeRO-3 exists to shrink. Callers
+    # already rebind: params, opt, loss = step(params, opt, ...).
+    @partial(jax.jit, donate_argnums=(0, 1))
     def step(params, opt_state: AdamState, inputs, labels):
         def objective(p):
             out = model.apply({"params": p, **extra}, inputs)

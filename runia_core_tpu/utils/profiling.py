@@ -99,7 +99,9 @@ def profile_taps(
         taps = tuple(all_taps.keys())
     results = {}
     for name in taps:
-        fn = jax.jit(lambda x, name=name: model.apply(variables, x)[1][name])
-        _, dt = benchmark(fn, images, iters=iters, warmup=warmup)
+        # Params stay an ordinary device argument (shared across the N tap
+        # programs) rather than a closure constant staged into every jaxpr.
+        fn = jax.jit(lambda v, x, name=name: model.apply(v, x)[1][name])
+        _, dt = benchmark(fn, variables, images, iters=iters, warmup=warmup)
         results[name] = dt
     return results

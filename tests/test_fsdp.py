@@ -51,9 +51,11 @@ class TestFsdpTrainStep:
         variables = model.init(jax.random.key(0), jnp.asarray(images[:2]))
         params = variables["params"]
 
-        # single-device reference: same step fn, replicated placement
+        # single-device reference: same step fn, replicated placement.
+        # Independent buffers: shard_params aliases replicated leaves (a
+        # same-sharding device_put is a no-op), and step() donates them.
         ref_step = fsdp_train_step(model, mesh, learning_rate=1e-2)
-        ref_params = params
+        ref_params = jax.tree_util.tree_map(lambda x: jnp.array(x), params)
         ref_opt = ref_step.init_opt(ref_params)
 
         step = fsdp_train_step(model, mesh, learning_rate=1e-2, min_size=256)
@@ -122,13 +124,19 @@ class TestFsdpTrainStep:
         params, opt, _ = step(params, opt, imgs, lbls)
         save_state_dict_orbax(tmp_path / "params", params)
         save_state_dict_orbax(tmp_path / "mu", opt.mu)
-        cont_params, cont_opt, _ = step(params, opt, imgs, lbls)
 
+        # step() donates (params, opt), so build the resumed branch BEFORE
+        # the continuation step invalidates those buffers — with fresh
+        # (sharding-preserving) copies of the leaves the branches share.
         res_params = load_state_dict_orbax(tmp_path / "params", like=params)
         res_mu = load_state_dict_orbax(tmp_path / "mu", like=opt.mu)
         big = res_params["Conv_1"]["kernel"]
         assert "data" in tuple(big.sharding.spec), big.sharding
-        resumed = opt._replace(mu=res_mu)
+        fresh = lambda t: jax.tree_util.tree_map(lambda x: x + 0, t)
+        resumed = opt._replace(step=fresh(opt.step), mu=res_mu,
+                               nu=fresh(opt.nu))
+
+        cont_params, cont_opt, _ = step(params, opt, imgs, lbls)
         res_params2, _, _ = step(res_params, resumed, imgs, lbls)
         jax.tree_util.tree_map(
             lambda a, b: np.testing.assert_allclose(
@@ -147,6 +155,9 @@ class TestFsdpTrainStep:
         params = variables["params"]
 
         step = fsdp_train_step(model, mesh, task="causal_lm", min_size=512)
+        # shard_params aliases replicated leaves and step() donates them, so
+        # the ref branch below needs its own copies.
+        ref_params = jax.tree_util.tree_map(lambda x: jnp.array(x), params)
         sh_params = step.shard_params(params)
         sh_opt = step.init_opt(sh_params)
         toks = shard_batch(jnp.asarray(tokens), mesh)
@@ -154,7 +165,7 @@ class TestFsdpTrainStep:
 
         ref_step = fsdp_train_step(model, mesh, task="causal_lm")
         _, _, ref_loss = ref_step(
-            params, ref_step.init_opt(params),
+            ref_params, ref_step.init_opt(ref_params),
             jnp.asarray(tokens), jnp.asarray(tokens),
         )
         np.testing.assert_allclose(float(loss), float(ref_loss),

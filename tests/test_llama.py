@@ -691,6 +691,19 @@ class TestGemmaFamily:
             )[0].numpy()
         np.testing.assert_array_equal(np.asarray(ours), hf_out)
 
+    def test_disagreeing_activation_fields_rejected(self, gemma):
+        """The installed GemmaMLP runs ACT2FN[cfg.hidden_act]; a config whose
+        legacy hidden_activation alias disagrees would convert an activation
+        torch never runs, so the converter must refuse it."""
+        from runia_core_tpu.models import convert_hf_gemma
+
+        gemma.config.hidden_activation = "gelu"
+        try:
+            with pytest.raises(ValueError, match="hidden_act"):
+                convert_hf_gemma(gemma)
+        finally:
+            gemma.config.hidden_activation = None
+
     def test_gemma2_softcapping_rejected(self):
         from runia_core_tpu.models import convert_hf_gemma
 

@@ -50,6 +50,22 @@ class TestSampleLogits:
         draws = set(self._draw(512))
         assert draws == {0, 1, 2, 3, 4}
 
+    def test_top_k_above_vocab_clamps(self):
+        # HF's TopKLogitsWarper clamps k to the vocab size; an HF
+        # GenerationConfig materializes its default top_k=50 even when the
+        # user never set it, so small-vocab models exercise this constantly.
+        draws = set(self._draw(512, top_k=50))
+        assert draws == {0, 1, 2, 3, 4}
+
+    def test_top_p_zero_is_argmax(self):
+        # min_tokens_to_keep=1 (HF): top_p<=0 degrades to greedy rather
+        # than masking every logit and emitting vocab id 0 unconditionally.
+        shifted = jnp.roll(self.logits, 2, axis=-1)  # argmax at index 2
+        keys = jax.random.split(jax.random.key(3), 64)
+        draws = set(np.asarray(jax.vmap(
+            lambda k: sample_logits(k, shifted, top_p=0.0))(keys)).ravel())
+        assert draws == {2}
+
     def test_jit_and_batch_shapes(self):
         batched = jnp.broadcast_to(self.logits, (4, 5))
         out = jax.jit(sample_logits, static_argnums=(2, 3, 4))(
