@@ -641,7 +641,15 @@ def measure_cpu_reference():
 
 
 def main():
-    tpu_ips, suite = run_suite()
+    try:
+        tpu_ips, suite = run_suite()
+    except Exception as exc:  # backend init / OOM before any leg ran
+        print(f"bench: suite aborted: {exc}", file=sys.stderr, flush=True)
+        print(json.dumps({
+            "metric": "ood_scored_images_per_sec_per_chip", "value": None,
+            "unit": "img/s", "vs_baseline": None, "error": str(exc)[:300],
+        }))
+        return
     if os.environ.get("RUNIA_MEASURE_BASELINE"):
         try:
             cpu_ips = measure_cpu_reference()

@@ -18,6 +18,7 @@ from runia_core_tpu.models.llama import (
     LlamaLM,
     convert_hf_gemma,
     convert_hf_llama,
+    convert_hf_mixtral,
     quantize_llama_params,
 )
 from runia_core_tpu.models.quant_vision import (
@@ -53,6 +54,7 @@ __all__ = [
     "LlamaLM",
     "convert_hf_gemma",
     "convert_hf_llama",
+    "convert_hf_mixtral",
     "quantize_llama_params",
     "convert_torch_resnet",
     "convert_hf_vit",

@@ -30,7 +30,8 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
-__all__ = ["LlamaLM", "convert_hf_llama", "quantize_llama_params"]
+__all__ = ["LlamaLM", "convert_hf_llama", "convert_hf_gemma",
+           "convert_hf_mixtral", "quantize_llama_params"]
 
 
 class QDense(nn.Module):
@@ -110,6 +111,8 @@ class _LlamaBlock(nn.Module):
     quantized: bool = False
     attn_bias: bool = False  # q/k/v projection biases (Qwen2 family)
     mlp_act: str = "silu"  # "gelu_tanh" for the Gemma family's GeGLU
+    num_experts: int = 0  # >0: Mixtral-style sparse-MoE FFN (top-k routing)
+    num_experts_per_tok: int = 2
 
     @nn.compact
     def __call__(self, x, mask, cos, sin, cache=None, cache_index=None,
@@ -256,14 +259,64 @@ class _LlamaBlock(nn.Module):
         h2 = nn.RMSNorm(epsilon=self.rms_eps, name="post_attn_norm")(
             x.astype(jnp.float32)
         ).astype(self.dtype)
-        gate = dense(self.hidden_dim, "gate")(h2)
-        up = dense(self.hidden_dim, "up")(h2)
-        if self.mlp_act == "silu":
-            act = nn.silu(gate)
-        else:  # "gelu_tanh" — the Gemma family's GeGLU
-            act = nn.gelu(gate, approximate=True)
-        mlp = dense(self.d_model, "down")(act * up)
+        if self.num_experts:
+            mlp = self._moe_ffn(h2)
+        else:
+            gate = dense(self.hidden_dim, "gate")(h2)
+            up = dense(self.hidden_dim, "up")(h2)
+            if self.mlp_act == "silu":
+                act = nn.silu(gate)
+            else:  # "gelu_tanh" — the Gemma family's GeGLU
+                act = nn.gelu(gate, approximate=True)
+            mlp = dense(self.d_model, "down")(act * up)
         return x + mlp, attn, new_kv
+
+    def _moe_ffn(self, h):
+        """Mixtral-style sparse-MoE SwiGLU FFN (modeling_mixtral.py
+        MixtralSparseMoeBlock semantics: router softmax in f32, top-k
+        renormalized, cast back to the hidden dtype; no token dropping).
+
+        Computed as a dense einsum over ALL experts with the non-selected
+        gates zeroed — exact (full-capacity) routing with zero gather or
+        scatter, so every FLOP rides the MXU and the program shape is
+        static. That spends num_experts/top_k x the selected-expert FLOPs;
+        prefill at scale wants the expert-parallel dispatch path
+        (parallel/moe.py::sharded_moe_ffn) instead — the documented
+        single-chip exactness trade."""
+        b, t, d = h.shape
+        e, k = self.num_experts, self.num_experts_per_tok
+        flat = h.reshape(b * t, d)
+        router_logits = nn.Dense(
+            e, use_bias=False, dtype=self.dtype, name="router"
+        )(flat)
+        probs = jax.nn.softmax(router_logits.astype(jnp.float32), axis=-1)
+        topv, topi = jax.lax.top_k(probs, k)
+        topv = topv / jnp.sum(topv, axis=-1, keepdims=True)
+        # (BT, E) sparse gate matrix: routing weight where selected, else 0.
+        gates = jnp.sum(
+            jax.nn.one_hot(topi, e, dtype=jnp.float32) * topv[..., None],
+            axis=1,
+        ).astype(self.dtype)
+        w_gate = self.param(
+            "w_gate", nn.initializers.lecun_normal(),
+            (e, d, self.hidden_dim), self.dtype,
+        )
+        w_up = self.param(
+            "w_up", nn.initializers.lecun_normal(),
+            (e, d, self.hidden_dim), self.dtype,
+        )
+        w_down = self.param(
+            "w_down", nn.initializers.lecun_normal(),
+            (e, self.hidden_dim, d), self.dtype,
+        )
+        hg = jnp.einsum("td,edh->teh", flat, w_gate)
+        hu = jnp.einsum("td,edh->teh", flat, w_up)
+        act = nn.silu(hg) if self.mlp_act == "silu" else nn.gelu(
+            hg, approximate=True
+        )
+        y = jnp.einsum("teh,ehd->ted", act * hu, w_down)
+        out = jnp.einsum("ted,te->td", y, gates)
+        return out.reshape(b, t, d)
 
 
 class LlamaLM(nn.Module):
@@ -322,6 +375,11 @@ class LlamaLM(nn.Module):
     # is folded into the scales at conversion time instead.
     embed_scale: bool = False
     mlp_act: str = "silu"
+    # Mixtral-family sparse MoE: >0 replaces every block's SwiGLU MLP with
+    # num_experts expert MLPs under top-(num_experts_per_tok) routing
+    # (set by convert_hf_mixtral). 0 = dense MLP.
+    num_experts: int = 0
+    num_experts_per_tok: int = 2
 
     def _head_dim(self) -> int:
         return self.head_dim or self.d_model // self.num_heads
@@ -428,7 +486,8 @@ class LlamaLM(nn.Module):
                 self.num_heads, self.num_kv_heads, self._head_dim(),
                 self.d_model, self.hidden_dim, self.rms_eps, self.dtype,
                 self.use_flash, self.quantized, self.attn_bias,
-                self.mlp_act, name=f"block_{i}",
+                self.mlp_act, self.num_experts, self.num_experts_per_tok,
+                name=f"block_{i}",
             )(x, mask, cos, sin, layer_cache, cache_index,
               flash_ok=flash_ok, assume_prefill=assume_prefill)
             hiddens.append(x)
@@ -657,6 +716,84 @@ def convert_hf_gemma(hf_model, max_len: Optional[int] = None,
     if quantize:
         params = quantize_llama_params(params)
     return model, params
+
+
+def convert_hf_mixtral(hf_model, max_len: Optional[int] = None,
+                       dtype=jnp.float32, use_flash: bool = False,
+                       quantize_kv: bool = False):
+    """Map a ``transformers.MixtralForCausalLM`` onto (LlamaLM, params).
+
+    Mixtral is the Mistral attention stack with every MLP replaced by a
+    sparse MoE block (modeling_mixtral.py::MixtralSparseMoeBlock): a
+    bias-free router over ``num_local_experts`` SwiGLU experts, top-
+    ``num_experts_per_tok`` routing with the softmax taken in f32 over all
+    experts and the selected weights renormalized. Expert weights are
+    stacked into (E, d, h)/(E, h, d) tensors so the forward is three batched
+    einsums (see ``_LlamaBlock._moe_ffn``). Logits parity vs the torch
+    forward is pinned by tests/test_llama.py::TestMixtralFamily.
+
+    Weight-only int8 (``quantize=``) is not wired for the stacked expert
+    tensors; ``quantize_kv`` (int8 KV cache) works unchanged — the MoE swap
+    touches only the FFN.
+    """
+    cfg = hf_model.config
+    if getattr(cfg, "hidden_act", "silu") != "silu":
+        raise NotImplementedError(f"Mixtral hidden_act {cfg.hidden_act!r}")
+    window = int(cfg.sliding_window) if getattr(
+        cfg, "sliding_window", None
+    ) else None
+    if window is not None and use_flash:
+        raise NotImplementedError(
+            "use_flash with sliding-window attention (the flash kernel is "
+            "plain-causal); convert with use_flash=False"
+        )
+    model = LlamaLM(
+        vocab_size=cfg.vocab_size,
+        num_layers=cfg.num_hidden_layers,
+        num_heads=cfg.num_attention_heads,
+        num_kv_heads=cfg.num_key_value_heads,
+        d_model=cfg.hidden_size,
+        hidden_dim=cfg.intermediate_size,
+        max_len=max_len or cfg.max_position_embeddings,
+        head_dim=getattr(cfg, "head_dim", None)
+        or cfg.hidden_size // cfg.num_attention_heads,
+        rope_theta=float(getattr(cfg, "rope_theta", 1e6)),
+        rms_eps=float(cfg.rms_norm_eps),
+        tie_embeddings=bool(cfg.tie_word_embeddings),
+        dtype=dtype,
+        use_flash=use_flash,
+        quantized_kv=quantize_kv,
+        sliding_window=window,
+        num_experts=int(cfg.num_local_experts),
+        num_experts_per_tok=int(cfg.num_experts_per_tok),
+    )
+
+    hf = hf_model.model
+    wd = dtype if dtype != jnp.float32 else np.float32
+    p: Dict = {
+        "embed": {"embedding": _vec(hf.embed_tokens.weight, wd)},
+        "norm_f": {"scale": _vec(hf.norm.weight)},
+    }
+    for i, layer in enumerate(hf.layers):
+        moe = layer.block_sparse_moe
+        stack = lambda ws: np.stack([_t(w, wd) for w in ws])
+        p[f"block_{i}"] = {
+            "input_norm": {"scale": _vec(layer.input_layernorm.weight)},
+            "post_attn_norm": {
+                "scale": _vec(layer.post_attention_layernorm.weight)
+            },
+            "q": {"kernel": _t(layer.self_attn.q_proj.weight, wd)},
+            "k": {"kernel": _t(layer.self_attn.k_proj.weight, wd)},
+            "v": {"kernel": _t(layer.self_attn.v_proj.weight, wd)},
+            "o": {"kernel": _t(layer.self_attn.o_proj.weight, wd)},
+            "router": {"kernel": _t(moe.gate.weight, wd)},
+            "w_gate": stack([ex.w1.weight for ex in moe.experts]),
+            "w_up": stack([ex.w3.weight for ex in moe.experts]),
+            "w_down": stack([ex.w2.weight for ex in moe.experts]),
+        }
+    if not model.tie_embeddings:
+        p["lm_head"] = {"kernel": _t(hf_model.lm_head.weight, wd)}
+    return model, {"params": p}
 
 
 _QUANT_KERNELS = {"q", "k", "v", "o", "gate", "up", "down", "lm_head"}

@@ -51,6 +51,15 @@ def llama_tp_specs(params, axis: str = "model"):
         # Qwen2-family q/k/v biases follow their column-sharded output dim.
         if leaf_name == "bias" and parent in _COLUMN:
             return P(axis)
+        # Mixtral stacked expert tensors (E, d, h)/(E, h, d): hidden dim
+        # sharded Megatron-style per expert — w_gate/w_up column-parallel,
+        # w_down row-parallel (same f/g all-reduce points as the dense MLP);
+        # the router stays replicated (tiny, and every shard needs all
+        # gate probabilities).
+        if leaf_name in ("w_gate", "w_up"):
+            return P(None, None, axis)
+        if leaf_name == "w_down":
+            return P(None, axis, None)
         # Embedding table vocab-sharded (Megatron): large-vocab checkpoints
         # are exactly the ones TP exists to serve; XLA partitions the
         # lookup (and the tied lm_head matmul) across the vocab shards.
