@@ -19,6 +19,12 @@ TPU-first:
   - prefill is its own jitted program per bucketed prompt length, writing
     the slot row of every cache buffer in place (donated argument) and
     refreshing that slot's next-token logits;
+  - ``prefill_chunk=C`` switches to chunked prefill (the vLLM scheduling
+    refinement): prompts advance in fixed C-token chunks interleaved with
+    decode chunks, so admitting a long prompt stalls in-flight decodes by
+    at most one chunk — and exactly ONE prefill shape is ever compiled
+    (the bucketed path compiles one per prompt-length bucket, 30-60 s each
+    over a tunneled TPU);
   - slot state (positions, pad offsets, active flags) lives on device;
     the host only sees the per-chunk (K, S) token/log-prob block.
 
@@ -71,6 +77,7 @@ class ContinuousBatchingEngine:
         key: Optional[jax.Array] = None,
         top_k: int = 0,
         top_p: float = 1.0,
+        prefill_chunk: Optional[int] = None,
     ):
         if getattr(model, "use_flash", False):
             # Flash prefill needs the plain causal case (no pad mask); the
@@ -92,6 +99,22 @@ class ContinuousBatchingEngine:
         self.top_k = int(top_k)
         self.top_p = float(top_p)
         self.prompt_bucket = max(1, int(prompt_bucket))
+        # Chunked prefill: process prompts in fixed chunks of this many
+        # tokens interleaved with decode chunks, so admitting a long prompt
+        # stalls in-flight decodes by at most one chunk — and the engine
+        # compiles exactly ONE prefill shape instead of one per bucketed
+        # prompt length (each new shape costs 30-60 s over a tunneled TPU).
+        # None keeps the whole-prompt bucketed prefill.
+        self.prefill_chunk = int(prefill_chunk) if prefill_chunk else None
+        if self.prefill_chunk:
+            if max_ctx % self.prefill_chunk:
+                # Chunk writes are chunk-aligned; divisibility keeps the
+                # last chunk inside the cache (dynamic_update_slice would
+                # otherwise clamp backwards over real history).
+                raise ValueError(
+                    f"max_ctx={max_ctx} must be a multiple of "
+                    f"prefill_chunk={prefill_chunk}"
+                )
         self._key = key if key is not None else jax.random.key(0)
 
         vocab = model.vocab_size
@@ -104,6 +127,7 @@ class ContinuousBatchingEngine:
 
         self._prefill_cache: Dict[int, Any] = {}
         self._chunk_fn = None
+        self._prefill_chunk_fn = None
 
         # host-side per-slot request bookkeeping
         self._slot_req: List[Optional[dict]] = [None] * self.num_slots
@@ -148,6 +172,49 @@ class ContinuousBatchingEngine:
 
         self._prefill_cache[p_pad] = prefill
         return prefill
+
+    def _prefill_chunk_prog(self):
+        """Jitted: advance ONE slot's prefill by ``prefill_chunk`` tokens.
+
+        The slot is right-aligned at physical row 0 (no left padding —
+        logical positions equal physical rows, so no masks are needed:
+        earlier chunks' KV is real, and the causal mask keeps real queries
+        from seeing the zero-padded tail of a final partial chunk). The tail
+        writes garbage KV beyond the prompt, which is safe by the engine
+        invariant: every cache row is rewritten by its owner (a later chunk
+        or the decode step that lands on it) before anything attends it.
+        One compiled shape serves every prompt length and slot.
+        """
+        if self._prefill_chunk_fn is not None:
+            return self._prefill_chunk_fn
+        model = self.model
+
+        @partial(jax.jit, donate_argnums=(1, 2))
+        def chunk_prefill(params, cache, step_logits, slot, tokens,
+                          write_pos, last_idx, is_last):
+            row = jax.tree_util.tree_map(
+                lambda g: jax.lax.dynamic_slice_in_dim(g, slot, 1, axis=0),
+                cache,
+            )
+            logits, _, _, row = model.apply(params, tokens, row, write_pos)
+
+            def splice(g, l):
+                return jax.lax.dynamic_update_slice(
+                    g, l.astype(g.dtype), (slot,) + (0,) * (g.ndim - 1)
+                )
+
+            cache = jax.tree_util.tree_map(splice, cache, row)
+            # Next-token logits live at the last REAL token of the final
+            # chunk (the zero-padded tail's logits are garbage).
+            sel = jax.lax.dynamic_slice_in_dim(logits[0], last_idx, 1, axis=0)
+            updated = jax.lax.dynamic_update_slice(
+                step_logits, sel, (slot, 0)
+            )
+            step_logits = jnp.where(is_last, updated, step_logits)
+            return cache, step_logits
+
+        self._prefill_chunk_fn = chunk_prefill
+        return chunk_prefill
 
     def _chunk(self):
         """Jitted: K decode steps for all slots, per-slot clocks."""
@@ -220,7 +287,9 @@ class ContinuousBatchingEngine:
 
     # -- host-side scheduling -------------------------------------------------
     def _refill(self) -> None:
-        """Prefill queued prompts into every free slot."""
+        """Assign queued prompts to every free slot (chunked mode defers the
+        device work to :meth:`_advance_prefills`; classic mode prefills the
+        whole bucketed prompt here)."""
         free = [
             s for s in range(self.num_slots) if self._slot_req[s] is None
         ]
@@ -229,6 +298,29 @@ class ContinuousBatchingEngine:
                 break
             req = self._queue.popleft()
             p = len(req["prompt"])
+            if self.prefill_chunk:
+                if p == 0:
+                    raise ValueError("chunked prefill needs a non-empty prompt")
+                if p + req["max_new"] > self.max_ctx:
+                    raise ValueError(
+                        f"prompt of {p} tokens + {req['max_new']} new "
+                        f"exceeds max_ctx={self.max_ctx}"
+                    )
+                req["pending"] = list(req["prompt"])
+                req["write_pos"] = 0
+                req["prefill_done"] = False
+                # Physical row 0 start: logical == physical, kv_start 0.
+                # Park the decode clock at the next chunk boundary so stray
+                # decode writes for this inactive slot land where the next
+                # chunk overwrites them.
+                self.kv_start = self.kv_start.at[slot].set(0)
+                self.slot_pos = self.slot_pos.at[slot].set(0)
+                self.limit = self.limit.at[slot].set(
+                    min(p + req["max_new"], self.max_ctx)
+                )
+                self.active = self.active.at[slot].set(False)
+                self._slot_req[slot] = req
+                continue
             p_pad = -(-max(p, 1) // self.prompt_bucket) * self.prompt_bucket
             if p_pad + req["max_new"] > self.max_ctx:
                 raise ValueError(
@@ -250,6 +342,34 @@ class ContinuousBatchingEngine:
             )
             self.active = self.active.at[slot].set(True)
             self._slot_req[slot] = req
+
+    def _advance_prefills(self) -> None:
+        """Advance every mid-prefill slot by one chunk; on a slot's final
+        chunk, capture its next-token logits and activate it for decode."""
+        if not self.prefill_chunk:
+            return
+        C = self.prefill_chunk
+        fn = self._prefill_chunk_prog()
+        for slot, req in enumerate(self._slot_req):
+            if req is None or req.get("prefill_done", True):
+                continue
+            take = req["pending"][:C]
+            req["pending"] = req["pending"][C:]
+            toks = np.zeros((1, C), np.int32)
+            toks[0, : len(take)] = take
+            is_last = not req["pending"]
+            self.cache, self.step_logits = fn(
+                self.params, self.cache, self.step_logits, jnp.int32(slot),
+                jnp.asarray(toks), jnp.int32(req["write_pos"]),
+                jnp.int32(len(take) - 1), jnp.asarray(is_last),
+            )
+            req["write_pos"] += len(take)
+            # Park the decode clock at the next write position (chunk
+            # boundary mid-prefill; the true next-token slot once done).
+            self.slot_pos = self.slot_pos.at[slot].set(req["write_pos"])
+            if is_last:
+                req["prefill_done"] = True
+                self.active = self.active.at[slot].set(True)
 
     def _finish_slot(self, slot: int) -> None:
         req = self._slot_req[slot]
@@ -285,6 +405,12 @@ class ContinuousBatchingEngine:
         self._refill()
         chunk = self._chunk()
         while any(r is not None for r in self._slot_req):
+            self._advance_prefills()
+            if not bool(np.any(np.asarray(self.active))):
+                # Nothing decodable yet (all occupied slots mid-prefill):
+                # skip the decode chunk and keep prefilling.
+                self._refill()
+                continue
             (self.cache, self.step_logits, self.slot_pos, self.active,
              self._key, (toks, lps, emitted)) = chunk(
                 self.params, self.cache, self.step_logits, self.slot_pos,
@@ -296,7 +422,7 @@ class ContinuousBatchingEngine:
             active_now = np.asarray(self.active)
             for slot in range(self.num_slots):
                 req = self._slot_req[slot]
-                if req is None:
+                if req is None or not req.get("prefill_done", True):
                     continue
                 for k in range(toks.shape[0]):
                     if emitted[k, slot]:

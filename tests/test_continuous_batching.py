@@ -119,6 +119,78 @@ class TestContinuousBatching:
             ContinuousBatchingEngine(flash, params)
 
 
+class TestChunkedPrefill:
+    """prefill_chunk=C processes prompts in fixed C-token chunks interleaved
+    with decode — one compiled prefill shape total — and must stay
+    token-identical to the classic whole-prompt path."""
+
+    def test_chunked_matches_single_prompt(self, model_and_params, prompts):
+        model, params = model_and_params
+        ref = reference_outputs(model, params, prompts, eos_id=None)
+        eng = ContinuousBatchingEngine(
+            model, params, num_slots=3, max_ctx=64, max_new_tokens=MAX_NEW,
+            chunk_tokens=4, eos_id=None, prefill_chunk=8,
+        )
+        results = eng.generate_all(prompts)
+        for i, ((ref_toks, ref_lps), res) in enumerate(zip(ref, results)):
+            assert res["tokens"] == ref_toks, f"prompt {i}"
+            np.testing.assert_allclose(
+                res["log_probs"], ref_lps[: len(res["tokens"])],
+                rtol=1e-4, atol=1e-5, err_msg=f"prompt {i}",
+            )
+        # the point of chunking: no per-bucket prefill programs compiled
+        assert eng._prefill_cache == {}
+
+    def test_long_prompt_admitted_mid_decode(self, model_and_params):
+        """A multi-chunk prompt refilled into a busy engine must decode
+        correctly while other slots keep emitting (the interleave case)."""
+        model, params = model_and_params
+        rng = np.random.RandomState(11)
+        short = [list(rng.randint(1, VOCAB, 4)) for _ in range(3)]
+        long_p = list(rng.randint(1, VOCAB, 45))  # 6 chunks of 8
+        batch = short + [long_p] + short
+        ref = reference_outputs(model, params, batch, eos_id=None)
+        eng = ContinuousBatchingEngine(
+            model, params, num_slots=2, max_ctx=64, max_new_tokens=MAX_NEW,
+            chunk_tokens=3, eos_id=None, prefill_chunk=8,
+        )
+        results = eng.generate_all(batch)
+        for i, ((ref_toks, _), res) in enumerate(zip(ref, results)):
+            assert res["tokens"] == ref_toks, f"prompt {i}"
+
+    def test_eos_and_budgets_in_chunked_mode(self, model_and_params, prompts):
+        model, params = model_and_params
+        no_eos = reference_outputs(model, params, prompts, eos_id=None)
+        eos_id = no_eos[0][0][min(2, len(no_eos[0][0]) - 1)]
+        ref = reference_outputs(model, params, prompts, eos_id=eos_id)
+        eng = ContinuousBatchingEngine(
+            model, params, num_slots=2, max_ctx=64, max_new_tokens=MAX_NEW,
+            chunk_tokens=3, eos_id=eos_id, prefill_chunk=16,
+        )
+        ids = [eng.submit(p) for p in prompts]
+        rid_zero = eng.submit(prompts[0], max_new_tokens=0)
+        eng.run_until_drained()
+        for rid, (ref_toks, _) in zip(ids, ref):
+            assert eng.result(rid)["tokens"] == ref_toks
+        assert eng.result(rid_zero)["tokens"] == []
+
+    def test_indivisible_chunk_rejected(self, model_and_params):
+        model, params = model_and_params
+        with pytest.raises(ValueError, match="multiple of"):
+            ContinuousBatchingEngine(
+                model, params, max_ctx=60, prefill_chunk=16,
+            )
+
+    def test_empty_prompt_rejected_in_chunked_mode(self, model_and_params):
+        model, params = model_and_params
+        eng = ContinuousBatchingEngine(
+            model, params, num_slots=2, max_ctx=64, prefill_chunk=8,
+        )
+        eng.submit([])
+        with pytest.raises(ValueError, match="non-empty"):
+            eng.run_until_drained()
+
+
 class TestVectorCacheIndex:
     def test_vector_index_equals_scalar_when_uniform(self, model_and_params):
         """A (B,) cache_index with equal entries must reproduce the scalar
