@@ -10,6 +10,7 @@ from runia_core_tpu.utils.health import (
 )
 from runia_core_tpu.utils.profiling import (
     benchmark,
+    enable_compilation_cache,
     profile_taps,
     record_time,
     trace_annotation,
@@ -22,6 +23,7 @@ __all__ = [
     "tpu_profile",
     "trace_annotation",
     "profile_taps",
+    "enable_compilation_cache",
     "HealthCheckError",
     "NonFiniteError",
     "device_healthcheck",

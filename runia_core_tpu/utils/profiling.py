@@ -23,7 +23,38 @@ __all__ = [
     "tpu_profile",
     "trace_annotation",
     "profile_taps",
+    "enable_compilation_cache",
 ]
+
+
+def enable_compilation_cache(
+    cache_dir: str = "~/.cache/runia_tpu_xla",
+    min_compile_time_secs: float = 1.0,
+) -> str:
+    """Persist XLA compilations to disk so repeat runs skip them entirely.
+
+    Every new jitted shape costs a full compile — 30-60 s over a tunneled
+    TPU — and that cost recurs on every process start without this cache.
+    One call at program start makes every later run of the same program
+    (bench sweeps, serving restarts, notebook re-executions) hit the disk
+    cache instead. Only compilations slower than ``min_compile_time_secs``
+    are stored (tiny programs re-compile faster than they deserialize).
+
+    Returns the resolved cache directory.
+    """
+    import os
+
+    path = os.path.expanduser(cache_dir)
+    os.makedirs(path, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", path)
+    jax.config.update(
+        "jax_persistent_cache_min_compile_time_secs",
+        float(min_compile_time_secs),
+    )
+    # Cache regardless of backend identity quirks (the tunneled-TPU plugin
+    # reports an experimental platform; "all" opts it in explicitly).
+    jax.config.update("jax_persistent_cache_enable_xla_caches", "all")
+    return path
 
 
 def benchmark(

@@ -95,6 +95,20 @@ class TestUtils:
         with trace_annotation("test-region"):
             _ = jnp.ones(8) + 1
 
+    def test_enable_compilation_cache_persists_to_disk(self, tmp_path):
+        from runia_core_tpu.utils import enable_compilation_cache
+
+        path = enable_compilation_cache(str(tmp_path / "xla"),
+                                        min_compile_time_secs=0.0)
+        try:
+            f = jax.jit(lambda x: (x @ x.T).sum())
+            f(jnp.ones((128, 128))).block_until_ready()
+            import os
+
+            assert os.path.isdir(path) and len(os.listdir(path)) >= 1
+        finally:
+            jax.config.update("jax_compilation_cache_dir", None)
+
     def test_profile_taps_orders_and_times_stages(self):
         from runia_core_tpu.models import SimpleConvNet
         from runia_core_tpu.utils import profile_taps
