@@ -155,11 +155,21 @@ class JaxGenerator:
 
         @jax.jit
         def run(prompt, rng_key):
-            cache = init_cache(model, s, total)
+            # The s sample rows share one identical prompt (generate()
+            # broadcasts it), so prefill ONCE at batch 1 and broadcast the
+            # KV cache — prefill FLOPs and the prompt attention/hidden
+            # device->host transfer drop by s x, bit-identically (rows are
+            # independent). Decode then diverges per sample as usual.
+            cache = init_cache(model, 1, total)
             logits, attn0, hiddens0, cache = model.apply(
-                params, prompt, cache, jnp.int32(0), **prefill_kwargs
+                params, prompt[:1], cache, jnp.int32(0), **prefill_kwargs
             )
-            step_logits = logits[:, -1, :]
+            cache = jax.tree_util.tree_map(
+                lambda l: jnp.broadcast_to(l, (s,) + l.shape[1:]), cache
+            )
+            step_logits = jnp.broadcast_to(
+                logits[:, -1, :], (s, logits.shape[-1])
+            )
 
             def body(carry, step):
                 cache, step_logits, key, finished = carry
@@ -439,12 +449,25 @@ class JaxGenerator:
             )
             attentions = []
             hidden_states = []
+            # The prompt pass ran at batch 1 (samples share the prompt);
+            # re-broadcast to S rows host-side. The rows are read-only
+            # views aliasing one buffer — identical by construction.
             if output_attentions:
                 attentions.append(
-                    tuple(attn0[l, :, :, :, :p] for l in range(attn0.shape[0]))
+                    tuple(
+                        np.broadcast_to(
+                            attn0[l, :, :, :, :p],
+                            (s,) + attn0.shape[2:4] + (p,),
+                        )
+                        for l in range(attn0.shape[0])
+                    )
                 )
             if output_hidden_states:
-                hidden_states.append(tuple(h for h in hiddens0))
+                hidden_states.append(
+                    tuple(
+                        np.broadcast_to(h, (s,) + h.shape[1:]) for h in hiddens0
+                    )
+                )
             for step in range(max_new - 1):
                 src_len = p + step + 1
                 if output_attentions:
