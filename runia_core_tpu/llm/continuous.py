@@ -58,8 +58,12 @@ class ContinuousBatchingEngine:
         results = eng.generate_all(prompts)   # any number of prompts
 
     Each result dict carries ``tokens`` (generated ids, EOS-stripped),
-    ``log_probs`` (per generated token), and ``prompt_length``. Greedy
-    decode is token-identical to ``JaxGenerator.generate`` per prompt.
+    ``log_probs`` (per generated token), ``prompt_length``, and two
+    sequence-level uncertainty scores computed in the decode loop for
+    free: ``perplexity`` and ``generation_entropy`` (llm.scores
+    semantics — hallucination flags per served request with no extra
+    forward). Greedy decode is token-identical to
+    ``JaxGenerator.generate`` per prompt.
     """
 
     def __init__(
@@ -249,6 +253,16 @@ class ContinuousBatchingEngine:
                 emitted = active & (slot_pos < limit)
                 lp = jnp.where(emitted, lp, -jnp.inf)
                 next_tok = jnp.where(emitted, next_tok, 0)
+                # Vocab-normalized distribution entropy of this step — the
+                # per-token term of llm.scores.generation_entropy, computed
+                # in-loop so serving gets uncertainty for free (one (S, V)
+                # reduction per step, noise next to the decode matmuls).
+                ent = -jnp.sum(
+                    jnp.exp(log_soft) * jnp.where(
+                        jnp.isneginf(log_soft), 0.0, log_soft
+                    ),
+                    axis=-1,
+                ) / jnp.log(step_logits.shape[-1])
                 if eos is not None:
                     active = active & (next_tok != eos)
 
@@ -273,7 +287,7 @@ class ContinuousBatchingEngine:
                 )
                 return (
                     (cache, step_logits, slot_pos, active, key),
-                    (next_tok, lp, emitted),
+                    (next_tok, lp, ent, emitted),
                 )
 
             (cache, step_logits, slot_pos, active, rng_key), out = jax.lax.scan(
@@ -373,14 +387,25 @@ class ContinuousBatchingEngine:
 
     def _finish_slot(self, slot: int) -> None:
         req = self._slot_req[slot]
-        toks, lps = req["tokens"], req["lps"]
+        toks, lps, ents = req["tokens"], req["lps"], req["ents"]
         if self.eos_id is not None and self.eos_id in toks:
             cut = toks.index(self.eos_id)
-            toks, lps = toks[:cut], lps[:cut]
+            toks, lps, ents = toks[:cut], lps[:cut], ents[:cut]
+        lps_arr = np.asarray(lps, np.float32)
+        ents_arr = np.asarray(ents, np.float32)
         self._results[req["id"]] = {
             "tokens": toks,
-            "log_probs": np.asarray(lps, np.float32),
+            "log_probs": lps_arr,
             "prompt_length": len(req["prompt"]),
+            # Sequence-level uncertainty for free (llm.scores semantics):
+            # perplexity = mean -log p of the emitted tokens (scores.py::
+            # perplexity); generation_entropy = vocab-normalized per-step
+            # distribution entropy averaged over the emitted tokens
+            # (scores.py::generation_entropy). nan for zero-token results.
+            "perplexity": float(-lps_arr.mean()) if len(toks) else float("nan"),
+            "generation_entropy": (
+                float(ents_arr.mean()) if len(toks) else float("nan")
+            ),
         }
         self._slot_req[slot] = None
 
@@ -393,7 +418,8 @@ class ContinuousBatchingEngine:
         rid = self._next_id
         self._next_id += 1
         self._queue.append({
-            "id": rid, "prompt": list(prompt_tokens), "tokens": [], "lps": [],
+            "id": rid, "prompt": list(prompt_tokens), "tokens": [],
+            "lps": [], "ents": [],
             "max_new": int(
                 self.max_new_tokens if max_new_tokens is None else max_new_tokens
             ),
@@ -412,7 +438,7 @@ class ContinuousBatchingEngine:
                 self._refill()
                 continue
             (self.cache, self.step_logits, self.slot_pos, self.active,
-             self._key, (toks, lps, emitted)) = chunk(
+             self._key, (toks, lps, ents, emitted)) = chunk(
                 self.params, self.cache, self.step_logits, self.slot_pos,
                 self.kv_start, self.limit, self.active, self._key,
             )
@@ -428,6 +454,7 @@ class ContinuousBatchingEngine:
                     if emitted[k, slot]:
                         req["tokens"].append(int(toks[k, slot]))
                         req["lps"].append(float(lps[k, slot]))
+                        req["ents"].append(float(ents[k, slot]))
                 done = (not active_now[slot]) or (
                     len(req["tokens"]) >= req["max_new"]
                 )

@@ -119,6 +119,44 @@ class TestContinuousBatching:
             ContinuousBatchingEngine(flash, params)
 
 
+class TestServedUncertainty:
+    def test_scores_match_llm_scores_functions(self, model_and_params,
+                                               prompts):
+        """Per-request perplexity / generation_entropy computed in the
+        decode loop must equal the llm.scores functions applied to the
+        reference greedy trace."""
+        from runia_core_tpu.llm.scores import generation_entropy, perplexity
+
+        model, params = model_and_params
+        gen = JaxGenerator(model, params, max_new_tokens=MAX_NEW)
+        eng = ContinuousBatchingEngine(
+            model, params, num_slots=2, max_ctx=64, max_new_tokens=MAX_NEW,
+            chunk_tokens=4,
+        )
+        results = eng.generate_all(prompts[:3])
+        for p, res in zip(prompts[:3], results):
+            out = gen.generate(p, do_sample=False, output_attentions=False,
+                               output_hidden_states=False)
+            want_ppl = perplexity(out["log_probs"])
+            want_ent = generation_entropy(out["scores"])
+            np.testing.assert_allclose(res["perplexity"], want_ppl,
+                                       rtol=1e-5)
+            np.testing.assert_allclose(res["generation_entropy"], want_ent,
+                                       rtol=1e-4)
+
+    def test_zero_token_result_scores_are_nan(self, model_and_params,
+                                              prompts):
+        model, params = model_and_params
+        eng = ContinuousBatchingEngine(
+            model, params, num_slots=2, max_ctx=64, max_new_tokens=MAX_NEW,
+        )
+        rid = eng.submit(prompts[0], max_new_tokens=0)
+        eng.run_until_drained()
+        res = eng.result(rid)
+        assert np.isnan(res["perplexity"])
+        assert np.isnan(res["generation_entropy"])
+
+
 class TestChunkedPrefill:
     """prefill_chunk=C processes prompts in fixed C-token chunks interleaved
     with decode — one compiled prefill shape total — and must stay
