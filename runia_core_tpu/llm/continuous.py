@@ -25,6 +25,11 @@ TPU-first:
     at most one chunk — and exactly ONE prefill shape is ever compiled
     (the bucketed path compiles one per prompt-length bucket, 30-60 s each
     over a tunneled TPU);
+  - ``prefix_cache=True`` (with chunked prefill) adds automatic prefix
+    caching: an admission sharing a chunk-aligned prompt prefix with a
+    resident slot copies that slot's KV row (one static-shape program) and
+    prefills only the suffix — system-prompt-heavy traffic skips most of
+    its prefill FLOPs, exactly;
   - slot state (positions, pad offsets, active flags) lives on device;
     the host only sees the per-chunk (K, S) token/log-prob block.
 
@@ -82,6 +87,7 @@ class ContinuousBatchingEngine:
         top_k: int = 0,
         top_p: float = 1.0,
         prefill_chunk: Optional[int] = None,
+        prefix_cache: bool = False,
     ):
         if getattr(model, "use_flash", False):
             # Flash prefill needs the plain causal case (no pad mask); the
@@ -119,6 +125,19 @@ class ContinuousBatchingEngine:
                     f"max_ctx={max_ctx} must be a multiple of "
                     f"prefill_chunk={prefill_chunk}"
                 )
+        # Automatic prefix caching (requires chunked prefill): when an
+        # admitted prompt shares a chunk-aligned prefix with the prompt
+        # already resident in some slot's cache rows, copy that slot's row
+        # and prefill only the suffix. Prompt rows [0, p) are never
+        # rewritten while a request runs, so the copy is exact (chunked
+        # slots sit at physical row 0 — logical == physical — which is why
+        # this is restricted to chunked mode; the bucketed path left-pads).
+        self.prefix_cache = bool(prefix_cache)
+        if self.prefix_cache and not self.prefill_chunk:
+            raise ValueError("prefix_cache=True requires prefill_chunk")
+        self._slot_prompt: List[Optional[list]] = [None] * int(num_slots)
+        self._copy_row_fn = None
+        self.prefix_hits = 0  # observability: admissions served from cache
         self._key = key if key is not None else jax.random.key(0)
 
         vocab = model.vocab_size
@@ -219,6 +238,64 @@ class ContinuousBatchingEngine:
 
         self._prefill_chunk_fn = chunk_prefill
         return chunk_prefill
+
+    def _copy_row(self):
+        """Jitted: copy slot ``src``'s ENTIRE cache row onto slot ``dst``.
+
+        Static shapes (the whole max_ctx row) so ONE program serves every
+        prefix length; rows beyond the shared prefix carry the source's
+        stale data, which the engine invariant makes unreachable (the
+        suffix chunks and the decode steps rewrite them before any
+        attention touches them)."""
+        if self._copy_row_fn is not None:
+            return self._copy_row_fn
+
+        @partial(jax.jit, donate_argnums=(0,))
+        def copy_row(cache, src, dst):
+            def cp(g):
+                row = jax.lax.dynamic_slice_in_dim(g, src, 1, axis=0)
+                return jax.lax.dynamic_update_slice(
+                    g, row, (dst,) + (0,) * (g.ndim - 1)
+                )
+
+            return jax.tree_util.tree_map(cp, cache)
+
+        self._copy_row_fn = copy_row
+        return copy_row
+
+    def _best_prefix(self, prompt: list) -> tuple:
+        """(slot, chunk-aligned shared-prefix length) of the best resident
+        match, or (None, 0). Only complete chunks are reusable (suffix
+        prefill writes chunk-aligned), and at least one full chunk must
+        match for the copy to pay for itself."""
+        C = self.prefill_chunk
+        best_slot, best_len = None, 0
+        for slot, resident in enumerate(self._slot_prompt):
+            if resident is None:
+                continue
+            # A mid-prefill source has only written rows [0, write_pos);
+            # a finished/decoding one has its whole prompt resident (decode
+            # writes land beyond it and are not matched).
+            src_req = self._slot_req[slot]
+            avail = (
+                src_req["write_pos"]
+                if src_req is not None
+                and not src_req.get("prefill_done", True)
+                else len(resident)
+            )
+            n = 0
+            for a, b in zip(resident, prompt):
+                if a != b:
+                    break
+                n += 1
+            n = (min(n, avail) // C) * C
+            # The full prompt must still grow past the copied prefix: the
+            # next-token logits come from the suffix prefill, so at least
+            # one real suffix token must exist.
+            n = min(n, ((len(prompt) - 1) // C) * C)
+            if n > best_len:
+                best_slot, best_len = slot, n
+        return best_slot, best_len
 
     def _chunk(self):
         """Jitted: K decode steps for all slots, per-slot clocks."""
@@ -323,12 +400,25 @@ class ContinuousBatchingEngine:
                 req["pending"] = list(req["prompt"])
                 req["write_pos"] = 0
                 req["prefill_done"] = False
+                if self.prefix_cache:
+                    src, n = self._best_prefix(req["prompt"])
+                    if n > 0:
+                        if src != slot:
+                            self.cache = self._copy_row()(
+                                self.cache, jnp.int32(src), jnp.int32(slot)
+                            )
+                        # src == slot: the previous occupant's prompt rows
+                        # are already resident — reuse with zero copies.
+                        req["pending"] = req["prompt"][n:]
+                        req["write_pos"] = n
+                        self.prefix_hits += 1
+                self._slot_prompt[slot] = list(req["prompt"])
                 # Physical row 0 start: logical == physical, kv_start 0.
-                # Park the decode clock at the next chunk boundary so stray
+                # Park the decode clock at the next write position so stray
                 # decode writes for this inactive slot land where the next
                 # chunk overwrites them.
                 self.kv_start = self.kv_start.at[slot].set(0)
-                self.slot_pos = self.slot_pos.at[slot].set(0)
+                self.slot_pos = self.slot_pos.at[slot].set(req["write_pos"])
                 self.limit = self.limit.at[slot].set(
                     min(p + req["max_new"], self.max_ctx)
                 )

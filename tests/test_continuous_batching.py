@@ -229,6 +229,72 @@ class TestChunkedPrefill:
             eng.run_until_drained()
 
 
+class TestPrefixCache:
+    """Automatic prefix caching: admissions sharing a chunk-aligned prompt
+    prefix with a resident slot copy that slot's KV row and prefill only
+    the suffix — results must stay token-identical."""
+
+    def test_shared_system_prompt_matches_and_hits(self, model_and_params):
+        model, params = model_and_params
+        rng = np.random.RandomState(21)
+        system = list(rng.randint(1, VOCAB, 18))  # two full chunks of 8
+        batch = [system + list(rng.randint(1, VOCAB, rng.randint(2, 9)))
+                 for _ in range(6)]
+        ref = reference_outputs(model, params, batch, eos_id=None)
+        eng = ContinuousBatchingEngine(
+            model, params, num_slots=2, max_ctx=64, max_new_tokens=MAX_NEW,
+            chunk_tokens=3, prefill_chunk=8, prefix_cache=True,
+        )
+        results = eng.generate_all(batch)
+        for i, ((ref_toks, ref_lps), res) in enumerate(zip(ref, results)):
+            assert res["tokens"] == ref_toks, f"prompt {i}"
+            np.testing.assert_allclose(
+                res["log_probs"], ref_lps[: len(res["tokens"])],
+                rtol=1e-4, atol=1e-5, err_msg=f"prompt {i}",
+            )
+        # every admission after the first two (cold slots) shares >= 2
+        # chunks with a resident prompt
+        assert eng.prefix_hits >= 3, eng.prefix_hits
+
+    def test_identical_prompt_reuses_resident_row(self, model_and_params):
+        """A duplicate prompt re-prefills only its final chunk (the
+        next-token logits must come from a real suffix pass)."""
+        model, params = model_and_params
+        rng = np.random.RandomState(22)
+        prompt = list(rng.randint(1, VOCAB, 20))
+        ref = reference_outputs(model, params, [prompt, prompt], eos_id=None)
+        eng = ContinuousBatchingEngine(
+            model, params, num_slots=1, max_ctx=64, max_new_tokens=MAX_NEW,
+            chunk_tokens=4, prefill_chunk=8, prefix_cache=True,
+        )
+        results = eng.generate_all([prompt, prompt])
+        for (ref_toks, _), res in zip(ref, results):
+            assert res["tokens"] == ref_toks
+        assert eng.prefix_hits == 1  # second admission hit its own slot
+
+    def test_disjoint_prompts_never_hit(self, model_and_params, prompts):
+        model, params = model_and_params
+        rng = np.random.RandomState(23)
+        batch = [list(rng.randint(1, VOCAB, 12) + i % 2) for i in range(4)]
+        # force first tokens distinct so no chunk-aligned prefix matches
+        for i, b in enumerate(batch):
+            b[0] = 1 + i
+        ref = reference_outputs(model, params, batch, eos_id=None)
+        eng = ContinuousBatchingEngine(
+            model, params, num_slots=2, max_ctx=64, max_new_tokens=MAX_NEW,
+            prefill_chunk=8, prefix_cache=True,
+        )
+        results = eng.generate_all(batch)
+        for (ref_toks, _), res in zip(ref, results):
+            assert res["tokens"] == ref_toks
+        assert eng.prefix_hits == 0
+
+    def test_requires_chunked_prefill(self, model_and_params):
+        model, params = model_and_params
+        with pytest.raises(ValueError, match="prefill_chunk"):
+            ContinuousBatchingEngine(model, params, prefix_cache=True)
+
+
 class TestVectorCacheIndex:
     def test_vector_index_equals_scalar_when_uniform(self, model_and_params):
         """A (B,) cache_index with equal entries must reproduce the scalar
