@@ -229,6 +229,27 @@ class TestChunkedPrefill:
             eng.run_until_drained()
 
 
+class TestMoEServing:
+    def test_mixtral_style_model_serves_token_identically(self):
+        """The MoE FFN (LlamaLM num_experts>0) must flow through slot
+        prefill, chunked prefill, and vector-cache_index decode unchanged."""
+        model = LlamaLM(vocab_size=VOCAB, num_layers=2, num_heads=4,
+                        num_kv_heads=2, d_model=32, hidden_dim=64,
+                        max_len=128, num_experts=4)
+        params = model.init(jax.random.key(4), np.zeros((1, 8), np.int32))
+        rng = np.random.RandomState(9)
+        batch = [list(rng.randint(1, VOCAB, rng.randint(3, 20)))
+                 for _ in range(4)]
+        ref = reference_outputs(model, params, batch, eos_id=None)
+        eng = ContinuousBatchingEngine(
+            model, params, num_slots=2, max_ctx=64, max_new_tokens=MAX_NEW,
+            chunk_tokens=4, prefill_chunk=8, prefix_cache=True,
+        )
+        results = eng.generate_all(batch)
+        for i, ((ref_toks, _), res) in enumerate(zip(ref, results)):
+            assert res["tokens"] == ref_toks, f"prompt {i}"
+
+
 class TestPrefixCache:
     """Automatic prefix caching: admissions sharing a chunk-aligned prompt
     prefix with a resident slot copy that slot's KV row and prefill only
