@@ -30,6 +30,11 @@ TPU-first:
     resident slot copies that slot's KV row (one static-shape program) and
     prefills only the suffix — system-prompt-heavy traffic skips most of
     its prefill FLOPs, exactly;
+  - ``draft_model=`` adds per-slot speculative decoding: gamma draft
+    proposals per slot, ONE (S, gamma+1) target verify forward, per-slot
+    acceptance on the vector clocks, correction deferred through
+    ``step_logits`` — greedy token-identical to the plain engine at
+    n_acc+1 tokens per target forward;
   - slot state (positions, pad offsets, active flags) lives on device;
     the host only sees the per-chunk (K, S) token/log-prob block.
 
@@ -88,6 +93,9 @@ class ContinuousBatchingEngine:
         top_p: float = 1.0,
         prefill_chunk: Optional[int] = None,
         prefix_cache: bool = False,
+        draft_model=None,
+        draft_params=None,
+        gamma: int = 4,
     ):
         if getattr(model, "use_flash", False):
             # Flash prefill needs the plain causal case (no pad mask); the
@@ -138,6 +146,30 @@ class ContinuousBatchingEngine:
         self._slot_prompt: List[Optional[list]] = [None] * int(num_slots)
         self._copy_row_fn = None
         self.prefix_hits = 0  # observability: admissions served from cache
+        # Per-slot speculative decoding: a small draft model proposes gamma
+        # greedy tokens per slot, one (S, gamma+1) target forward verifies
+        # them, and every slot advances by its own acceptance count on the
+        # vector clocks. Greedy only (token-identical to the plain engine);
+        # requires chunked prefill (both caches sit at physical row 0).
+        self.draft_model = draft_model
+        self.draft_params = draft_params
+        self.gamma = int(gamma)
+        self.d_cache = None
+        if draft_model is not None:
+            if not self.prefill_chunk:
+                raise ValueError("speculative decoding requires prefill_chunk")
+            if do_sample or top_k or top_p < 1.0:
+                raise NotImplementedError(
+                    "the speculative engine path is greedy-only; use "
+                    "SpeculativeGenerator for sampled speculative decoding"
+                )
+            if draft_model.vocab_size != model.vocab_size:
+                raise ValueError("draft and target must share one vocabulary")
+            self.d_cache = init_cache(draft_model, int(num_slots),
+                                      int(max_ctx))
+        # Verify/draft passes write gamma+1 rows past a slot's clock; keep
+        # that slack inside the cache so edge writes never clamp backwards.
+        self._ctx_slack = self.gamma + 1 if draft_model is not None else 0
         self._key = key if key is not None else jax.random.key(0)
 
         vocab = model.vocab_size
@@ -210,23 +242,35 @@ class ContinuousBatchingEngine:
         """
         if self._prefill_chunk_fn is not None:
             return self._prefill_chunk_fn
-        model = self.model
+        model, draft = self.model, self.draft_model
+        dparams = self.draft_params
 
-        @partial(jax.jit, donate_argnums=(1, 2))
-        def chunk_prefill(params, cache, step_logits, slot, tokens,
-                          write_pos, last_idx, is_last):
-            row = jax.tree_util.tree_map(
+        def slice_row(cache, slot):
+            return jax.tree_util.tree_map(
                 lambda g: jax.lax.dynamic_slice_in_dim(g, slot, 1, axis=0),
                 cache,
             )
-            logits, _, _, row = model.apply(params, tokens, row, write_pos)
 
+        def splice_row(cache, row, slot):
             def splice(g, l):
                 return jax.lax.dynamic_update_slice(
                     g, l.astype(g.dtype), (slot,) + (0,) * (g.ndim - 1)
                 )
 
-            cache = jax.tree_util.tree_map(splice, cache, row)
+            return jax.tree_util.tree_map(splice, cache, row)
+
+        @partial(jax.jit, donate_argnums=(1, 2, 3))
+        def chunk_prefill(params, cache, d_cache, step_logits, slot, tokens,
+                          write_pos, last_idx, is_last):
+            row = slice_row(cache, slot)
+            logits, _, _, row = model.apply(params, tokens, row, write_pos)
+            cache = splice_row(cache, row, slot)
+            if draft is not None:
+                # The draft tracks the same token stream on its own cache
+                # (its KV is what the speculative rounds attend).
+                d_row = slice_row(d_cache, slot)
+                d_row = draft.apply(dparams, tokens, d_row, write_pos)[3]
+                d_cache = splice_row(d_cache, d_row, slot)
             # Next-token logits live at the last REAL token of the final
             # chunk (the zero-padded tail's logits are garbage).
             sel = jax.lax.dynamic_slice_in_dim(logits[0], last_idx, 1, axis=0)
@@ -234,7 +278,7 @@ class ContinuousBatchingEngine:
                 step_logits, sel, (slot, 0)
             )
             step_logits = jnp.where(is_last, updated, step_logits)
-            return cache, step_logits
+            return cache, d_cache, step_logits
 
         self._prefill_chunk_fn = chunk_prefill
         return chunk_prefill
@@ -376,6 +420,128 @@ class ContinuousBatchingEngine:
         self._chunk_fn = chunk
         return chunk
 
+    def _spec_chunk(self):
+        """Jitted: R speculative rounds for all slots, per-slot clocks.
+
+        Each round: select every slot's next token from its ``step_logits``
+        row (greedy), draft ``gamma`` proposals per slot (vector-clock draft
+        cache), verify the (S, gamma+1) block with ONE target forward, and
+        emit the agreeing prefix. The correction token is DEFERRED: the
+        round's outgoing ``step_logits`` is the target's row at the
+        rejection index, so the next round's argmax IS the correction —
+        token-identical to the plain engine, with n_acc+1 tokens per target
+        forward. Rejected rows leave stale K/V that the next round's writes
+        cover before anything attends them (the row-ownership invariant).
+        """
+        if self._chunk_fn is not None:
+            return self._chunk_fn
+        model, draft = self.model, self.draft_model
+        gamma, eos = self.gamma, self.eos_id
+        # chunk_tokens keeps its "approx tokens per host sync" meaning.
+        rounds = max(1, self.chunk_tokens // (gamma + 1))
+
+        @partial(jax.jit, donate_argnums=(2, 3, 4, 5, 8, 9))
+        def chunk(params, dparams, t_cache, d_cache, step_logits, slot_pos,
+                  kv_start, limit, active, rng_key):
+            del kv_start  # chunked layout: physical == logical, start 0
+
+            def body(carry, _):
+                t_cache, d_cache, step_logits, slot_pos, active = carry
+                log_soft = jax.nn.log_softmax(step_logits, axis=-1)
+                tok0 = jnp.argmax(step_logits, axis=-1).astype(jnp.int32)
+                lp0 = jnp.take_along_axis(
+                    log_soft, tok0[:, None], axis=-1
+                )[:, 0]
+                ent0 = -jnp.sum(
+                    jnp.exp(log_soft) * jnp.where(
+                        jnp.isneginf(log_soft), 0.0, log_soft
+                    ),
+                    axis=-1,
+                ) / jnp.log(step_logits.shape[-1])
+
+                # gamma+1 draft steps: step j consumes the stream's token at
+                # clock+j (writing its K/V) and proposes the next; the extra
+                # step exists purely to write the last proposal's K/V.
+                def draft_step(carry2, _):
+                    tok, dc, idx = carry2
+                    lg, _, _, dc = draft.apply(dparams, tok[:, None], dc, idx)
+                    nxt = jnp.argmax(lg[:, 0, :], axis=-1).astype(jnp.int32)
+                    return (nxt, dc, idx + 1), nxt
+
+                (_, d_cache, _), outs = jax.lax.scan(
+                    draft_step, (tok0, d_cache, slot_pos), None,
+                    length=gamma + 1,
+                )
+                proposals = jnp.swapaxes(outs[:gamma], 0, 1)  # (S, gamma)
+
+                block = jnp.concatenate([tok0[:, None], proposals], axis=1)
+                lg, _, _, t_cache = model.apply(
+                    params, block, t_cache, slot_pos
+                )  # (S, gamma+1, V), vector clocks
+                logp = jax.nn.log_softmax(lg, axis=-1)
+                preds = jnp.argmax(lg, axis=-1).astype(jnp.int32)
+                agree = jnp.cumprod(
+                    (proposals == preds[:, :-1]).astype(jnp.int32), axis=1
+                )
+                n_acc = jnp.sum(agree, axis=1)  # (S,) accepted proposals
+
+                # Emission vector = [tok0, p1..pg]; candidate count n_acc+1.
+                lp_rest = jnp.take_along_axis(
+                    logp[:, :-1, :], proposals[..., None], axis=-1
+                )[..., 0]
+                lps = jnp.concatenate([lp0[:, None], lp_rest], axis=1)
+                ent_rest = -jnp.sum(
+                    jnp.exp(logp[:, :-1, :]) * logp[:, :-1, :], axis=-1
+                ) / jnp.log(step_logits.shape[-1])
+                ents = jnp.concatenate([ent0[:, None], ent_rest], axis=1)
+
+                cand = n_acc + 1
+                idxs = jnp.arange(gamma + 1)[None, :]
+                if eos is not None:
+                    in_r = idxs < cand[:, None]
+                    is_eos = (block == eos) & in_r
+                    has_eos = jnp.any(is_eos, axis=1)
+                    cand = jnp.where(
+                        has_eos, jnp.argmax(is_eos, axis=1) + 1, cand
+                    )
+                emit = (
+                    active[:, None]
+                    & (idxs < cand[:, None])
+                    & ((slot_pos[:, None] + idxs) < limit[:, None])
+                )
+                lps = jnp.where(emit, lps, -jnp.inf)
+                emission = jnp.where(emit, block, 0)
+                take = jnp.sum(emit.astype(jnp.int32), axis=1)
+                slot_pos = slot_pos + take
+                new_active = active & (slot_pos < limit)
+                if eos is not None:
+                    new_active = new_active & ~has_eos
+                # Deferred correction: the target's row at the rejection
+                # index is the next round's sampling distribution.
+                nxt_row = jnp.take_along_axis(
+                    lg, n_acc[:, None, None], axis=1
+                )[:, 0, :]
+                step_logits = jnp.where(
+                    active[:, None], nxt_row, step_logits
+                )
+                return (
+                    (t_cache, d_cache, step_logits, slot_pos, new_active),
+                    (emission, lps, ents, emit),
+                )
+
+            (t_cache, d_cache, step_logits, slot_pos, active), out = (
+                jax.lax.scan(
+                    body,
+                    (t_cache, d_cache, step_logits, slot_pos, active),
+                    None, length=rounds,
+                )
+            )
+            return (t_cache, d_cache, step_logits, slot_pos, active,
+                    rng_key, out)
+
+        self._chunk_fn = chunk
+        return chunk
+
     # -- host-side scheduling -------------------------------------------------
     def _refill(self) -> None:
         """Assign queued prompts to every free slot (chunked mode defers the
@@ -392,10 +558,11 @@ class ContinuousBatchingEngine:
             if self.prefill_chunk:
                 if p == 0:
                     raise ValueError("chunked prefill needs a non-empty prompt")
-                if p + req["max_new"] > self.max_ctx:
+                if p + req["max_new"] + self._ctx_slack > self.max_ctx:
                     raise ValueError(
                         f"prompt of {p} tokens + {req['max_new']} new "
-                        f"exceeds max_ctx={self.max_ctx}"
+                        f"(+{self._ctx_slack} speculative slack) exceeds "
+                        f"max_ctx={self.max_ctx}"
                     )
                 req["pending"] = list(req["prompt"])
                 req["write_pos"] = 0
@@ -407,6 +574,11 @@ class ContinuousBatchingEngine:
                             self.cache = self._copy_row()(
                                 self.cache, jnp.int32(src), jnp.int32(slot)
                             )
+                            if self.d_cache is not None:
+                                self.d_cache = self._copy_row()(
+                                    self.d_cache, jnp.int32(src),
+                                    jnp.int32(slot),
+                                )
                         # src == slot: the previous occupant's prompt rows
                         # are already resident — reuse with zero copies.
                         req["pending"] = req["prompt"][n:]
@@ -462,9 +634,10 @@ class ContinuousBatchingEngine:
             toks = np.zeros((1, C), np.int32)
             toks[0, : len(take)] = take
             is_last = not req["pending"]
-            self.cache, self.step_logits = fn(
-                self.params, self.cache, self.step_logits, jnp.int32(slot),
-                jnp.asarray(toks), jnp.int32(req["write_pos"]),
+            self.cache, self.d_cache, self.step_logits = fn(
+                self.params, self.cache, self.d_cache, self.step_logits,
+                jnp.int32(slot), jnp.asarray(toks),
+                jnp.int32(req["write_pos"]),
                 jnp.int32(len(take) - 1), jnp.asarray(is_last),
             )
             req["write_pos"] += len(take)
@@ -519,7 +692,8 @@ class ContinuousBatchingEngine:
     def run_until_drained(self) -> None:
         """Decode until every submitted request has a result."""
         self._refill()
-        chunk = self._chunk()
+        spec = self.draft_model is not None
+        chunk = self._spec_chunk() if spec else self._chunk()
         while any(r is not None for r in self._slot_req):
             self._advance_prefills()
             if not bool(np.any(np.asarray(self.active))):
@@ -527,14 +701,28 @@ class ContinuousBatchingEngine:
                 # skip the decode chunk and keep prefilling.
                 self._refill()
                 continue
-            (self.cache, self.step_logits, self.slot_pos, self.active,
-             self._key, (toks, lps, ents, emitted)) = chunk(
-                self.params, self.cache, self.step_logits, self.slot_pos,
-                self.kv_start, self.limit, self.active, self._key,
-            )
-            toks = np.asarray(toks)          # (K, S)
-            lps = np.asarray(lps)
-            emitted = np.asarray(emitted)
+            if spec:
+                (self.cache, self.d_cache, self.step_logits, self.slot_pos,
+                 self.active, self._key, (toks, lps, ents, emitted)) = chunk(
+                    self.params, self.draft_params, self.cache, self.d_cache,
+                    self.step_logits, self.slot_pos, self.kv_start,
+                    self.limit, self.active, self._key,
+                )
+                # (R, S, gamma+1) round blocks -> (R*(gamma+1), S)
+                # chronological steps, the same harvest contract as below.
+                flat = lambda a: np.asarray(a).swapaxes(1, 2).reshape(
+                    -1, np.asarray(a).shape[1]
+                )
+                toks, lps, ents, emitted = map(flat, (toks, lps, ents, emitted))
+            else:
+                (self.cache, self.step_logits, self.slot_pos, self.active,
+                 self._key, (toks, lps, ents, emitted)) = chunk(
+                    self.params, self.cache, self.step_logits, self.slot_pos,
+                    self.kv_start, self.limit, self.active, self._key,
+                )
+                toks = np.asarray(toks)          # (K, S)
+                lps = np.asarray(lps)
+                emitted = np.asarray(emitted)
             active_now = np.asarray(self.active)
             for slot in range(self.num_slots):
                 req = self._slot_req[slot]

@@ -229,6 +229,90 @@ class TestChunkedPrefill:
             eng.run_until_drained()
 
 
+class TestSpeculativeEngine:
+    """Per-slot speculative decoding in the engine: greedy results must be
+    token-identical to the plain engine regardless of the draft's
+    acceptance rate (acceptance only changes tokens-per-target-forward)."""
+
+    @pytest.fixture(scope="class")
+    def draft_and_params(self):
+        draft = LlamaLM(vocab_size=VOCAB, num_layers=1, num_heads=2,
+                        num_kv_heads=1, d_model=16, hidden_dim=32,
+                        max_len=128)
+        dparams = draft.init(jax.random.key(9), np.zeros((1, 8), np.int32))
+        return draft, dparams
+
+    def _run(self, model, params, draft, dparams, batch, eos_id=None,
+             **submit_budgets):
+        eng = ContinuousBatchingEngine(
+            model, params, num_slots=2, max_ctx=64, max_new_tokens=MAX_NEW,
+            chunk_tokens=10, eos_id=eos_id, prefill_chunk=8,
+            draft_model=draft, draft_params=dparams, gamma=3,
+        )
+        return eng, eng.generate_all(batch)
+
+    def test_uncorrelated_draft_matches_greedy(self, model_and_params,
+                                               prompts, draft_and_params):
+        model, params = model_and_params
+        draft, dparams = draft_and_params
+        ref = reference_outputs(model, params, prompts, eos_id=None)
+        _, results = self._run(model, params, draft, dparams, prompts)
+        for i, ((ref_toks, ref_lps), res) in enumerate(zip(ref, results)):
+            assert res["tokens"] == ref_toks, f"prompt {i}"
+            np.testing.assert_allclose(
+                res["log_probs"], ref_lps[: len(res["tokens"])],
+                rtol=1e-4, atol=1e-5, err_msg=f"prompt {i}",
+            )
+
+    def test_perfect_draft_matches_greedy(self, model_and_params, prompts):
+        """Draft == target: every proposal accepted, the full-acceptance
+        bookkeeping (bonus row, cache coverage) must still be exact."""
+        model, params = model_and_params
+        ref = reference_outputs(model, params, prompts[:4], eos_id=None)
+        _, results = self._run(model, params, model, params, prompts[:4])
+        for i, ((ref_toks, _), res) in enumerate(zip(ref, results)):
+            assert res["tokens"] == ref_toks, f"prompt {i}"
+
+    def test_eos_budgets_and_prefix_cache(self, model_and_params, prompts,
+                                          draft_and_params):
+        model, params = model_and_params
+        draft, dparams = draft_and_params
+        no_eos = reference_outputs(model, params, prompts, eos_id=None)
+        eos_id = no_eos[0][0][min(2, len(no_eos[0][0]) - 1)]
+        ref = reference_outputs(model, params, prompts, eos_id=eos_id)
+        eng = ContinuousBatchingEngine(
+            model, params, num_slots=2, max_ctx=64, max_new_tokens=MAX_NEW,
+            chunk_tokens=8, eos_id=eos_id, prefill_chunk=8,
+            prefix_cache=True, draft_model=draft, draft_params=dparams,
+            gamma=3,
+        )
+        budgets = [3, MAX_NEW, 5, 2, MAX_NEW, 4, 6]
+        ids = [eng.submit(p, max_new_tokens=b)
+               for p, b in zip(prompts, budgets)]
+        eng.run_until_drained()
+        for rid, (ref_toks, _), b in zip(ids, ref, budgets):
+            assert eng.result(rid)["tokens"] == ref_toks[:b]
+            assert eos_id not in eng.result(rid)["tokens"]
+
+    def test_sampled_spec_rejected(self, model_and_params, draft_and_params):
+        model, params = model_and_params
+        draft, dparams = draft_and_params
+        with pytest.raises(NotImplementedError, match="greedy-only"):
+            ContinuousBatchingEngine(
+                model, params, prefill_chunk=8, do_sample=True,
+                draft_model=draft, draft_params=dparams,
+            )
+
+    def test_spec_requires_chunked_prefill(self, model_and_params,
+                                           draft_and_params):
+        model, params = model_and_params
+        draft, dparams = draft_and_params
+        with pytest.raises(ValueError, match="prefill_chunk"):
+            ContinuousBatchingEngine(
+                model, params, draft_model=draft, draft_params=dparams,
+            )
+
+
 class TestMoEServing:
     def test_mixtral_style_model_serves_token_identically(self):
         """The MoE FFN (LlamaLM num_experts>0) must flow through slot
