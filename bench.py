@@ -451,6 +451,65 @@ def measure_llm_speculative_production():
     }
 
 
+def measure_llm_spec_engine():
+    """Speculative continuous batching: the engine with a layer-truncation
+    draft, chunked prefill, and prefix caching on a shared-system-prompt
+    workload (the agent-serving shape: 24 requests, one 256-token system
+    prefix + per-request suffixes, budgets 16-48). Reports useful tok/s,
+    speedup vs the plain (non-speculative) engine on the same workload,
+    and the prefix-cache hit count."""
+    import jax.numpy as jnp
+
+    from runia_core_tpu.llm import ContinuousBatchingEngine
+    from runia_core_tpu.models import LlamaLM
+
+    st = _get_prod_llama()
+    target = LlamaLM(**_PROD_CFG, dtype=jnp.bfloat16)
+    draft_layers = max(1, min(4, _PROD_CFG["num_layers"] - 1))
+    draft = LlamaLM(**dict(_PROD_CFG, num_layers=draft_layers),
+                    dtype=jnp.bfloat16)
+    p = st["params"]["params"]
+    draft_params = {"params": {
+        "embed": p["embed"], "norm_f": p["norm_f"], "lm_head": p["lm_head"],
+        **{f"block_{i}": p[f"block_{i}"] for i in range(draft_layers)},
+    }}
+
+    rng = np.random.RandomState(7)
+    system = list(rng.randint(1, 32000, 256))
+    n_req = 24
+    budgets = rng.randint(16, 49, n_req)
+    prompts = [system + list(rng.randint(1, 32000, int(n)))
+               for n in rng.randint(8, 65, n_req)]
+    useful = int(budgets.sum())
+    kw = dict(num_slots=8, max_ctx=448, max_new_tokens=48, chunk_tokens=15,
+              prefill_chunk=64, prefix_cache=True)
+
+    def timed_pass(eng):
+        t0 = time.perf_counter()
+        for pr, b in zip(prompts, budgets):
+            eng.submit(pr, int(b))
+        eng.run_until_drained()
+        return useful / (time.perf_counter() - t0)
+
+    # Jitted engine programs cache per instance: warm and time on the SAME
+    # engine (a drained engine is reusable — slots free, queue empty).
+    spec_eng = ContinuousBatchingEngine(
+        target, st["params"], **kw, draft_model=draft,
+        draft_params=draft_params, gamma=4,
+    )
+    timed_pass(spec_eng)  # compile warmup
+    hits0 = spec_eng.prefix_hits
+    spec_tps = timed_pass(spec_eng)
+    plain_eng = ContinuousBatchingEngine(target, st["params"], **kw)
+    timed_pass(plain_eng)  # compile warmup
+    plain_tps = timed_pass(plain_eng)
+    return spec_tps, None, {
+        "useful_tokens": useful,
+        "speedup_vs_plain_engine": round(spec_tps / plain_tps, 4),
+        "prefix_hits": int(spec_eng.prefix_hits - hits0),
+    }
+
+
 def run_suite():
     """Run every leg fault-isolated: one failing leg reports an error entry
     instead of killing the whole benchmark (the headline leg runs first and
@@ -522,6 +581,7 @@ def run_suite():
     leg("llama1b_decode_int8kv8_16x64", "tok/s", measure_llm_decode_int8)
     leg("llama1b_continuous_batching_32req", "tok/s", measure_llm_continuous)
     leg("llama1b_speculative_1x32", "tok/s", measure_llm_speculative_production)
+    leg("llama1b_spec_engine_24req_prefix", "tok/s", measure_llm_spec_engine)
     return ips18, suite
 
 
