@@ -58,6 +58,16 @@ from runia_core_tpu.models.transformer import init_cache
 __all__ = ["ContinuousBatchingEngine"]
 
 
+def _vocab_norm_entropy(log_soft: jnp.ndarray) -> jnp.ndarray:
+    """Vocab-normalized distribution entropy over the last axis — the
+    per-token term of ``llm.scores.generation_entropy``. The isneginf
+    guard keeps masked (-inf) logits from producing 0 * -inf = nan."""
+    terms = jnp.exp(log_soft) * jnp.where(
+        jnp.isneginf(log_soft), 0.0, log_soft
+    )
+    return -jnp.sum(terms, axis=-1) / jnp.log(log_soft.shape[-1])
+
+
 class ContinuousBatchingEngine:
     """Fixed-slot in-flight batching over a ``LlamaLM``-style model.
 
@@ -123,6 +133,8 @@ class ContinuousBatchingEngine:
         # compiles exactly ONE prefill shape instead of one per bucketed
         # prompt length (each new shape costs 30-60 s over a tunneled TPU).
         # None keeps the whole-prompt bucketed prefill.
+        if prefill_chunk is not None and int(prefill_chunk) <= 0:
+            raise ValueError(f"prefill_chunk must be positive, got {prefill_chunk}")
         self.prefill_chunk = int(prefill_chunk) if prefill_chunk else None
         if self.prefill_chunk:
             if max_ctx % self.prefill_chunk:
@@ -182,6 +194,7 @@ class ContinuousBatchingEngine:
 
         self._prefill_cache: Dict[int, Any] = {}
         self._chunk_fn = None
+        self._spec_chunk_fn = None
         self._prefill_chunk_fn = None
 
         # host-side per-slot request bookkeeping
@@ -374,16 +387,10 @@ class ContinuousBatchingEngine:
                 emitted = active & (slot_pos < limit)
                 lp = jnp.where(emitted, lp, -jnp.inf)
                 next_tok = jnp.where(emitted, next_tok, 0)
-                # Vocab-normalized distribution entropy of this step — the
-                # per-token term of llm.scores.generation_entropy, computed
-                # in-loop so serving gets uncertainty for free (one (S, V)
-                # reduction per step, noise next to the decode matmuls).
-                ent = -jnp.sum(
-                    jnp.exp(log_soft) * jnp.where(
-                        jnp.isneginf(log_soft), 0.0, log_soft
-                    ),
-                    axis=-1,
-                ) / jnp.log(step_logits.shape[-1])
+                # In-loop uncertainty: serving gets per-token entropy for
+                # free (one (S, V) reduction per step, noise next to the
+                # decode matmuls).
+                ent = _vocab_norm_entropy(log_soft)
                 if eos is not None:
                     active = active & (next_tok != eos)
 
@@ -433,8 +440,8 @@ class ContinuousBatchingEngine:
         forward. Rejected rows leave stale K/V that the next round's writes
         cover before anything attends them (the row-ownership invariant).
         """
-        if self._chunk_fn is not None:
-            return self._chunk_fn
+        if self._spec_chunk_fn is not None:
+            return self._spec_chunk_fn
         model, draft = self.model, self.draft_model
         gamma, eos = self.gamma, self.eos_id
         # chunk_tokens keeps its "approx tokens per host sync" meaning.
@@ -452,12 +459,7 @@ class ContinuousBatchingEngine:
                 lp0 = jnp.take_along_axis(
                     log_soft, tok0[:, None], axis=-1
                 )[:, 0]
-                ent0 = -jnp.sum(
-                    jnp.exp(log_soft) * jnp.where(
-                        jnp.isneginf(log_soft), 0.0, log_soft
-                    ),
-                    axis=-1,
-                ) / jnp.log(step_logits.shape[-1])
+                ent0 = _vocab_norm_entropy(log_soft)
 
                 # gamma+1 draft steps: step j consumes the stream's token at
                 # clock+j (writing its K/V) and proposes the next; the extra
@@ -490,9 +492,7 @@ class ContinuousBatchingEngine:
                     logp[:, :-1, :], proposals[..., None], axis=-1
                 )[..., 0]
                 lps = jnp.concatenate([lp0[:, None], lp_rest], axis=1)
-                ent_rest = -jnp.sum(
-                    jnp.exp(logp[:, :-1, :]) * logp[:, :-1, :], axis=-1
-                ) / jnp.log(step_logits.shape[-1])
+                ent_rest = _vocab_norm_entropy(logp[:, :-1, :])
                 ents = jnp.concatenate([ent0[:, None], ent_rest], axis=1)
 
                 cand = n_acc + 1
@@ -539,7 +539,7 @@ class ContinuousBatchingEngine:
             return (t_cache, d_cache, step_logits, slot_pos, active,
                     rng_key, out)
 
-        self._chunk_fn = chunk
+        self._spec_chunk_fn = chunk
         return chunk
 
     # -- host-side scheduling -------------------------------------------------
@@ -556,14 +556,6 @@ class ContinuousBatchingEngine:
             req = self._queue.popleft()
             p = len(req["prompt"])
             if self.prefill_chunk:
-                if p == 0:
-                    raise ValueError("chunked prefill needs a non-empty prompt")
-                if p + req["max_new"] + self._ctx_slack > self.max_ctx:
-                    raise ValueError(
-                        f"prompt of {p} tokens + {req['max_new']} new "
-                        f"(+{self._ctx_slack} speculative slack) exceeds "
-                        f"max_ctx={self.max_ctx}"
-                    )
                 req["pending"] = list(req["prompt"])
                 req["write_pos"] = 0
                 req["prefill_done"] = False
@@ -598,11 +590,6 @@ class ContinuousBatchingEngine:
                 self._slot_req[slot] = req
                 continue
             p_pad = -(-max(p, 1) // self.prompt_bucket) * self.prompt_bucket
-            if p_pad + req["max_new"] > self.max_ctx:
-                raise ValueError(
-                    f"prompt of {p} tokens + {req['max_new']} new "
-                    f"exceeds max_ctx={self.max_ctx}"
-                )
             tokens = np.zeros((1, p_pad), np.int32)
             valid = np.zeros((1, p_pad), bool)
             tokens[0, p_pad - p:] = np.asarray(req["prompt"], np.int32)
@@ -677,15 +664,39 @@ class ContinuousBatchingEngine:
         """Enqueue one prompt; returns its request id. ``max_new_tokens``
         overrides the engine default for THIS request (real traffic has
         per-request budgets; the slot frees as soon as its own budget or
-        EOS hits, not the longest request's)."""
+        EOS hits, not the longest request's).
+
+        Validation happens HERE, per request — a bad request must fail
+        fast at enqueue time, not raise mid-drain and poison every other
+        in-flight request's results.
+        """
+        prompt = list(prompt_tokens)
+        p = len(prompt)
+        max_new = int(
+            self.max_new_tokens if max_new_tokens is None else max_new_tokens
+        )
+        if self.prefill_chunk:
+            if p == 0:
+                raise ValueError("chunked prefill needs a non-empty prompt")
+            if p + max_new + self._ctx_slack > self.max_ctx:
+                raise ValueError(
+                    f"prompt of {p} tokens + {max_new} new "
+                    f"(+{self._ctx_slack} speculative slack) exceeds "
+                    f"max_ctx={self.max_ctx}"
+                )
+        else:
+            p_pad = -(-max(p, 1) // self.prompt_bucket) * self.prompt_bucket
+            if p_pad + max_new > self.max_ctx:
+                raise ValueError(
+                    f"prompt of {p} tokens (bucketed to {p_pad}) + "
+                    f"{max_new} new exceeds max_ctx={self.max_ctx}"
+                )
         rid = self._next_id
         self._next_id += 1
         self._queue.append({
-            "id": rid, "prompt": list(prompt_tokens), "tokens": [],
+            "id": rid, "prompt": prompt, "tokens": [],
             "lps": [], "ents": [],
-            "max_new": int(
-                self.max_new_tokens if max_new_tokens is None else max_new_tokens
-            ),
+            "max_new": max_new,
         })
         return rid
 

@@ -426,6 +426,12 @@ class JaxGenerator:
         ``output_attentions``/``output_hidden_states`` returns empty tuples
         for those keys and skips their device->host transfer (the HF flags
         of the same names, inverted default).
+
+        The PROMPT step's attentions/hidden_states (index 0) are read-only
+        views whose S rows alias one buffer — the samples share the prompt,
+        so the prompt pass runs once at batch 1 and is re-broadcast here
+        (mutating a row in place would invisibly mutate all rows; NumPy's
+        read-only flag turns that bug into an error). Copy before writing.
         """
         max_new = max_new_tokens or self.max_new_tokens
         s = num_return_sequences

@@ -101,14 +101,15 @@ class TestContinuousBatching:
             assert np.isfinite(res["log_probs"]).all()
             assert all(0 <= t < VOCAB for t in res["tokens"])
 
-    def test_context_overflow_rejected(self, model_and_params):
+    def test_context_overflow_rejected_at_submit(self, model_and_params):
+        """Validation fails fast at submit() — a bad request must not raise
+        mid-drain and poison every other in-flight request's results."""
         model, params = model_and_params
         eng = ContinuousBatchingEngine(
             model, params, num_slots=2, max_ctx=32, max_new_tokens=30,
         )
-        eng.submit(list(range(1, 20)))
         with pytest.raises(ValueError, match="max_ctx"):
-            eng.run_until_drained()
+            eng.submit(list(range(1, 20)))
 
     def test_flash_model_rejected(self, model_and_params):
         _, params = model_and_params
@@ -219,14 +220,18 @@ class TestChunkedPrefill:
                 model, params, max_ctx=60, prefill_chunk=16,
             )
 
-    def test_empty_prompt_rejected_in_chunked_mode(self, model_and_params):
+    def test_empty_prompt_rejected_at_submit(self, model_and_params):
         model, params = model_and_params
         eng = ContinuousBatchingEngine(
             model, params, num_slots=2, max_ctx=64, prefill_chunk=8,
         )
-        eng.submit([])
         with pytest.raises(ValueError, match="non-empty"):
-            eng.run_until_drained()
+            eng.submit([])
+
+    def test_nonpositive_chunk_rejected(self, model_and_params):
+        model, params = model_and_params
+        with pytest.raises(ValueError, match="positive"):
+            ContinuousBatchingEngine(model, params, prefill_chunk=0)
 
 
 class TestSpeculativeEngine:
