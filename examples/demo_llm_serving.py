@@ -66,3 +66,31 @@ for i, (p, b) in enumerate(zip(prompts, budgets)):
     ref_toks = np.asarray(ref["sequences"][0, len(p):]).tolist()[:b]
     assert engine_out[i]["tokens"] == ref_toks, i
 print("engine output is token-identical to the single-prompt decoder")
+
+# -- 4. the full production config: chunked prefill + prefix cache +
+#       speculative decoding + per-request uncertainty ------------------------
+draft = LlamaLM(vocab_size=VOCAB, num_layers=1, num_heads=2, num_kv_heads=1,
+                d_model=32, hidden_dim=64, max_len=256)
+draft_params = jax.jit(draft.init)(jax.random.key(1),
+                                   np.zeros((1, 8), np.int32))
+system = list(rng.randint(1, VOCAB, 24))  # shared system prompt
+agent_prompts = [system + list(rng.randint(1, VOCAB, rng.randint(3, 10)))
+                 for _ in range(5)]
+prod = ContinuousBatchingEngine(
+    model, params, num_slots=3, max_ctx=128, max_new_tokens=MAX_NEW,
+    chunk_tokens=10,
+    prefill_chunk=8,       # one compiled prefill shape; long admissions
+                           # stall in-flight decodes by at most one chunk
+    prefix_cache=True,     # shared system prompts skip their prefill
+    draft_model=draft, draft_params=draft_params, gamma=3,  # speculative
+)
+prod_out = prod.generate_all(agent_prompts)
+for i, (p, res) in enumerate(zip(agent_prompts, prod_out)):
+    ref = gen.generate(p, do_sample=False, output_attentions=False,
+                       output_hidden_states=False)
+    assert res["tokens"] == np.asarray(
+        ref["sequences"][0, len(p):]
+    ).tolist(), i
+print(f"speculative engine: token-identical, {prod.prefix_hits} prefix-cache "
+      "hits; per-request uncertainty:",
+      [round(r["perplexity"], 2) for r in prod_out], "(perplexity)")
