@@ -318,6 +318,29 @@ class TestSpeculativeEngine:
             )
 
 
+class TestTensorParallelServing:
+    def test_engine_on_tp_sharded_params(self, model_and_params, prompts):
+        """The engine over Megatron-TP-sharded params (8-device model mesh)
+        must produce the same tokens — the cache inherits the head sharding
+        through the k/v projection outputs."""
+        from jax.sharding import Mesh
+        from runia_core_tpu.parallel import shard_llama_params
+
+        if len(jax.devices()) < 8:
+            pytest.skip("needs 8 virtual devices")
+        model, params = model_and_params
+        ref = reference_outputs(model, params, prompts[:4], eos_id=None)
+        mesh = Mesh(np.array(jax.devices()[:8]).reshape(8), ("model",))
+        sharded = shard_llama_params(params, mesh)
+        eng = ContinuousBatchingEngine(
+            model, sharded, num_slots=2, max_ctx=64, max_new_tokens=MAX_NEW,
+            chunk_tokens=4, prefill_chunk=8,
+        )
+        results = eng.generate_all(prompts[:4])
+        for i, ((ref_toks, _), res) in enumerate(zip(ref, results)):
+            assert res["tokens"] == ref_toks, f"prompt {i}"
+
+
 class TestMoEServing:
     def test_mixtral_style_model_serves_token_identically(self):
         """The MoE FFN (LlamaLM num_experts>0) must flow through slot
