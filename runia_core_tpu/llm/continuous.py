@@ -702,6 +702,17 @@ class ContinuousBatchingEngine:
 
     def run_until_drained(self) -> None:
         """Decode until every submitted request has a result."""
+        for _ in self.stream():
+            pass
+
+    def stream(self):
+        """Drain the engine, yielding ``(request_id, new_token_ids)``
+        increments as each device chunk lands — the serving surface for
+        token streaming. Increments are EOS-consistent: once a request's
+        EOS appears, nothing past it is ever yielded, so the concatenated
+        increments equal the final result's ``tokens`` exactly. A request
+        may yield several times (long budgets, small ``chunk_tokens``) or
+        zero times (zero-budget requests)."""
         self._refill()
         spec = self.draft_model is not None
         chunk = self._spec_chunk() if spec else self._chunk()
@@ -739,11 +750,20 @@ class ContinuousBatchingEngine:
                 req = self._slot_req[slot]
                 if req is None or not req.get("prefill_done", True):
                     continue
+                before = len(req["tokens"])
                 for k in range(toks.shape[0]):
                     if emitted[k, slot]:
                         req["tokens"].append(int(toks[k, slot]))
                         req["lps"].append(float(lps[k, slot]))
                         req["ents"].append(float(ents[k, slot]))
+                # Stream exactly what the final (EOS-stripped) result will
+                # contain: never yield at or past the first EOS.
+                visible = len(req["tokens"])
+                if self.eos_id is not None and self.eos_id in req["tokens"]:
+                    visible = min(visible, req["tokens"].index(self.eos_id))
+                new = req["tokens"][before:visible]
+                if new:
+                    yield req["id"], new
                 done = (not active_now[slot]) or (
                     len(req["tokens"]) >= req["max_new"]
                 )

@@ -318,6 +318,28 @@ class TestSpeculativeEngine:
             )
 
 
+class TestStreaming:
+    def test_stream_increments_equal_final_results(self, model_and_params,
+                                                   prompts):
+        model, params = model_and_params
+        eos_ref = reference_outputs(model, params, prompts, eos_id=None)
+        eos_id = eos_ref[0][0][min(2, len(eos_ref[0][0]) - 1)]
+        eng = ContinuousBatchingEngine(
+            model, params, num_slots=2, max_ctx=64, max_new_tokens=MAX_NEW,
+            chunk_tokens=3, eos_id=eos_id,
+        )
+        ids = [eng.submit(p) for p in prompts]
+        streamed: dict = {rid: [] for rid in ids}
+        n_yields: dict = {rid: 0 for rid in ids}
+        for rid, new in eng.stream():
+            streamed[rid].extend(new)
+            n_yields[rid] += 1
+        for rid in ids:
+            assert streamed[rid] == eng.result(rid)["tokens"], rid
+        # at least one request streams over multiple chunks
+        assert any(n > 1 for n in n_yields.values()), n_yields
+
+
 class TestTensorParallelServing:
     def test_engine_on_tp_sharded_params(self, model_and_params, prompts):
         """The engine over Megatron-TP-sharded params (8-device model mesh)
