@@ -159,26 +159,36 @@ class ContinuousBatchingEngine:
         self._copy_row_fn = None
         self.prefix_hits = 0  # observability: admissions served from cache
         # Per-slot speculative decoding: a small draft model proposes gamma
-        # greedy tokens per slot, one (S, gamma+1) target forward verifies
-        # them, and every slot advances by its own acceptance count on the
-        # vector clocks. Greedy only (token-identical to the plain engine);
-        # requires chunked prefill (both caches sit at physical row 0).
+        # tokens per slot, one (S, gamma+1) target forward verifies them,
+        # and every slot advances by its own acceptance count on the vector
+        # clocks. Greedy is token-identical to the plain engine; sampled
+        # mode is exact temperature rejection sampling (Leviathan et al.)
+        # with the correction deferred through a per-slot residual
+        # distribution. Requires chunked prefill (both caches sit at
+        # physical row 0).
         self.draft_model = draft_model
         self.draft_params = draft_params
         self.gamma = int(gamma)
         self.d_cache = None
+        self.samp_logp = None  # sampled-spec: per-slot log sampling dist
+        self._seed_samp_fn = None
         if draft_model is not None:
             if not self.prefill_chunk:
                 raise ValueError("speculative decoding requires prefill_chunk")
-            if do_sample or top_k or top_p < 1.0:
+            if top_k or top_p < 1.0:
                 raise NotImplementedError(
-                    "the speculative engine path is greedy-only; use "
-                    "SpeculativeGenerator for sampled speculative decoding"
+                    "the speculative engine path supports temperature "
+                    "sampling only (no top-k/top-p); use "
+                    "SpeculativeGenerator or the plain engine for those"
                 )
             if draft_model.vocab_size != model.vocab_size:
                 raise ValueError("draft and target must share one vocabulary")
             self.d_cache = init_cache(draft_model, int(num_slots),
                                       int(max_ctx))
+            if do_sample:
+                self.samp_logp = jnp.zeros(
+                    (int(num_slots), model.vocab_size), jnp.float32
+                )
         # Verify/draft passes write gamma+1 rows past a slot's clock; keep
         # that slack inside the cache so edge writes never clamp backwards.
         self._ctx_slack = self.gamma + 1 if draft_model is not None else 0
@@ -295,6 +305,25 @@ class ContinuousBatchingEngine:
 
         self._prefill_chunk_fn = chunk_prefill
         return chunk_prefill
+
+    def _seed_samp(self):
+        """Jitted: seed one slot's sampling distribution from its freshly
+        prefetched next-token logits (log target probs at temperature —
+        what the first speculative round samples tok0 from; later rounds
+        replace it with the deferred residual)."""
+        if self._seed_samp_fn is not None:
+            return self._seed_samp_fn
+        temp = self.temperature
+
+        @partial(jax.jit, donate_argnums=(0,))
+        def seed(samp_logp, step_logits, slot):
+            row = jax.lax.dynamic_slice_in_dim(step_logits, slot, 1, axis=0)
+            return jax.lax.dynamic_update_slice(
+                samp_logp, jax.nn.log_softmax(row / temp, axis=-1), (slot, 0)
+            )
+
+        self._seed_samp_fn = seed
+        return seed
 
     def _copy_row(self):
         """Jitted: copy slot ``src``'s ENTIRE cache row onto slot ``dst``.
@@ -430,32 +459,47 @@ class ContinuousBatchingEngine:
     def _spec_chunk(self):
         """Jitted: R speculative rounds for all slots, per-slot clocks.
 
-        Each round: select every slot's next token from its ``step_logits``
-        row (greedy), draft ``gamma`` proposals per slot (vector-clock draft
-        cache), verify the (S, gamma+1) block with ONE target forward, and
-        emit the agreeing prefix. The correction token is DEFERRED: the
-        round's outgoing ``step_logits`` is the target's row at the
-        rejection index, so the next round's argmax IS the correction —
-        token-identical to the plain engine, with n_acc+1 tokens per target
-        forward. Rejected rows leave stale K/V that the next round's writes
-        cover before anything attends them (the row-ownership invariant).
+        Each round: select every slot's next token (greedy: argmax of its
+        ``step_logits`` row; sampled: a draw from its ``samp_logp``
+        distribution), draft ``gamma`` proposals per slot (vector-clock
+        draft cache), verify the (S, gamma+1) block with ONE target
+        forward, and emit the agreeing/accepted prefix. The correction
+        token is DEFERRED: greedy carries the target's raw row at the
+        rejection index forward (next round's argmax IS the correction —
+        token-identical to the plain engine); sampled carries the
+        Leviathan residual ``max(p_target - p_draft, 0)`` as the next
+        round's sampling distribution, so every emitted token is an EXACT
+        temperature sample of the target. Rejected rows leave stale K/V
+        that the next round's writes cover before anything attends them
+        (the row-ownership invariant).
         """
         if self._spec_chunk_fn is not None:
             return self._spec_chunk_fn
         model, draft = self.model, self.draft_model
         gamma, eos = self.gamma, self.eos_id
+        do_sample, temp = self.do_sample, self.temperature
         # chunk_tokens keeps its "approx tokens per host sync" meaning.
         rounds = max(1, self.chunk_tokens // (gamma + 1))
 
-        @partial(jax.jit, donate_argnums=(2, 3, 4, 5, 8, 9))
-        def chunk(params, dparams, t_cache, d_cache, step_logits, slot_pos,
-                  kv_start, limit, active, rng_key):
+        @partial(jax.jit, donate_argnums=(2, 3, 4, 5, 6, 9, 10))
+        def chunk(params, dparams, t_cache, d_cache, step_logits, samp_logp,
+                  slot_pos, kv_start, limit, active, rng_key):
             del kv_start  # chunked layout: physical == logical, start 0
 
-            def body(carry, _):
-                t_cache, d_cache, step_logits, slot_pos, active = carry
+            def body(carry, key):
+                (t_cache, d_cache, step_logits, samp_logp, slot_pos,
+                 active) = carry
+                k0, kd, kr = jax.random.split(key, 3)
                 log_soft = jax.nn.log_softmax(step_logits, axis=-1)
-                tok0 = jnp.argmax(step_logits, axis=-1).astype(jnp.int32)
+                if do_sample:
+                    tok0 = jax.random.categorical(
+                        k0, samp_logp, axis=-1
+                    ).astype(jnp.int32)
+                else:
+                    tok0 = jnp.argmax(step_logits, axis=-1).astype(jnp.int32)
+                # Reported log-probs follow the engine contract: raw target
+                # log-probability of the emitted token (not the sampling
+                # distribution's).
                 lp0 = jnp.take_along_axis(
                     log_soft, tok0[:, None], axis=-1
                 )[:, 0]
@@ -464,28 +508,75 @@ class ContinuousBatchingEngine:
                 # gamma+1 draft steps: step j consumes the stream's token at
                 # clock+j (writing its K/V) and proposes the next; the extra
                 # step exists purely to write the last proposal's K/V.
-                def draft_step(carry2, _):
+                def draft_step(carry2, kj):
                     tok, dc, idx = carry2
                     lg, _, _, dc = draft.apply(dparams, tok[:, None], dc, idx)
-                    nxt = jnp.argmax(lg[:, 0, :], axis=-1).astype(jnp.int32)
-                    return (nxt, dc, idx + 1), nxt
+                    row = lg[:, 0, :] / temp
+                    if do_sample:
+                        nxt = jax.random.categorical(kj, row, axis=-1)
+                    else:
+                        nxt = jnp.argmax(row, axis=-1)
+                    nxt = nxt.astype(jnp.int32)
+                    return (nxt, dc, idx + 1), (nxt, jax.nn.softmax(row))
 
-                (_, d_cache, _), outs = jax.lax.scan(
-                    draft_step, (tok0, d_cache, slot_pos), None,
-                    length=gamma + 1,
+                (_, d_cache, _), (outs, dprob_x) = jax.lax.scan(
+                    draft_step, (tok0, d_cache, slot_pos),
+                    jax.random.split(kd, gamma + 1),
                 )
                 proposals = jnp.swapaxes(outs[:gamma], 0, 1)  # (S, gamma)
+                draft_probs = jnp.swapaxes(dprob_x[:gamma], 0, 1)
 
                 block = jnp.concatenate([tok0[:, None], proposals], axis=1)
                 lg, _, _, t_cache = model.apply(
                     params, block, t_cache, slot_pos
                 )  # (S, gamma+1, V), vector clocks
                 logp = jax.nn.log_softmax(lg, axis=-1)
-                preds = jnp.argmax(lg, axis=-1).astype(jnp.int32)
-                agree = jnp.cumprod(
-                    (proposals == preds[:, :-1]).astype(jnp.int32), axis=1
-                )
-                n_acc = jnp.sum(agree, axis=1)  # (S,) accepted proposals
+                if do_sample:
+                    # Leviathan rejection sampling, vectorized over slots:
+                    # accept proposal i with prob min(1, p_t/p_d); the
+                    # residual at the rejection row becomes the next
+                    # round's sampling distribution (deferred correction;
+                    # the all-accepted bonus row has a zero draft row, so
+                    # its residual is the raw target distribution).
+                    t_probs = jax.nn.softmax(lg / temp, axis=-1)
+                    p_t = jnp.take_along_axis(
+                        t_probs[:, :-1, :], proposals[..., None], axis=-1
+                    )[..., 0]
+                    p_d = jnp.take_along_axis(
+                        draft_probs, proposals[..., None], axis=-1
+                    )[..., 0]
+                    u = jax.random.uniform(kr, p_t.shape)
+                    accept = u < jnp.minimum(
+                        1.0, p_t / jnp.maximum(p_d, 1e-20)
+                    )
+                    agree = jnp.cumprod(accept.astype(jnp.int32), axis=1)
+                    n_acc = jnp.sum(agree, axis=1)
+                    draft_ext = jnp.concatenate(
+                        [draft_probs, jnp.zeros_like(t_probs[:, :1, :])],
+                        axis=1,
+                    )
+                    t_row = jnp.take_along_axis(
+                        t_probs, n_acc[:, None, None], axis=1
+                    )[:, 0, :]
+                    d_row = jnp.take_along_axis(
+                        draft_ext, n_acc[:, None, None], axis=1
+                    )[:, 0, :]
+                    residual = jnp.maximum(t_row - d_row, 0.0)
+                    residual = jnp.where(
+                        jnp.sum(residual, axis=-1, keepdims=True) > 0,
+                        residual, t_row,
+                    )
+                    samp_logp = jnp.where(
+                        active[:, None],
+                        jnp.log(residual + 1e-30), samp_logp,
+                    )
+                else:
+                    preds = jnp.argmax(lg, axis=-1).astype(jnp.int32)
+                    agree = jnp.cumprod(
+                        (proposals == preds[:, :-1]).astype(jnp.int32),
+                        axis=1,
+                    )
+                    n_acc = jnp.sum(agree, axis=1)  # (S,) accepted proposals
 
                 # Emission vector = [tok0, p1..pg]; candidate count n_acc+1.
                 lp_rest = jnp.take_along_axis(
@@ -525,19 +616,21 @@ class ContinuousBatchingEngine:
                     active[:, None], nxt_row, step_logits
                 )
                 return (
-                    (t_cache, d_cache, step_logits, slot_pos, new_active),
+                    (t_cache, d_cache, step_logits, samp_logp, slot_pos,
+                     new_active),
                     (emission, lps, ents, emit),
                 )
 
-            (t_cache, d_cache, step_logits, slot_pos, active), out = (
-                jax.lax.scan(
-                    body,
-                    (t_cache, d_cache, step_logits, slot_pos, active),
-                    None, length=rounds,
-                )
+            rng_key, sub = jax.random.split(rng_key)
+            (t_cache, d_cache, step_logits, samp_logp, slot_pos, active), (
+                out
+            ) = jax.lax.scan(
+                body,
+                (t_cache, d_cache, step_logits, samp_logp, slot_pos, active),
+                jax.random.split(sub, rounds),
             )
-            return (t_cache, d_cache, step_logits, slot_pos, active,
-                    rng_key, out)
+            return (t_cache, d_cache, step_logits, samp_logp, slot_pos,
+                    active, rng_key, out)
 
         self._spec_chunk_fn = chunk
         return chunk
@@ -634,6 +727,10 @@ class ContinuousBatchingEngine:
             if is_last:
                 req["prefill_done"] = True
                 self.active = self.active.at[slot].set(True)
+                if self.samp_logp is not None:
+                    self.samp_logp = self._seed_samp()(
+                        self.samp_logp, self.step_logits, jnp.int32(slot)
+                    )
 
     def _finish_slot(self, slot: int) -> None:
         req = self._slot_req[slot]
@@ -724,11 +821,12 @@ class ContinuousBatchingEngine:
                 self._refill()
                 continue
             if spec:
-                (self.cache, self.d_cache, self.step_logits, self.slot_pos,
-                 self.active, self._key, (toks, lps, ents, emitted)) = chunk(
+                (self.cache, self.d_cache, self.step_logits, self.samp_logp,
+                 self.slot_pos, self.active, self._key,
+                 (toks, lps, ents, emitted)) = chunk(
                     self.params, self.draft_params, self.cache, self.d_cache,
-                    self.step_logits, self.slot_pos, self.kv_start,
-                    self.limit, self.active, self._key,
+                    self.step_logits, self.samp_logp, self.slot_pos,
+                    self.kv_start, self.limit, self.active, self._key,
                 )
                 # (R, S, gamma+1) round blocks -> (R*(gamma+1), S)
                 # chronological steps, the same harvest contract as below.

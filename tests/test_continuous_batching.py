@@ -299,14 +299,49 @@ class TestSpeculativeEngine:
             assert eng.result(rid)["tokens"] == ref_toks[:b]
             assert eos_id not in eng.result(rid)["tokens"]
 
-    def test_sampled_spec_rejected(self, model_and_params, draft_and_params):
+    def test_topk_spec_rejected(self, model_and_params, draft_and_params):
         model, params = model_and_params
         draft, dparams = draft_and_params
-        with pytest.raises(NotImplementedError, match="greedy-only"):
+        with pytest.raises(NotImplementedError, match="temperature"):
             ContinuousBatchingEngine(
-                model, params, prefill_chunk=8, do_sample=True,
+                model, params, prefill_chunk=8, do_sample=True, top_k=5,
                 draft_model=draft, draft_params=dparams,
             )
+
+    def test_sampled_near_zero_temp_matches_greedy(self, model_and_params,
+                                                   prompts, draft_and_params):
+        """temperature -> 0 collapses rejection sampling to greedy: every
+        draw is the argmax, acceptance is deterministic, and the deferred
+        residual is the target's one-hot — outputs must equal the greedy
+        reference."""
+        model, params = model_and_params
+        draft, dparams = draft_and_params
+        ref = reference_outputs(model, params, prompts[:4], eos_id=None)
+        eng = ContinuousBatchingEngine(
+            model, params, num_slots=2, max_ctx=64, max_new_tokens=MAX_NEW,
+            chunk_tokens=10, prefill_chunk=8, do_sample=True,
+            temperature=1e-4, draft_model=draft, draft_params=dparams,
+            gamma=3, key=jax.random.key(11),
+        )
+        results = eng.generate_all(prompts[:4])
+        for i, ((ref_toks, _), res) in enumerate(zip(ref, results)):
+            assert res["tokens"] == ref_toks, f"prompt {i}"
+
+    def test_sampled_spec_well_formed(self, model_and_params, prompts,
+                                      draft_and_params):
+        model, params = model_and_params
+        draft, dparams = draft_and_params
+        eng = ContinuousBatchingEngine(
+            model, params, num_slots=2, max_ctx=64, max_new_tokens=MAX_NEW,
+            chunk_tokens=10, prefill_chunk=8, do_sample=True,
+            temperature=0.9, draft_model=draft, draft_params=dparams,
+            gamma=3, key=jax.random.key(13),
+        )
+        results = eng.generate_all(prompts[:5])
+        for res in results:
+            assert len(res["tokens"]) == MAX_NEW
+            assert np.isfinite(res["log_probs"]).all()
+            assert all(0 <= t < VOCAB for t in res["tokens"])
 
     def test_spec_requires_chunked_prefill(self, model_and_params,
                                            draft_and_params):
