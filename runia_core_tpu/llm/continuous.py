@@ -106,6 +106,7 @@ class ContinuousBatchingEngine:
         draft_model=None,
         draft_params=None,
         gamma: int = 4,
+        collect_rauq: bool = False,
     ):
         if getattr(model, "use_flash", False):
             # Flash prefill needs the plain causal case (no pad mask); the
@@ -156,6 +157,16 @@ class ContinuousBatchingEngine:
         if self.prefix_cache and not self.prefill_chunk:
             raise ValueError("prefix_cache=True requires prefill_chunk")
         self._slot_prompt: List[Optional[list]] = [None] * int(num_slots)
+        # In-loop RAUQ: collect each consumed token's attention to the
+        # previous position (the _get_recurent_attention signal) and score
+        # the request at finish — hallucination detection per served
+        # response with zero extra forwards. Plain-engine only (the
+        # speculative verify path does not thread attention rows yet).
+        self.collect_rauq = bool(collect_rauq)
+        if self.collect_rauq and draft_model is not None:
+            raise NotImplementedError(
+                "collect_rauq with speculative decoding is not supported"
+            )
         self._copy_row_fn = None
         self.prefix_hits = 0  # observability: admissions served from cache
         # Per-slot speculative decoding: a small draft model proposes gamma
@@ -391,6 +402,7 @@ class ContinuousBatchingEngine:
         max_ctx, K = self.max_ctx, self.chunk_tokens
         do_sample, temperature = self.do_sample, self.temperature
         top_k, top_p = self.top_k, self.top_p
+        collect_rauq = self.collect_rauq
 
         @partial(jax.jit, donate_argnums=(1, 2, 3, 6, 7))
         def chunk(params, cache, step_logits, slot_pos, kv_start, limit,
@@ -430,10 +442,23 @@ class ContinuousBatchingEngine:
                     jnp.arange(max_ctx)[None, :] >= kv_start[:, None]
                 )
                 positions = (slot_pos - kv_start)[:, None]
-                new_logits, _, _, cache = model.apply(
+                new_logits, attn, _, cache = model.apply(
                     params, next_tok[:, None], cache, slot_pos,
                     token_valid=kv_valid, positions=positions,
                 )
+                if collect_rauq:
+                    # RAUQ's per-step signal: the consumed token's attention
+                    # to the immediately-previous position (column -2 of the
+                    # incremental row — attention.py::_get_recurent_attention
+                    # semantics). attn is (L, S, H, 1, kv); gather one
+                    # column per slot.
+                    prev = jnp.maximum(slot_pos - 1, 0)  # (S,)
+                    att_prev = jnp.take_along_axis(
+                        attn[:, :, :, 0, :],
+                        prev[None, :, None, None], axis=-1,
+                    )[..., 0]  # (L, S, H)
+                else:
+                    att_prev = jnp.zeros((), jnp.float32)
                 # Only active slots advance their clock; stopping keeps the
                 # slot's cache frozen until refill. Budget: a slot whose next
                 # write position would overflow its limit goes inactive.
@@ -444,7 +469,7 @@ class ContinuousBatchingEngine:
                 )
                 return (
                     (cache, step_logits, slot_pos, active, key),
-                    (next_tok, lp, ent, emitted),
+                    (next_tok, lp, ent, att_prev, emitted),
                 )
 
             (cache, step_logits, slot_pos, active, rng_key), out = jax.lax.scan(
@@ -618,7 +643,7 @@ class ContinuousBatchingEngine:
                 return (
                     (t_cache, d_cache, step_logits, samp_logp, slot_pos,
                      new_active),
-                    (emission, lps, ents, emit),
+                    (emission, lps, ents, jnp.zeros((), jnp.float32), emit),
                 )
 
             rng_key, sub = jax.random.split(rng_key)
@@ -735,9 +760,11 @@ class ContinuousBatchingEngine:
     def _finish_slot(self, slot: int) -> None:
         req = self._slot_req[slot]
         toks, lps, ents = req["tokens"], req["lps"], req["ents"]
+        atts = req["atts"]
         if self.eos_id is not None and self.eos_id in toks:
             cut = toks.index(self.eos_id)
             toks, lps, ents = toks[:cut], lps[:cut], ents[:cut]
+            atts = atts[:cut]
         lps_arr = np.asarray(lps, np.float32)
         ents_arr = np.asarray(ents, np.float32)
         self._results[req["id"]] = {
@@ -754,6 +781,19 @@ class ContinuousBatchingEngine:
                 float(ents_arr.mean()) if len(toks) else float("nan")
             ),
         }
+        if self.collect_rauq:
+            from runia_core_tpu.llm.scores import rauq_uncertainty
+
+            # attention_weights entry i = attention of token i to its
+            # previous position; _get_recurent_attention drops the last
+            # token's entry (it is never consumed in the HF protocol).
+            self._results[req["id"]]["rauq"] = (
+                rauq_uncertainty(
+                    lps_arr, None, "original",
+                    attention_weights=np.stack(atts[: len(toks) - 1], -1),
+                )
+                if len(toks) >= 2 else float("nan")
+            )
         self._slot_req[slot] = None
 
     def submit(self, prompt_tokens: Sequence[int],
@@ -792,7 +832,7 @@ class ContinuousBatchingEngine:
         self._next_id += 1
         self._queue.append({
             "id": rid, "prompt": prompt, "tokens": [],
-            "lps": [], "ents": [],
+            "lps": [], "ents": [], "atts": [],
             "max_new": max_new,
         })
         return rid
@@ -823,7 +863,7 @@ class ContinuousBatchingEngine:
             if spec:
                 (self.cache, self.d_cache, self.step_logits, self.samp_logp,
                  self.slot_pos, self.active, self._key,
-                 (toks, lps, ents, emitted)) = chunk(
+                 (toks, lps, ents, atts, emitted)) = chunk(
                     self.params, self.draft_params, self.cache, self.d_cache,
                     self.step_logits, self.samp_logp, self.slot_pos,
                     self.kv_start, self.limit, self.active, self._key,
@@ -834,15 +874,17 @@ class ContinuousBatchingEngine:
                     -1, np.asarray(a).shape[1]
                 )
                 toks, lps, ents, emitted = map(flat, (toks, lps, ents, emitted))
+                atts = None  # not threaded through the speculative path
             else:
                 (self.cache, self.step_logits, self.slot_pos, self.active,
-                 self._key, (toks, lps, ents, emitted)) = chunk(
+                 self._key, (toks, lps, ents, atts, emitted)) = chunk(
                     self.params, self.cache, self.step_logits, self.slot_pos,
                     self.kv_start, self.limit, self.active, self._key,
                 )
                 toks = np.asarray(toks)          # (K, S)
                 lps = np.asarray(lps)
                 emitted = np.asarray(emitted)
+                atts = np.asarray(atts) if self.collect_rauq else None
             active_now = np.asarray(self.active)
             for slot in range(self.num_slots):
                 req = self._slot_req[slot]
@@ -854,6 +896,8 @@ class ContinuousBatchingEngine:
                         req["tokens"].append(int(toks[k, slot]))
                         req["lps"].append(float(lps[k, slot]))
                         req["ents"].append(float(ents[k, slot]))
+                        if atts is not None:
+                            req["atts"].append(atts[k, :, slot, :])
                 # Stream exactly what the final (EOS-stripped) result will
                 # contain: never yield at or past the first EOS.
                 visible = len(req["tokens"])

@@ -145,6 +145,41 @@ class TestServedUncertainty:
             np.testing.assert_allclose(res["generation_entropy"], want_ent,
                                        rtol=1e-4)
 
+    def test_in_loop_rauq_matches_offline_rauq(self, model_and_params,
+                                               prompts):
+        """collect_rauq accumulates each consumed token's previous-position
+        attention inside the decode scan; the finished request's RAUQ must
+        equal rauq_uncertainty applied to the full HF-shaped attentions of
+        the same greedy trace."""
+        from runia_core_tpu.llm.scores import rauq_uncertainty
+
+        model, params = model_and_params
+        gen = JaxGenerator(model, params, max_new_tokens=MAX_NEW)
+        eng = ContinuousBatchingEngine(
+            model, params, num_slots=2, max_ctx=64, max_new_tokens=MAX_NEW,
+            chunk_tokens=4, collect_rauq=True,
+        )
+        results = eng.generate_all(prompts[:3])
+        for p, res in zip(prompts[:3], results):
+            out = gen.generate(p, do_sample=False, output_attentions=True,
+                               output_hidden_states=False)
+            want = rauq_uncertainty(out["log_probs"], out["attentions"],
+                                    "original")
+            np.testing.assert_allclose(res["rauq"], want, rtol=1e-5,
+                                       atol=1e-6)
+
+    def test_rauq_with_draft_rejected(self, model_and_params):
+        model, params = model_and_params
+        draft = LlamaLM(vocab_size=VOCAB, num_layers=1, num_heads=2,
+                        num_kv_heads=1, d_model=16, hidden_dim=32,
+                        max_len=128)
+        dparams = draft.init(jax.random.key(3), np.zeros((1, 4), np.int32))
+        with pytest.raises(NotImplementedError, match="collect_rauq"):
+            ContinuousBatchingEngine(
+                model, params, prefill_chunk=8, collect_rauq=True,
+                draft_model=draft, draft_params=dparams,
+            )
+
     def test_zero_token_result_scores_are_nan(self, model_and_params,
                                               prompts):
         model, params = model_and_params
