@@ -536,10 +536,13 @@ class ContinuousBatchingEngine:
                 def draft_step(carry2, kj):
                     tok, dc, idx = carry2
                     lg, _, _, dc = draft.apply(dparams, tok[:, None], dc, idx)
-                    row = lg[:, 0, :] / temp
                     if do_sample:
+                        row = lg[:, 0, :] / temp
                         nxt = jax.random.categorical(kj, row, axis=-1)
                     else:
+                        # Greedy ignores temperature entirely (temp=0.0 is a
+                        # common greedy idiom; dividing would inf the row).
+                        row = lg[:, 0, :]
                         nxt = jnp.argmax(row, axis=-1)
                     nxt = nxt.astype(jnp.int32)
                     return (nxt, dc, idx + 1), (nxt, jax.nn.softmax(row))
@@ -884,6 +887,7 @@ class ContinuousBatchingEngine:
                 toks = np.asarray(toks)          # (K, S)
                 lps = np.asarray(lps)
                 emitted = np.asarray(emitted)
+                ents = np.asarray(ents)
                 atts = np.asarray(atts) if self.collect_rauq else None
             active_now = np.asarray(self.active)
             for slot in range(self.num_slots):
@@ -897,7 +901,9 @@ class ContinuousBatchingEngine:
                         req["lps"].append(float(lps[k, slot]))
                         req["ents"].append(float(ents[k, slot]))
                         if atts is not None:
-                            req["atts"].append(atts[k, :, slot, :])
+                            # copy: a view would pin the whole (K, L, S, H)
+                            # chunk buffer until the request finishes
+                            req["atts"].append(atts[k, :, slot, :].copy())
                 # Stream exactly what the final (EOS-stripped) result will
                 # contain: never yield at or past the first EOS.
                 visible = len(req["tokens"])
