@@ -160,13 +160,9 @@ class ContinuousBatchingEngine:
         # In-loop RAUQ: collect each consumed token's attention to the
         # previous position (the _get_recurent_attention signal) and score
         # the request at finish — hallucination detection per served
-        # response with zero extra forwards. Plain-engine only (the
-        # speculative verify path does not thread attention rows yet).
+        # response with zero extra forwards. In speculative mode the same
+        # signal is gathered from the verify forward's attention rows.
         self.collect_rauq = bool(collect_rauq)
-        if self.collect_rauq and draft_model is not None:
-            raise NotImplementedError(
-                "collect_rauq with speculative decoding is not supported"
-            )
         self._copy_row_fn = None
         self.prefix_hits = 0  # observability: admissions served from cache
         # Per-slot speculative decoding: a small draft model proposes gamma
@@ -503,6 +499,7 @@ class ContinuousBatchingEngine:
         model, draft = self.model, self.draft_model
         gamma, eos = self.gamma, self.eos_id
         do_sample, temp = self.do_sample, self.temperature
+        collect_rauq = self.collect_rauq
         # chunk_tokens keeps its "approx tokens per host sync" meaning.
         rounds = max(1, self.chunk_tokens // (gamma + 1))
 
@@ -555,9 +552,23 @@ class ContinuousBatchingEngine:
                 draft_probs = jnp.swapaxes(dprob_x[:gamma], 0, 1)
 
                 block = jnp.concatenate([tok0[:, None], proposals], axis=1)
-                lg, _, _, t_cache = model.apply(
+                lg, v_attn, _, t_cache = model.apply(
                     params, block, t_cache, slot_pos
                 )  # (S, gamma+1, V), vector clocks
+                if collect_rauq:
+                    # RAUQ signal from the verify forward: emission j's
+                    # query sits at clock+j and its previous position is
+                    # clock+j-1 — a per-(slot, j) column gather from the
+                    # (L, S, H, gamma+1, kv) attention stack.
+                    prev = jnp.maximum(
+                        slot_pos[:, None] + jnp.arange(gamma + 1)[None, :] - 1,
+                        0,
+                    )  # (S, gamma+1)
+                    att_prev = jnp.take_along_axis(
+                        v_attn, prev[None, :, None, :, None], axis=-1
+                    )[..., 0]  # (L, S, H, gamma+1)
+                else:
+                    att_prev = jnp.zeros((), jnp.float32)
                 logp = jax.nn.log_softmax(lg, axis=-1)
                 if do_sample:
                     # Leviathan rejection sampling, vectorized over slots:
@@ -646,7 +657,7 @@ class ContinuousBatchingEngine:
                 return (
                     (t_cache, d_cache, step_logits, samp_logp, slot_pos,
                      new_active),
-                    (emission, lps, ents, jnp.zeros((), jnp.float32), emit),
+                    (emission, lps, ents, att_prev, emit),
                 )
 
             rng_key, sub = jax.random.split(rng_key)
@@ -877,7 +888,13 @@ class ContinuousBatchingEngine:
                     -1, np.asarray(a).shape[1]
                 )
                 toks, lps, ents, emitted = map(flat, (toks, lps, ents, emitted))
-                atts = None  # not threaded through the speculative path
+                if self.collect_rauq:
+                    a = np.asarray(atts)  # (R, L, S, H, gamma+1)
+                    atts = np.transpose(a, (0, 4, 1, 2, 3)).reshape(
+                        -1, *a.shape[1:4]
+                    )  # (R*(gamma+1), L, S, H)
+                else:
+                    atts = None
             else:
                 (self.cache, self.step_logits, self.slot_pos, self.active,
                  self._key, (toks, lps, ents, atts, emitted)) = chunk(

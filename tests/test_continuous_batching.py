@@ -168,17 +168,32 @@ class TestServedUncertainty:
             np.testing.assert_allclose(res["rauq"], want, rtol=1e-5,
                                        atol=1e-6)
 
-    def test_rauq_with_draft_rejected(self, model_and_params):
+    def test_speculative_rauq_matches_offline_rauq(self, model_and_params,
+                                                   prompts):
+        """The verify forward's attention rows carry the same RAUQ signal
+        as sequential decode (batched queries see identical keys; only f32
+        reduction order differs)."""
+        from runia_core_tpu.llm.scores import rauq_uncertainty
+
         model, params = model_and_params
         draft = LlamaLM(vocab_size=VOCAB, num_layers=1, num_heads=2,
                         num_kv_heads=1, d_model=16, hidden_dim=32,
                         max_len=128)
         dparams = draft.init(jax.random.key(3), np.zeros((1, 4), np.int32))
-        with pytest.raises(NotImplementedError, match="collect_rauq"):
-            ContinuousBatchingEngine(
-                model, params, prefill_chunk=8, collect_rauq=True,
-                draft_model=draft, draft_params=dparams,
-            )
+        gen = JaxGenerator(model, params, max_new_tokens=MAX_NEW)
+        eng = ContinuousBatchingEngine(
+            model, params, num_slots=2, max_ctx=64, max_new_tokens=MAX_NEW,
+            chunk_tokens=8, prefill_chunk=8, collect_rauq=True,
+            draft_model=draft, draft_params=dparams, gamma=3,
+        )
+        results = eng.generate_all(prompts[:3])
+        for p, res in zip(prompts[:3], results):
+            out = gen.generate(p, do_sample=False, output_attentions=True,
+                               output_hidden_states=False)
+            want = rauq_uncertainty(out["log_probs"], out["attentions"],
+                                    "original")
+            np.testing.assert_allclose(res["rauq"], want, rtol=1e-4,
+                                       atol=1e-5)
 
     def test_zero_token_result_scores_are_nan(self, model_and_params,
                                               prompts):
