@@ -8,6 +8,7 @@ from runia_core_tpu.llm.attention import (
     _reconstruct_attention_matrix,
 )
 from runia_core_tpu.llm.continuous import ContinuousBatchingEngine
+from runia_core_tpu.llm.serve_uncertainty import serve_uncertainties
 from runia_core_tpu.llm.generate import JaxGenerator, run_generation, sample_logits
 from runia_core_tpu.llm.service import GenerationService
 from runia_core_tpu.llm.speculative import SpeculativeGenerator
@@ -49,6 +50,7 @@ __all__ = [
     "SpeculativeGenerator",
     "GenerationService",
     "ContinuousBatchingEngine",
+    "serve_uncertainties",
     "run_generation",
     "sample_logits",
     "StreamingAttentionAggregator",

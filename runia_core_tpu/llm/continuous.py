@@ -107,6 +107,7 @@ class ContinuousBatchingEngine:
         draft_params=None,
         gamma: int = 4,
         collect_rauq: bool = False,
+        rauq_alpha: float = 0.2,
     ):
         if getattr(model, "use_flash", False):
             # Flash prefill needs the plain causal case (no pad mask); the
@@ -163,6 +164,7 @@ class ContinuousBatchingEngine:
         # response with zero extra forwards. In speculative mode the same
         # signal is gathered from the verify forward's attention rows.
         self.collect_rauq = bool(collect_rauq)
+        self.rauq_alpha = float(rauq_alpha)
         self._copy_row_fn = None
         self.prefix_hits = 0  # observability: admissions served from cache
         # Per-slot speculative decoding: a small draft model proposes gamma
@@ -804,6 +806,7 @@ class ContinuousBatchingEngine:
             self._results[req["id"]]["rauq"] = (
                 rauq_uncertainty(
                     lps_arr, None, "original",
+                    alphas=[self.rauq_alpha],
                     attention_weights=np.stack(atts[: len(toks) - 1], -1),
                 )
                 if len(toks) >= 2 else float("nan")

@@ -1,0 +1,215 @@
+"""Batch uncertainty serving: ``compute_uncertainties`` semantics over the
+continuous batching engine.
+
+The reference scores ONE prompt per call through a blocking HF ``generate``
+(reference llm_uncertainty/scores.py:347-524). This module serves the same
+uncertainty surface for a BATCH of prompts through
+:class:`~runia_core_tpu.llm.continuous.ContinuousBatchingEngine`:
+
+  - the deterministic pass runs all prompts through one greedy engine
+    (RAUQ's attention signal gathered in-loop via ``collect_rauq``);
+  - the sampled pass submits each prompt ``num_samples`` times to a sampled
+    engine with automatic prefix caching ON — the N samples of a prompt
+    share its prefill through chunk-aligned KV row copies, so the sampled
+    pass costs ~one prefill per prompt instead of N;
+  - scores are computed with the SAME ``llm.scores`` functions the
+    single-prompt path dispatches to, so semantics are identical.
+
+Methods needing artifacts the engine does not stream stay on
+``compute_uncertainties``: ``eigen_score`` (hidden states) and RAUQ
+aggregations other than original/original (full attention history).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from runia_core_tpu.llm.continuous import ContinuousBatchingEngine
+from runia_core_tpu.llm.scores import (
+    normalized_entropy,
+    perplexity,
+    semantic_entropy,
+)
+
+__all__ = ["serve_uncertainties"]
+
+_SEQUENCE_METHODS = {
+    "perplexity": False,
+    "generation_entropy": False,
+    "RAUQ": False,
+    "normalized_entropy": True,
+    "semantic_entropy": True,
+}
+
+
+def _validate(requests: Sequence[dict]) -> Tuple[bool, bool, bool]:
+    """Fail before ANY decode work (compute_uncertainties' contract)."""
+    unknown = [
+        r["method_name"] for r in requests
+        if r["method_name"] not in _SEQUENCE_METHODS
+    ]
+    if unknown:
+        if "eigen_score" in unknown:
+            raise NotImplementedError(
+                "eigen_score needs per-layer hidden states, which the "
+                "engine does not stream; use compute_uncertainties"
+            )
+        raise KeyError(
+            f"unknown uncertainty method(s) {unknown}; valid: "
+            f"{sorted(_SEQUENCE_METHODS)}"
+        )
+    for r in requests:
+        if r["method_name"] == "RAUQ":
+            tok = r.get("token_aggregation", "original")
+            head = r.get("head_aggregation", "original")
+            if (tok, head) != ("original", "original"):
+                raise NotImplementedError(
+                    "engine-served RAUQ supports token_aggregation="
+                    "'original', head_aggregation='original' (the in-loop "
+                    f"signal); got ({tok!r}, {head!r}) — use "
+                    "compute_uncertainties for other aggregations"
+                )
+            if len(r.get("alphas", [0.3])) != 1 or r.get("ablation"):
+                raise NotImplementedError(
+                    "engine-served RAUQ scores one alpha per run; use "
+                    "compute_uncertainties for alpha ablations"
+                )
+    needs_sampling = any(
+        _SEQUENCE_METHODS[r["method_name"]] for r in requests
+    )
+    needs_rauq = any(r["method_name"] == "RAUQ" for r in requests)
+    needs_semantic = any(
+        r["method_name"] == "semantic_entropy" for r in requests
+    )
+    return needs_sampling, needs_rauq, needs_semantic
+
+
+def _make_engine(model, params, prompts, max_new_tokens, eos_id,
+                 collect_rauq, engine_kwargs, **mode):
+    kw = dict(
+        num_slots=8,
+        chunk_tokens=16,
+        prefill_chunk=64,
+        prefix_cache=True,
+    )
+    kw.update(engine_kwargs or {})
+    slack = kw.get("gamma", 4) + 1 if kw.get("draft_model") is not None else 0
+    if "max_ctx" not in kw:
+        c = kw["prefill_chunk"] or 1
+        need = max(len(p) for p in prompts) + max_new_tokens + slack
+        kw["max_ctx"] = -(-need // c) * c
+    return ContinuousBatchingEngine(
+        model, params, max_new_tokens=max_new_tokens, eos_id=eos_id,
+        collect_rauq=collect_rauq, **kw, **mode,
+    )
+
+
+def serve_uncertainties(
+    model,
+    params,
+    tokenizer,
+    prompts: Sequence[Sequence[int]],
+    uncertainty_requests: Sequence[dict],
+    num_samples: int = 10,
+    max_new_tokens: int = 64,
+    eos_id: Optional[int] = None,
+    temperature: float = 1.0,
+    entailment_model=None,
+    entailment_tokenizer=None,
+    engine_kwargs: Optional[dict] = None,
+) -> Tuple[List[Any], List[Dict[str, Any]]]:
+    """Score a BATCH of prompts with ``compute_uncertainties`` semantics.
+
+    Args:
+        model/params: a ``LlamaLM``-style model (the engine contract).
+        tokenizer: ``decode(List[int]) -> str`` or None (token-id lists are
+            then used as the "texts" — the pluggable-entailment test path).
+        prompts: token-id sequences.
+        uncertainty_requests: ``[{"method_name": ...}, ...]`` — perplexity,
+            generation_entropy, RAUQ (original/original), normalized_entropy,
+            semantic_entropy.
+        engine_kwargs: forwarded to both engines (slots, chunking, draft
+            model for speculative serving, ...).
+
+    Returns:
+        (deterministic_texts, scores): one decoded text and one score dict
+        per prompt, score keys matching ``compute_uncertainties``.
+    """
+    needs_sampling, needs_rauq, needs_semantic = _validate(
+        uncertainty_requests
+    )
+    if needs_semantic and entailment_model is None:
+        raise ValueError(
+            "semantic_entropy needs entailment_model (no implicit downloads)"
+        )
+
+    # the RAUQ dispatcher's default alpha (compute_uncertainties parity)
+    rauq_alpha = next(
+        (r.get("alphas", [0.3])[0] for r in uncertainty_requests
+         if r["method_name"] == "RAUQ"), 0.2,
+    )
+    det_engine = _make_engine(
+        model, params, prompts, max_new_tokens, eos_id, needs_rauq,
+        engine_kwargs, rauq_alpha=rauq_alpha,
+    )
+    det = det_engine.generate_all(prompts)
+
+    samp: List[List[dict]] = [[] for _ in prompts]
+    if needs_sampling:
+        s_engine = _make_engine(
+            model, params, prompts, max_new_tokens, eos_id, False,
+            engine_kwargs, do_sample=True, temperature=temperature,
+        )
+        # Interleave submissions so each prompt's duplicates land near each
+        # other: the first admission prefills, the rest hit the prefix
+        # cache (chunk-aligned full-prompt reuse).
+        ids = [
+            (i, s_engine.submit(p))
+            for i, p in enumerate(prompts)
+            for _ in range(num_samples)
+        ]
+        s_engine.run_until_drained()
+        for i, rid in ids:
+            samp[i].append(s_engine.result(rid))
+
+    decode = (lambda t: tokenizer.decode(t)) if tokenizer is not None else (
+        lambda t: list(t)
+    )
+    det_texts = [decode(r["tokens"]) for r in det]
+
+    scores: List[Dict[str, Any]] = []
+    for i, det_res in enumerate(det):
+        out: Dict[str, Any] = {}
+        for req in uncertainty_requests:
+            name = req["method_name"]
+            if name == "perplexity":
+                out[name] = perplexity(det_res["log_probs"])
+            elif name == "generation_entropy":
+                # computed in the decode loop; parity with
+                # scores.generation_entropy is test-pinned
+                out[name] = det_res["generation_entropy"]
+            elif name == "RAUQ":
+                out["RAUQ_original_original"] = det_res["rauq"]
+            elif name == "normalized_entropy":
+                lens = [len(r["log_probs"]) for r in samp[i]]
+                width = max(max(lens), 1)
+                lp = np.full((len(samp[i]), width), -np.inf, np.float32)
+                for j, r in enumerate(samp[i]):
+                    lp[j, : lens[j]] = r["log_probs"]
+                out[name] = normalized_entropy(lp)
+            elif name == "semantic_entropy":
+                texts = [decode(r["tokens"]) for r in samp[i]]
+                ent, clusters = semantic_entropy(
+                    entailment_model, entailment_tokenizer, texts
+                )
+                out[name] = ent
+                out["clusters"] = {
+                    (tuple(t) if isinstance(t, list) else t): c
+                    for c, idxs in clusters.items()
+                    for j in idxs
+                    for t in [texts[j]]
+                }
+        scores.append(out)
+    return det_texts, scores

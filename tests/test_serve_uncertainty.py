@@ -1,0 +1,124 @@
+"""Batch uncertainty serving (engine-backed compute_uncertainties).
+
+Deterministic scores must equal the single-prompt compute_uncertainties
+path on the same greedy traces; sampled scores are pinned through the
+near-zero-temperature collapse (all samples greedy => normalized entropy
+equals the deterministic per-token NLL, semantic entropy is one cluster).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+
+from runia_core_tpu.llm import JaxGenerator, serve_uncertainties
+from runia_core_tpu.llm.scores import compute_uncertainties
+from runia_core_tpu.models import LlamaLM
+
+VOCAB, MAX_NEW = 64, 8
+
+
+@pytest.fixture(scope="module")
+def model_and_params():
+    model = LlamaLM(vocab_size=VOCAB, num_layers=2, num_heads=4,
+                    num_kv_heads=2, d_model=32, hidden_dim=64, max_len=128)
+    params = model.init(jax.random.key(0), np.zeros((1, 8), np.int32))
+    return model, params
+
+
+@pytest.fixture(scope="module")
+def prompts():
+    rng = np.random.RandomState(17)
+    return [list(rng.randint(1, VOCAB, rng.randint(4, 14)))
+            for _ in range(5)]
+
+
+ENGINE_KW = dict(num_slots=2, chunk_tokens=4, prefill_chunk=8)
+
+
+class TestServeUncertainties:
+    def test_deterministic_scores_match_compute_uncertainties(
+        self, model_and_params, prompts
+    ):
+        model, params = model_and_params
+        gen = JaxGenerator(model, params, max_new_tokens=MAX_NEW)
+        requests = [
+            {"method_name": "perplexity"},
+            {"method_name": "generation_entropy"},
+            {"method_name": "RAUQ", "token_aggregation": "original",
+             "head_aggregation": "original"},
+        ]
+        texts, scores = serve_uncertainties(
+            model, params, None, prompts, requests,
+            max_new_tokens=MAX_NEW, engine_kwargs=ENGINE_KW,
+        )
+        for p, text, out in zip(prompts, texts, scores):
+            want_text, want = compute_uncertainties(
+                gen, None, p, requests, num_samples=1,
+            )
+            assert list(text) == list(want_text[0])
+            np.testing.assert_allclose(out["perplexity"],
+                                       want["perplexity"], rtol=1e-5)
+            np.testing.assert_allclose(out["generation_entropy"],
+                                       want["generation_entropy"], rtol=1e-4)
+            np.testing.assert_allclose(out["RAUQ_original_original"],
+                                       want["RAUQ_original_original"],
+                                       rtol=1e-4)
+
+    def test_sampled_scores_collapse_at_zero_temperature(
+        self, model_and_params, prompts
+    ):
+        """temperature -> 0: every sample is the greedy trace, so
+        normalized_entropy equals the deterministic mean NLL and semantic
+        entropy over identical texts is zero (one cluster)."""
+        model, params = model_and_params
+        same = lambda a, b: list(a) == list(b)
+        texts, scores = serve_uncertainties(
+            model, params, None, prompts[:3],
+            [{"method_name": "normalized_entropy"},
+             {"method_name": "semantic_entropy"},
+             {"method_name": "perplexity"}],
+            num_samples=3, max_new_tokens=MAX_NEW, temperature=1e-4,
+            entailment_model=same, engine_kwargs=ENGINE_KW,
+        )
+        for out in scores:
+            np.testing.assert_allclose(out["normalized_entropy"],
+                                       out["perplexity"], rtol=1e-4)
+            assert out["semantic_entropy"] == 0.0
+            assert len(set(out["clusters"].values())) == 1
+
+    def test_sampled_pass_hits_the_prefix_cache(self, model_and_params,
+                                                prompts):
+        """The N samples of each prompt must share its prefill (the whole
+        point of engine-backed sampling)."""
+        model, params = model_and_params
+        from runia_core_tpu.llm.serve_uncertainty import _make_engine
+
+        # prompts must span at least one full prefill chunk (8) for a
+        # chunk-aligned prefix to be reusable
+        rng = np.random.RandomState(3)
+        long_prompts = [list(rng.randint(1, VOCAB, 24)) for _ in range(2)]
+        eng = _make_engine(model, params, long_prompts, MAX_NEW, None, False,
+                           ENGINE_KW, do_sample=True, temperature=0.8)
+        for p in long_prompts:
+            for _ in range(3):
+                eng.submit(p)
+        eng.run_until_drained()
+        assert eng.prefix_hits >= 3, eng.prefix_hits
+
+    def test_validation_fails_fast(self, model_and_params, prompts):
+        model, params = model_and_params
+        with pytest.raises(NotImplementedError, match="eigen_score"):
+            serve_uncertainties(model, params, None, prompts,
+                                [{"method_name": "eigen_score"}])
+        with pytest.raises(NotImplementedError, match="aggregations"):
+            serve_uncertainties(
+                model, params, None, prompts,
+                [{"method_name": "RAUQ", "head_aggregation": "rollout"}],
+            )
+        with pytest.raises(KeyError, match="unknown"):
+            serve_uncertainties(model, params, None, prompts,
+                                [{"method_name": "nope"}])
+        with pytest.raises(ValueError, match="entailment"):
+            serve_uncertainties(model, params, None, prompts,
+                                [{"method_name": "semantic_entropy"}])
