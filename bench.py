@@ -519,6 +519,11 @@ def run_suite():
     # Iteration aid over the tunneled TPU: RUNIA_BENCH_LEGS="prefix,prefix"
     # runs only matching legs (substring match); unset runs everything.
     only = [s for s in os.environ.get("RUNIA_BENCH_LEGS", "").split(",") if s]
+    # Global wall budget: once exceeded, remaining legs are SKIPPED with a
+    # marker instead of risking an external timeout killing the process
+    # before the one JSON line prints (the driver contract).
+    budget_s = float(os.environ.get("RUNIA_BENCH_BUDGET_S", 3000))
+    t_start = time.perf_counter()
 
     def leg(metric, unit, fn, extra_key=None):
         """Run one benchmark; fn returns (value, tflops, third). ``third``
@@ -526,6 +531,12 @@ def run_suite():
         is a dict — merged into the entry verbatim (e.g. the decode legs'
         {"hbm_gbs", "hbm_util"})."""
         if only and not any(s in metric for s in only):
+            return None
+        if time.perf_counter() - t_start > budget_s:
+            print(f"bench: skipping {metric} (over {budget_s:.0f}s budget)",
+                  file=sys.stderr, flush=True)
+            suite.append({"metric": metric, "value": None, "unit": unit,
+                          "skipped": f"over {budget_s:.0f}s time budget"})
             return None
         print(f"bench: running {metric} ...", file=sys.stderr, flush=True)
         try:
