@@ -57,6 +57,36 @@ def run_jax_demo(num_samples: int):
     )
 
 
+def run_serving_uncertainty_demo():
+    """Serving path: a BATCH of prompts scored through the continuous
+    batching engine — deterministic scores from a greedy engine (RAUQ
+    gathered in the decode loop) and the sampled passes sharing each
+    prompt's prefill via the prefix cache."""
+    from runia_core_tpu.llm import serve_uncertainties
+    from runia_core_tpu.models import LlamaLM
+
+    model = LlamaLM(vocab_size=512, num_layers=2, num_heads=4,
+                    num_kv_heads=2, d_model=64, hidden_dim=128, max_len=256)
+    params = jax.jit(model.init)(jax.random.key(0), np.zeros((1, 8), np.int32))
+    rng = np.random.RandomState(4)
+    prompts = [list(rng.randint(1, 512, rng.randint(6, 20)))
+               for _ in range(4)]
+    texts, scores = serve_uncertainties(
+        model, params, None, prompts,
+        [{"method_name": "perplexity"},
+         {"method_name": "RAUQ", "token_aggregation": "original",
+          "head_aggregation": "original"},
+         {"method_name": "normalized_entropy"}],
+        num_samples=4, max_new_tokens=12, temperature=0.9,
+        engine_kwargs=dict(num_slots=4, prefill_chunk=8, chunk_tokens=8),
+    )
+    print("Batch uncertainty serving over", len(prompts), "prompts:")
+    for i, out in enumerate(scores):
+        print(f"  prompt {i}: ppl={out['perplexity']:.3f} "
+              f"rauq={out['RAUQ_original_original']:.3f} "
+              f"norm_ent={out['normalized_entropy']:.3f}")
+
+
 def run_batched_rauq_demo():
     """Throughput path: many prompts in ONE fused decode, RAUQ from the
     on-device prev-token attention taps."""
@@ -129,6 +159,7 @@ def main():
         print(f"  {name}: {value}")
     if not args.hf_model:
         run_batched_rauq_demo()
+        run_serving_uncertainty_demo()
 
 
 if __name__ == "__main__":
