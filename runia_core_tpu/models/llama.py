@@ -297,18 +297,26 @@ class _LlamaBlock(nn.Module):
             jax.nn.one_hot(topi, e, dtype=jnp.float32) * topv[..., None],
             axis=1,
         ).astype(self.dtype)
-        w_gate = self.param(
-            "w_gate", nn.initializers.lecun_normal(),
-            (e, d, self.hidden_dim), self.dtype,
-        )
-        w_up = self.param(
-            "w_up", nn.initializers.lecun_normal(),
-            (e, d, self.hidden_dim), self.dtype,
-        )
-        w_down = self.param(
-            "w_down", nn.initializers.lecun_normal(),
-            (e, self.hidden_dim, d), self.dtype,
-        )
+        def expert_stack(name, shape):
+            """(E, in, out) expert tensor; quantized mode stores int8 with
+            one f32 scale per (expert, out-channel), dequantized into the
+            einsum dtype (the QDense recipe on the stacked layout)."""
+            if not self.quantized:
+                return self.param(
+                    name, nn.initializers.lecun_normal(), shape, self.dtype
+                )
+            q = self.param(
+                name + "_q", nn.initializers.zeros_init(), shape, jnp.int8
+            )
+            scale = self.param(
+                name + "_scale", nn.initializers.ones_init(),
+                (shape[0], shape[2]), jnp.float32,
+            )
+            return q.astype(self.dtype) * scale[:, None, :].astype(self.dtype)
+
+        w_gate = expert_stack("w_gate", (e, d, self.hidden_dim))
+        w_up = expert_stack("w_up", (e, d, self.hidden_dim))
+        w_down = expert_stack("w_down", (e, self.hidden_dim, d))
         hg = jnp.einsum("td,edh->teh", flat, w_gate)
         hu = jnp.einsum("td,edh->teh", flat, w_up)
         act = nn.silu(hg) if self.mlp_act == "silu" else nn.gelu(
@@ -720,7 +728,7 @@ def convert_hf_gemma(hf_model, max_len: Optional[int] = None,
 
 def convert_hf_mixtral(hf_model, max_len: Optional[int] = None,
                        dtype=jnp.float32, use_flash: bool = False,
-                       quantize_kv: bool = False):
+                       quantize: bool = False, quantize_kv: bool = False):
     """Map a ``transformers.MixtralForCausalLM`` onto (LlamaLM, params).
 
     Mixtral is the Mistral attention stack with every MLP replaced by a
@@ -732,9 +740,11 @@ def convert_hf_mixtral(hf_model, max_len: Optional[int] = None,
     einsums (see ``_LlamaBlock._moe_ffn``). Logits parity vs the torch
     forward is pinned by tests/test_llama.py::TestMixtralFamily.
 
-    Weight-only int8 (``quantize=``) is not wired for the stacked expert
-    tensors; ``quantize_kv`` (int8 KV cache) works unchanged — the MoE swap
-    touches only the FFN.
+    ``quantize=True`` stores the attention projections, lm_head, AND the
+    stacked expert tensors int8 (per-(expert, out-channel) scales — the
+    QDense recipe on the (E, in, out) layout; the router stays full
+    precision, routing is tiny and precision-sensitive); ``quantize_kv``
+    adds the int8 KV cache.
     """
     cfg = hf_model.config
     if getattr(cfg, "hidden_act", "silu") != "silu":
@@ -762,6 +772,7 @@ def convert_hf_mixtral(hf_model, max_len: Optional[int] = None,
         tie_embeddings=bool(cfg.tie_word_embeddings),
         dtype=dtype,
         use_flash=use_flash,
+        quantized=quantize,
         quantized_kv=quantize_kv,
         sliding_window=window,
         num_experts=int(cfg.num_local_experts),
@@ -793,10 +804,14 @@ def convert_hf_mixtral(hf_model, max_len: Optional[int] = None,
         }
     if not model.tie_embeddings:
         p["lm_head"] = {"kernel": _t(hf_model.lm_head.weight, wd)}
-    return model, {"params": p}
+    params = {"params": p}
+    if quantize:
+        params = quantize_llama_params(params)
+    return model, params
 
 
 _QUANT_KERNELS = {"q", "k", "v", "o", "gate", "up", "down", "lm_head"}
+_EXPERT_STACKS = {"w_gate", "w_up", "w_down"}  # Mixtral (E, in, out) tensors
 
 
 def quantize_llama_params(params, on_device: bool = False):
@@ -826,7 +841,22 @@ def quantize_llama_params(params, on_device: bool = False):
         q = jnp.clip(jnp.round(w / scale[None, :]), -127, 127).astype(jnp.int8)
         return q, scale
 
-    def quantize_subtree(tree, qfn):
+    def q3_host(w):
+        # (E, in, out) expert stack: one scale per (expert, out-channel)
+        w = np.asarray(w, dtype=np.float32)
+        scale = np.maximum(np.abs(w).max(axis=1), 1e-12) / 127.0  # (E, out)
+        q = np.clip(np.round(w / scale[:, None, :]), -127, 127).astype(np.int8)
+        return q, scale.astype(np.float32)
+
+    def q3_dev(w):
+        w = w.astype(jnp.float32)
+        scale = jnp.maximum(jnp.abs(w).max(axis=1), 1e-12) / 127.0
+        q = jnp.clip(
+            jnp.round(w / scale[:, None, :]), -127, 127
+        ).astype(jnp.int8)
+        return q, scale
+
+    def quantize_subtree(tree, qfn, q3fn):
         out = {}
         for name, sub in tree.items():
             if name in _QUANT_KERNELS and isinstance(sub, dict) and "kernel" in sub:
@@ -834,13 +864,17 @@ def quantize_llama_params(params, on_device: bool = False):
                 # non-kernel leaves (q/k/v biases) pass through untouched
                 rest = {k: v for k, v in sub.items() if k != "kernel"}
                 out[name] = {"kernel_q": kernel_q, "scale": scale, **rest}
+            elif name in _EXPERT_STACKS and not isinstance(sub, dict):
+                q, scale = q3fn(sub)
+                out[name + "_q"] = q
+                out[name + "_scale"] = scale
             elif isinstance(sub, dict):
-                out[name] = quantize_subtree(sub, qfn)
+                out[name] = quantize_subtree(sub, qfn, q3fn)
             else:
                 out[name] = sub
         return out
 
     if on_device:
-        quantize = jax.jit(lambda p: quantize_subtree(p, q_dev))
+        quantize = jax.jit(lambda p: quantize_subtree(p, q_dev, q3_dev))
         return {"params": quantize(params["params"])}
-    return {"params": quantize_subtree(params["params"], q_host)}
+    return {"params": quantize_subtree(params["params"], q_host, q3_host)}

@@ -56,10 +56,15 @@ def llama_tp_specs(params, axis: str = "model"):
         # w_down row-parallel (same f/g all-reduce points as the dense MLP);
         # the router stays replicated (tiny, and every shard needs all
         # gate probabilities).
-        if leaf_name in ("w_gate", "w_up"):
+        if leaf_name in ("w_gate", "w_up", "w_gate_q", "w_up_q"):
             return P(None, None, axis)
-        if leaf_name == "w_down":
+        if leaf_name in ("w_down", "w_down_q"):
             return P(None, axis, None)
+        # int8 expert scales are per-(expert, out-channel): column-parallel
+        # stacks shard the out dim with their kernel; the row-parallel
+        # w_down's out dim (d_model) is replicated, so its scale is too.
+        if leaf_name in ("w_gate_scale", "w_up_scale"):
+            return P(None, axis)
         # Embedding table vocab-sharded (Megatron): large-vocab checkpoints
         # are exactly the ones TP exists to serve; XLA partitions the
         # lookup (and the tied lm_head matmul) across the vocab shards.

@@ -241,6 +241,38 @@ class TestTensorParallel:
         got, *_ = jax.jit(lambda pr, t: model.apply(pr, t))(sharded, tokens)
         np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
 
+    def test_quantized_moe_expert_tensors_shard_and_match(self):
+        """int8 expert stacks shard like their f32 layout (scales follow
+        the out dim of column-parallel stacks) and the TP forward equals
+        the unsharded quantized forward."""
+        from jax.sharding import Mesh, PartitionSpec
+        from runia_core_tpu.models.llama import quantize_llama_params
+        from runia_core_tpu.parallel import llama_tp_specs, shard_llama_params
+
+        model = LlamaLM(
+            vocab_size=64, num_layers=1, num_heads=4, num_kv_heads=2,
+            d_model=32, hidden_dim=64, max_len=32, num_experts=4,
+        )
+        rng = np.random.RandomState(8)
+        tokens = jnp.asarray(rng.randint(0, 64, (2, 7)))
+        params = model.init(jax.random.key(6), tokens)
+        qmodel = model.clone(quantized=True)
+        qparams = quantize_llama_params(params)
+        want, *_ = qmodel.apply(qparams, tokens)
+
+        specs = llama_tp_specs(qparams)
+        blk = specs["params"]["block_0"]
+        assert blk["w_gate_q"] == PartitionSpec(None, None, "model")
+        assert blk["w_gate_scale"] == PartitionSpec(None, "model")
+        assert blk["w_down_q"] == PartitionSpec(None, "model", None)
+        assert blk["w_down_scale"] == PartitionSpec()
+
+        mesh = Mesh(np.array(jax.devices()[:8]).reshape(8), ("model",))
+        sharded = shard_llama_params(qparams, mesh)
+        got, *_ = jax.jit(lambda pr, t: qmodel.apply(pr, t))(sharded, tokens)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=1e-5)
+
     def test_sharded_decode_via_generator(self):
         from jax.sharding import Mesh
         from runia_core_tpu.llm.generate import JaxGenerator
@@ -720,6 +752,39 @@ class TestMixtralFamily:
                 torch.tensor([prompt]), max_new_tokens=6, do_sample=False,
             )[0].numpy()
         np.testing.assert_array_equal(np.asarray(ours), hf_out)
+
+    def test_int8_conversion_tracks_f32(self, mixtral):
+        """quantize=True stores attention + expert stacks int8 (per-
+        (expert, out-channel) scales); logits must track the f32 converter
+        within per-channel int8 rounding error and greedy decode must stay
+        on the same trace for this model."""
+        from runia_core_tpu.llm.generate import JaxGenerator
+        from runia_core_tpu.models import convert_hf_mixtral
+
+        model_q, params_q = convert_hf_mixtral(mixtral, quantize=True)
+        assert model_q.quantized
+        blk = params_q["params"]["block_0"]
+        assert blk["w_gate_q"].dtype == jnp.int8
+        assert blk["w_gate_scale"].shape == (4, 64)
+        assert blk["w_down_scale"].shape == (4, 32)
+        assert "router" in blk and "kernel" in blk["router"]  # full precision
+
+        model_f, params_f = convert_hf_mixtral(mixtral)
+        toks = np.random.RandomState(2).randint(1, 96, (2, 10))
+        got_q, *_ = model_q.apply(params_q, jnp.asarray(toks))
+        got_f, *_ = model_f.apply(params_f, jnp.asarray(toks))
+        corr = np.corrcoef(np.asarray(got_q).ravel(),
+                           np.asarray(got_f).ravel())[0, 1]
+        assert corr > 0.999, corr
+
+        gen_q = JaxGenerator(model_q, params_q, max_new_tokens=5)
+        gen_f = JaxGenerator(model_f, params_f, max_new_tokens=5)
+        kw = dict(do_sample=False, output_attentions=False,
+                  output_hidden_states=False)
+        np.testing.assert_array_equal(
+            gen_q.generate([5, 9, 2], **kw)["sequences"],
+            gen_f.generate([5, 9, 2], **kw)["sequences"],
+        )
 
     def test_routing_is_sparse(self, mixtral):
         """Exactly top-k experts get nonzero routing weight per token: zero
