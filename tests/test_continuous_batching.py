@@ -403,6 +403,28 @@ class TestSpeculativeEngine:
             )
 
 
+class TestSlidingWindowServing:
+    def test_windowed_model_serves_token_identically(self):
+        """Mistral-style uniform sliding windows ride the per-slot physical
+        clocks (distance == logical offset in both engine layouts)."""
+        model = LlamaLM(vocab_size=VOCAB, num_layers=2, num_heads=4,
+                        num_kv_heads=2, d_model=32, hidden_dim=64,
+                        max_len=128, sliding_window=6)
+        params = model.init(jax.random.key(5), np.zeros((1, 8), np.int32))
+        rng = np.random.RandomState(13)
+        batch = [list(rng.randint(1, VOCAB, rng.randint(3, 20)))
+                 for _ in range(4)]
+        ref = reference_outputs(model, params, batch, eos_id=None)
+        for extra in ({}, {"prefill_chunk": 8, "prefix_cache": True}):
+            eng = ContinuousBatchingEngine(
+                model, params, num_slots=2, max_ctx=64,
+                max_new_tokens=MAX_NEW, chunk_tokens=4, **extra,
+            )
+            results = eng.generate_all(batch)
+            for i, ((ref_toks, _), res) in enumerate(zip(ref, results)):
+                assert res["tokens"] == ref_toks, (extra, i)
+
+
 class TestStreaming:
     def test_stream_increments_equal_final_results(self, model_and_params,
                                                    prompts):
