@@ -403,6 +403,47 @@ class TestSpeculativeEngine:
             )
 
 
+class TestRandomizedConfigSweep:
+    def test_random_workloads_stay_token_identical(self, model_and_params):
+        """Property sweep: random prompt mixes, budgets, and feature
+        combinations (chunked prefill, prefix cache, speculative) must all
+        reproduce the single-prompt greedy reference exactly."""
+        model, params = model_and_params
+        draft = LlamaLM(vocab_size=VOCAB, num_layers=1, num_heads=2,
+                        num_kv_heads=1, d_model=16, hidden_dim=32,
+                        max_len=128)
+        dparams = draft.init(jax.random.key(8), np.zeros((1, 4), np.int32))
+        configs = [
+            dict(num_slots=3, chunk_tokens=5),
+            dict(num_slots=2, chunk_tokens=7, prefill_chunk=4,
+                 prefix_cache=True),
+            dict(num_slots=2, chunk_tokens=9, prefill_chunk=8,
+                 prefix_cache=True, draft_model=draft, draft_params=dparams,
+                 gamma=2),
+        ]
+        for seed, cfg in enumerate(configs):
+            rng = np.random.RandomState(100 + seed)
+            shared = list(rng.randint(1, VOCAB, 9))
+            batch = []
+            for _ in range(6):
+                if rng.rand() < 0.4:
+                    batch.append(shared + list(
+                        rng.randint(1, VOCAB, rng.randint(1, 8))))
+                else:
+                    batch.append(list(
+                        rng.randint(1, VOCAB, rng.randint(2, 24))))
+            budgets = rng.randint(1, MAX_NEW + 1, len(batch))
+            ref = reference_outputs(model, params, batch, eos_id=None)
+            eng = ContinuousBatchingEngine(
+                model, params, max_ctx=64, max_new_tokens=MAX_NEW, **cfg,
+            )
+            ids = [eng.submit(p, max_new_tokens=int(b))
+                   for p, b in zip(batch, budgets)]
+            eng.run_until_drained()
+            for rid, (ref_toks, _), b in zip(ids, ref, budgets):
+                assert eng.result(rid)["tokens"] == ref_toks[:b], (seed, rid)
+
+
 class TestSlidingWindowServing:
     def test_windowed_model_serves_token_identically(self):
         """Mistral-style uniform sliding windows ride the per-slot physical
