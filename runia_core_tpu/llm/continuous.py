@@ -358,11 +358,14 @@ class ContinuousBatchingEngine:
         self._copy_row_fn = copy_row
         return copy_row
 
-    def _best_prefix(self, prompt: list) -> tuple:
+    def _best_prefix(self, prompt: list, ignore_avail: bool = False) -> tuple:
         """(slot, chunk-aligned shared-prefix length) of the best resident
         match, or (None, 0). Only complete chunks are reusable (suffix
         prefill writes chunk-aligned), and at least one full chunk must
-        match for the copy to pay for itself."""
+        match for the copy to pay for itself. ``ignore_avail`` scores the
+        POTENTIAL match (what the donor will offer once its prefill
+        finishes) — the admission scheduler uses it to decide whether
+        waiting beats prefilling from scratch."""
         C = self.prefill_chunk
         best_slot, best_len = None, 0
         for slot, resident in enumerate(self._slot_prompt):
@@ -374,7 +377,7 @@ class ContinuousBatchingEngine:
             src_req = self._slot_req[slot]
             avail = (
                 src_req["write_pos"]
-                if src_req is not None
+                if not ignore_avail and src_req is not None
                 and not src_req.get("prefill_done", True)
                 else len(resident)
             )
@@ -695,6 +698,16 @@ class ContinuousBatchingEngine:
                 req["prefill_done"] = False
                 if self.prefix_cache:
                     src, n = self._best_prefix(req["prompt"])
+                    pot = self._best_prefix(req["prompt"],
+                                            ignore_avail=True)[1]
+                    if pot > n:
+                        # A better donor is still mid-prefill (e.g. the
+                        # first of N duplicate submissions): requeue and
+                        # wait a round rather than prefilling from scratch
+                        # — the donor advances one chunk per scheduler
+                        # iteration, so this converges.
+                        self._queue.appendleft(req)
+                        break
                     if n > 0:
                         if src != slot:
                             self.cache = self._copy_row()(

@@ -60,22 +60,33 @@ def _validate(requests: Sequence[dict]) -> Tuple[bool, bool, bool]:
             f"unknown uncertainty method(s) {unknown}; valid: "
             f"{sorted(_SEQUENCE_METHODS)}"
         )
+    rauq_alphas = set()
     for r in requests:
         if r["method_name"] == "RAUQ":
-            tok = r.get("token_aggregation", "original")
-            head = r.get("head_aggregation", "original")
+            # The SAME defaults as compute_uncertainties' dispatch
+            # (mean_all_tokens/rollout) — a bare RAUQ request must raise
+            # here, not silently compute a different aggregation under a
+            # different key.
+            tok = r.get("token_aggregation", "mean_all_tokens")
+            head = r.get("head_aggregation", "rollout")
             if (tok, head) != ("original", "original"):
                 raise NotImplementedError(
                     "engine-served RAUQ supports token_aggregation="
                     "'original', head_aggregation='original' (the in-loop "
-                    f"signal); got ({tok!r}, {head!r}) — use "
-                    "compute_uncertainties for other aggregations"
+                    f"signal); got ({tok!r}, {head!r}) — pass them "
+                    "explicitly, or use compute_uncertainties for other "
+                    "aggregations"
                 )
             if len(r.get("alphas", [0.3])) != 1 or r.get("ablation"):
                 raise NotImplementedError(
                     "engine-served RAUQ scores one alpha per run; use "
                     "compute_uncertainties for alpha ablations"
                 )
+            rauq_alphas.add(float(r.get("alphas", [0.3])[0]))
+    if len(rauq_alphas) > 1:
+        raise NotImplementedError(
+            f"engine-served RAUQ uses one in-loop alpha; got {sorted(rauq_alphas)}"
+        )
     needs_sampling = any(
         _SEQUENCE_METHODS[r["method_name"]] for r in requests
     )
@@ -92,14 +103,23 @@ def _make_engine(model, params, prompts, max_new_tokens, eos_id,
         num_slots=8,
         chunk_tokens=16,
         prefill_chunk=64,
-        prefix_cache=True,
     )
     kw.update(engine_kwargs or {})
+    # prefix caching requires chunked prefill; default it accordingly so
+    # engine_kwargs={"prefill_chunk": None} selects the bucketed path
+    # without also having to know to disable the cache.
+    kw.setdefault("prefix_cache", bool(kw["prefill_chunk"]))
     slack = kw.get("gamma", 4) + 1 if kw.get("draft_model") is not None else 0
     if "max_ctx" not in kw:
-        c = kw["prefill_chunk"] or 1
-        need = max(len(p) for p in prompts) + max_new_tokens + slack
-        kw["max_ctx"] = -(-need // c) * c
+        max_p = max(len(p) for p in prompts)
+        if kw["prefill_chunk"]:
+            c = kw["prefill_chunk"]
+            kw["max_ctx"] = -(-(max_p + max_new_tokens + slack) // c) * c
+        else:
+            # the bucketed path validates against the PADDED prompt length
+            bucket = kw.get("prompt_bucket", 16)
+            p_pad = -(-max(max_p, 1) // bucket) * bucket
+            kw["max_ctx"] = p_pad + max_new_tokens + slack
     return ContinuousBatchingEngine(
         model, params, max_new_tokens=max_new_tokens, eos_id=eos_id,
         collect_rauq=collect_rauq, **kw, **mode,
@@ -145,9 +165,10 @@ def serve_uncertainties(
             "semantic_entropy needs entailment_model (no implicit downloads)"
         )
 
-    # the RAUQ dispatcher's default alpha (compute_uncertainties parity)
+    # the RAUQ dispatcher's default alpha (compute_uncertainties parity;
+    # _validate guarantees all RAUQ requests agree on one alpha)
     rauq_alpha = next(
-        (r.get("alphas", [0.3])[0] for r in uncertainty_requests
+        (float(r.get("alphas", [0.3])[0]) for r in uncertainty_requests
          if r["method_name"] == "RAUQ"), 0.2,
     )
     det_engine = _make_engine(

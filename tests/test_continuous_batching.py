@@ -575,6 +575,24 @@ class TestPrefixCache:
             assert res["tokens"] == ref_toks
         assert eng.prefix_hits == 1  # second admission hit its own slot
 
+    def test_first_wave_duplicates_wait_for_their_donor(self,
+                                                        model_and_params):
+        """N duplicates submitted together: the scheduler defers the
+        copies until the first admission's prefill advances, so every
+        duplicate hits the cache instead of prefilling from scratch."""
+        model, params = model_and_params
+        rng = np.random.RandomState(31)
+        prompt = list(rng.randint(1, VOCAB, 26))
+        ref = reference_outputs(model, params, [prompt], eos_id=None)[0][0]
+        eng = ContinuousBatchingEngine(
+            model, params, num_slots=4, max_ctx=64, max_new_tokens=MAX_NEW,
+            chunk_tokens=4, prefill_chunk=8, prefix_cache=True,
+        )
+        results = eng.generate_all([prompt] * 4)
+        assert eng.prefix_hits == 3, eng.prefix_hits
+        for res in results:
+            assert res["tokens"] == ref
+
     def test_disjoint_prompts_never_hit(self, model_and_params, prompts):
         model, params = model_and_params
         rng = np.random.RandomState(23)
