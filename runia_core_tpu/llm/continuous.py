@@ -167,6 +167,15 @@ class ContinuousBatchingEngine:
         self.rauq_alpha = float(rauq_alpha)
         self._copy_row_fn = None
         self.prefix_hits = 0  # observability: admissions served from cache
+        # Serving observability (host counters, zero device cost): see
+        # stats().
+        self._stats = {
+            "requests_finished": 0,
+            "tokens_emitted": 0,
+            "decode_chunks": 0,
+            "prefill_chunks": 0,
+            "deferred_admissions": 0,
+        }
         # Per-slot speculative decoding: a small draft model proposes gamma
         # tokens per slot, one (S, gamma+1) target forward verifies them,
         # and every slot advances by its own acceptance count on the vector
@@ -707,6 +716,7 @@ class ContinuousBatchingEngine:
                         # — the donor advances one chunk per scheduler
                         # iteration, so this converges.
                         self._queue.appendleft(req)
+                        self._stats["deferred_admissions"] += 1
                         break
                     if n > 0:
                         if src != slot:
@@ -775,6 +785,7 @@ class ContinuousBatchingEngine:
                 jnp.int32(len(take) - 1), jnp.asarray(is_last),
             )
             req["write_pos"] += len(take)
+            self._stats["prefill_chunks"] += 1
             # Park the decode clock at the next write position (chunk
             # boundary mid-prefill; the true next-token slot once done).
             self.slot_pos = self.slot_pos.at[slot].set(req["write_pos"])
@@ -810,6 +821,7 @@ class ContinuousBatchingEngine:
                 float(ents_arr.mean()) if len(toks) else float("nan")
             ),
         }
+        self._stats["requests_finished"] += 1
         if self.collect_rauq:
             from runia_core_tpu.llm.scores import rauq_uncertainty
 
@@ -923,6 +935,8 @@ class ContinuousBatchingEngine:
                 ents = np.asarray(ents)
                 atts = np.asarray(atts) if self.collect_rauq else None
             active_now = np.asarray(self.active)
+            self._stats["decode_chunks"] += 1
+            self._stats["tokens_emitted"] += int(emitted.sum())
             for slot in range(self.num_slots):
                 req = self._slot_req[slot]
                 if req is None or not req.get("prefill_done", True):
@@ -952,6 +966,13 @@ class ContinuousBatchingEngine:
                     self.active = self.active.at[slot].set(False)
                     self._finish_slot(slot)
             self._refill()
+
+    def stats(self) -> dict:
+        """Serving counters (host-side, zero device cost): requests
+        finished, tokens emitted, decode/prefill chunk program launches,
+        prefix-cache hits, and admissions deferred for a mid-prefill
+        donor. Cumulative over the engine's lifetime."""
+        return {**self._stats, "prefix_hits": self.prefix_hits}
 
     def result(self, request_id: int) -> dict:
         return self._results[request_id]

@@ -656,6 +656,19 @@ class TestPerRequestBudget:
             res = eng.result(rid)
             assert res["tokens"] == ref_toks[:budget]
 
+    def test_stats_counters(self, model_and_params, prompts):
+        model, params = model_and_params
+        eng = ContinuousBatchingEngine(
+            model, params, num_slots=2, max_ctx=64, max_new_tokens=MAX_NEW,
+            chunk_tokens=4, prefill_chunk=8, prefix_cache=True,
+        )
+        eng.generate_all([prompts[0], prompts[0], prompts[1]])
+        st = eng.stats()
+        assert st["requests_finished"] == 3
+        assert st["tokens_emitted"] == 3 * MAX_NEW
+        assert st["decode_chunks"] > 0 and st["prefill_chunks"] > 0
+        assert st["prefix_hits"] == (1 if len(prompts[0]) > 8 else 0)
+
     def test_zero_budget_returns_empty(self, model_and_params, prompts):
         """max_new_tokens=0 means zero tokens — not the engine default
         (regression: the falsy-or in submit once swapped 0 for the default)."""
