@@ -98,20 +98,25 @@ class JaxGenerator:
         # prompt attention rows, so it is only used when the caller did not
         # ask for attentions; other models keep the plain signature.
         self._flash_model = bool(getattr(model, "use_flash", False))
+        # Params are explicit jit ARGUMENTS everywhere (never closure
+        # captures): a closed-over param tree is lowered into every compiled
+        # program as HLO constants — at production model sizes that is
+        # gigabytes of literals duplicated per program, and JAX warns
+        # ("large amount of constants were captured during lowering").
         self._prefill = jax.jit(
-            lambda tokens, cache: model.apply(params, tokens, cache, jnp.int32(0))
+            lambda p_, tokens, cache: model.apply(p_, tokens, cache, jnp.int32(0))
         )
         self._prefill_fast = (
             jax.jit(
-                lambda tokens, cache: model.apply(
-                    params, tokens, cache, jnp.int32(0), assume_prefill=True
+                lambda p_, tokens, cache: model.apply(
+                    p_, tokens, cache, jnp.int32(0), assume_prefill=True
                 )
             )
             if self._flash_model
             else self._prefill
         )
         self._step = jax.jit(
-            lambda tokens, cache, idx: model.apply(params, tokens, cache, idx)
+            lambda p_, tokens, cache, idx: model.apply(p_, tokens, cache, idx)
         )
         self._decode_cache = {}
 
@@ -144,7 +149,7 @@ class JaxGenerator:
                      out_attn, out_hid, int(top_k), float(top_p))
         if key_shape in self._decode_cache:
             return self._decode_cache[key_shape]
-        model, params = self.model, self.params
+        model = self.model
         total = p + max_new
         eos = self.eos_id
         zero = jnp.zeros((), jnp.float32)
@@ -154,7 +159,7 @@ class JaxGenerator:
         )
 
         @jax.jit
-        def run(prompt, rng_key):
+        def run(params, prompt, rng_key):
             # The s sample rows share one identical prompt (generate()
             # broadcasts it), so prefill ONCE at batch 1 and broadcast the
             # KV cache — prefill FLOPs and the prompt attention/hidden
@@ -286,7 +291,7 @@ class JaxGenerator:
             key = self._rng
             self._rng = jax.random.fold_in(self._rng, 1)
 
-        model, params = self.model, self.params
+        model = self.model
         eos = self.eos_id
         # Uniform-length batches need no padding mask or custom positions —
         # the defaults are equivalent, and dropping them lets a use_flash
@@ -302,7 +307,7 @@ class JaxGenerator:
             flash_model = self._flash_model
 
             @jax.jit
-            def run(prompt, prompt_valid, lengths, rng_key):
+            def run(params, prompt, prompt_valid, lengths, rng_key):
                 cache = init_cache(model, b, total)
                 if uniform:
                     prefill_kwargs = (
@@ -382,7 +387,9 @@ class JaxGenerator:
             self._decode_cache[cfg] = run
         toks, score_seq, lps, prev_attn = jax.tree_util.tree_map(
             np.asarray,
-            self._decode_cache[cfg](prompt, prompt_valid, jnp.asarray(lengths), key),
+            self._decode_cache[cfg](
+                self.params, prompt, prompt_valid, jnp.asarray(lengths), key
+            ),
         )
         sequences = np.concatenate([tokens, toks.T], axis=1)
         result = {
@@ -451,7 +458,7 @@ class JaxGenerator:
                 top_k=top_k, top_p=top_p,
             )
             tokens, scores_seq, lps, attn_rows, hidden_rows, attn0, hiddens0 = (
-                jax.tree_util.tree_map(np.asarray, run(prompt, key))
+                jax.tree_util.tree_map(np.asarray, run(self.params, prompt, key))
             )
             attentions = []
             hidden_states = []
@@ -501,7 +508,7 @@ class JaxGenerator:
 
         cache = init_cache(self.model, s, total)
         prefill = self._prefill if output_attentions else self._prefill_fast
-        logits, attn, hiddens, cache = prefill(prompt, cache)
+        logits, attn, hiddens, cache = prefill(self.params, prompt, cache)
         # attn: (L, S, H, P, total) in cache mode -> trim to (S, H, P, P)
         attentions: List[Tuple[np.ndarray, ...]] = []
         hidden_states: List[Tuple[np.ndarray, ...]] = []
@@ -542,7 +549,9 @@ class JaxGenerator:
             if step == max_new - 1:
                 break
             idx = jnp.int32(p + step)
-            step_out, attn, hiddens, cache = self._step(next_tok[:, None], cache, idx)
+            step_out, attn, hiddens, cache = self._step(
+                self.params, next_tok[:, None], cache, idx
+            )
             src_len = p + step + 1
             if output_attentions:
                 attentions.append(

@@ -129,8 +129,11 @@ class SpeculativeGenerator:
             )
 
     def _build_run(self, p: int):
-        target, tp = self.target, self.target_params
-        draft, dp = self.draft, self.draft_params
+        # Param trees enter the jitted program as ARGUMENTS (tp/dp below),
+        # never closure captures — closed-over arrays are lowered into the
+        # executable as HLO constants, which at production model sizes means
+        # gigabytes of literals per compiled program.
+        target, draft = self.target, self.draft
         gamma, max_new, eos = self.gamma, self.max_new_tokens, self.eos_id
         do_sample, temp = self.do_sample, self.temperature
         total = p + max_new + gamma + 1  # slack for the last round
@@ -143,7 +146,7 @@ class SpeculativeGenerator:
         )
 
         @jax.jit
-        def run(prompt, rng_key):
+        def run(tp, dp, prompt, rng_key):
             t_cache = init_cache(target, 1, total)
             d_cache = init_cache(draft, 1, total)
             logits, _, _, t_cache = target.apply(
@@ -272,7 +275,9 @@ class SpeculativeGenerator:
         keys = jax.random.split(self._next_key(key), num_samples)
         buf, lpb, n_gen, rounds, accepted = jax.tree_util.tree_map(
             np.asarray,
-            jax.vmap(run, in_axes=(None, 0))(prompt, keys),
+            jax.vmap(run, in_axes=(None, None, None, 0))(
+                self.target_params, self.draft_params, prompt, keys
+            ),
         )
         t_max = int(n_gen.max())
         mask = np.arange(t_max)[None, :] < n_gen[:, None]
@@ -313,7 +318,9 @@ class SpeculativeGenerator:
         keys = jax.random.split(self._next_key(key), len(prompts))
         buf, lpb, n_gen, rounds, accepted = jax.tree_util.tree_map(
             np.asarray,
-            jax.vmap(self._run_cache[p])(batch, keys),
+            jax.vmap(self._run_cache[p], in_axes=(None, None, 0, 0))(
+                self.target_params, self.draft_params, batch, keys
+            ),
         )
         t_max = int(n_gen.max())
         mask = np.arange(t_max)[None, :] < n_gen[:, None]
@@ -344,7 +351,11 @@ class SpeculativeGenerator:
         if p not in self._run_cache:
             self._run_cache[p] = self._build_run(p)
         buf, lpb, n_gen, rounds, accepted = jax.tree_util.tree_map(
-            np.asarray, self._run_cache[p](prompt, self._next_key(key))
+            np.asarray,
+            self._run_cache[p](
+                self.target_params, self.draft_params, prompt,
+                self._next_key(key),
+            ),
         )
         n = int(n_gen)
         out = buf[:n].tolist()

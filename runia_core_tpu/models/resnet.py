@@ -300,8 +300,11 @@ def build_tapped_forward(
 
     wanted = tuple(taps)
 
+    # Variables enter the jitted program as an argument, not a closure
+    # capture — a closed-over param tree is lowered into the executable as
+    # HLO constants, bloating every compile that uses the forward standalone.
     @jax.jit
-    def forward(images):
+    def forward(variables, images):
         logits, all_taps = model.apply(variables, images, train=False)
         out = {}
         for name in wanted:
@@ -311,4 +314,4 @@ def build_tapped_forward(
             out[name] = t
         return logits, out
 
-    return forward
+    return lambda images: forward(variables, images)
