@@ -83,25 +83,49 @@ def _aot_compile(jitted_fn, *args):
         return jitted_fn, None
 
 
-def _timed_rate(fn, per_call, iters, windows=3):
-    """Median steady-state rate (per_call units / s) over pipelined windows.
+def _sync(out):
+    """Drain the device queue with one tiny host fetch.
 
-    One host<->device sync per window (~30 ms over the tunnel) amortized
-    across ``iters`` enqueued calls.
+    ``block_until_ready`` on tunneled arrays returns at ENQUEUE (verified
+    2026-08-18: 20 identical 5.6 ms matmuls "block" in 0.8 ms) — only a
+    host fetch waits for the FIFO execution queue, and a fetch of any one
+    element suffices (~4 bytes over the tunnel; the slice runs on device).
     """
     import jax
 
+    leaves = [l for l in jax.tree_util.tree_leaves(out) if hasattr(l, "ravel")]
+    if leaves:
+        jax.device_get(leaves[0].ravel()[:1])
+    else:
+        jax.block_until_ready(out)
+
+
+def _timed_rate(fn, per_call, iters, windows=3):
+    """Median steady-state rate (per_call units / s), marginal-window method.
+
+    Times an ``iters`` window and a ``2*iters`` window, each drained by one
+    tiny fetch, and uses the difference — fixed costs (RTT, drain latency,
+    fetch) cancel, leaving pure per-call device time. Repeated ``windows``
+    times; median marginal wins.
+    """
     out = None
     for _ in range(2):  # warmup / compile (two rounds so autotuning settles)
         out = fn()
-    jax.block_until_ready(out)
+    _sync(out)
+
+    def window(n):
+        t0 = time.perf_counter()
+        o = None
+        for _ in range(n):
+            o = fn()
+        _sync(o)
+        return time.perf_counter() - t0
+
     rates = []
     for _ in range(windows):
-        t0 = time.perf_counter()
-        for _ in range(iters):
-            out = fn()
-        jax.block_until_ready(out)
-        rates.append(per_call * iters / (time.perf_counter() - t0))
+        t1 = window(iters)
+        t2 = window(2 * iters)
+        rates.append(per_call * iters / max(t2 - t1, 1e-9))
     return float(np.median(rates))
 
 
@@ -389,9 +413,9 @@ def measure_llm_continuous():
             "sequences"
         ]
 
-    jax.block_until_ready(static_pass())  # compile warmup
+    _sync(static_pass())  # compile warmup
     t0 = time.perf_counter()
-    jax.block_until_ready(static_pass())
+    _sync(static_pass())
     static_tps = useful / (time.perf_counter() - t0)
 
     return engine_tps, None, {

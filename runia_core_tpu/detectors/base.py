@@ -72,18 +72,20 @@ def record_time(function: Callable) -> Callable:
     """Decorator returning ``(result, seconds)``.
 
     TPU-aware version of the reference timer (abstract_classes.py:35-52): JAX
-    dispatch is asynchronous, so we block on all array leaves of the result
-    before reading the clock — otherwise the measured time would only cover
-    dispatch, not execution.
+    dispatch is asynchronous, so we force completion of the result before
+    reading the clock — otherwise the measured time would only cover
+    dispatch. On remote/tunneled backends ``block_until_ready`` itself
+    returns at enqueue, so we fetch one element of one result leaf (a ~4
+    byte host transfer that drains the device's FIFO execution queue).
     """
 
     def wrapper(*args, **kwargs):
         start_time = time.monotonic()
         function_return = function(*args, **kwargs)
-        jax.block_until_ready(
-            [leaf for leaf in jax.tree_util.tree_leaves(function_return)
-             if isinstance(leaf, jax.Array)]
-        )
+        leaves = [leaf for leaf in jax.tree_util.tree_leaves(function_return)
+                  if isinstance(leaf, jax.Array)]
+        if leaves:
+            jax.device_get(leaves[0].ravel()[:1])
         delta_t = time.monotonic() - start_time
         return function_return, delta_t
 
