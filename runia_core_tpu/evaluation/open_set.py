@@ -606,8 +606,9 @@ def _fill_evaluator(
 ) -> None:
     """Feed per-image predictions into the evaluator, optionally relabeling
     sub-threshold detections as unknown."""
+    subset = set(using_subset) if using_subset else None
     for im_id, im_pred in predictions_dict.items():
-        if (using_subset and im_id in using_subset) or not using_subset:
+        if subset is None or im_id in subset:
             if len(im_pred["boxes"]) > 0:
                 labels, softmax_scores = get_labels_and_scores_from_logits(
                     im_pred["logits"]
