@@ -370,11 +370,15 @@ def measure_llm_decode_int8():
 
 def measure_llm_continuous():
     """Continuous in-flight batching vs static batched decode on a mixed
-    serving workload (32 requests, prompt lengths 16-192, per-request
-    budgets 8-64). Static batching pads every prompt to the longest and
-    decodes the longest budget for the whole batch; the engine refills a
-    slot the moment its request finishes. The metric is USEFUL tok/s —
-    requested tokens / wall — which is what a serving deployment sells."""
+    serving workload: 96 requests, prompt lengths 16-192, per-request
+    budgets 8-64, against a 32-wide device batch. Static batching must run
+    ceil(96/32)=3 sequential batches, each padding every prompt to the
+    longest and decoding the LONGEST budget for the whole batch; the
+    engine keeps 32 slots hot and refills a slot the moment its request
+    finishes. The metric is USEFUL tok/s — requested tokens / wall —
+    which is what a serving deployment sells. (Decode at this size is
+    weight-bound, so tok/s scales with average busy slots: the engine's
+    win IS its occupancy advantage.)"""
     import jax
     import jax.numpy as jnp
 
@@ -384,15 +388,15 @@ def measure_llm_continuous():
     st = _get_prod_llama()
     model = LlamaLM(**_PROD_CFG, dtype=jnp.bfloat16)  # engine: no flash
     rng = np.random.RandomState(5)
-    n_req = 32
+    n_req, n_slots = 96, 32
     lengths = rng.randint(16, 193, n_req)
     budgets = rng.randint(8, 65, n_req)
     prompts = [list(rng.randint(1, 32000, int(n))) for n in lengths]
     useful = int(budgets.sum())
 
     eng = ContinuousBatchingEngine(
-        model, st["params"], num_slots=16, max_ctx=320, max_new_tokens=64,
-        chunk_tokens=16, prompt_bucket=64,
+        model, st["params"], num_slots=n_slots, max_ctx=320,
+        max_new_tokens=64, chunk_tokens=16, prompt_bucket=64,
     )
 
     def engine_pass():
@@ -401,26 +405,33 @@ def measure_llm_continuous():
         eng.run_until_drained()
 
     engine_pass()  # compile warmup (prefill shapes + chunk program)
+    s0 = dict(eng.stats())
     t0 = time.perf_counter()
     engine_pass()
     engine_tps = useful / (time.perf_counter() - t0)
+    s1 = eng.stats()
 
     gen = JaxGenerator(model, st["params"], max_new_tokens=64)
     kwargs = dict(do_sample=False, output_scores=False, pad_to=192)
 
     def static_pass():
-        return gen.generate_batch(prompts, key=jax.random.key(0), **kwargs)[
-            "sequences"
-        ]
+        # One full device batch at a time — the strongest static baseline
+        # at the same batch width the engine uses.
+        for i in range(0, n_req, n_slots):
+            _sync(gen.generate_batch(
+                prompts[i:i + n_slots], key=jax.random.key(0), **kwargs
+            )["sequences"])
 
-    _sync(static_pass())  # compile warmup
+    static_pass()  # compile warmup
     t0 = time.perf_counter()
-    _sync(static_pass())
+    static_pass()
     static_tps = useful / (time.perf_counter() - t0)
 
     return engine_tps, None, {
         "useful_tokens": useful,
         "speedup_vs_static_batch": round(engine_tps / static_tps, 4),
+        "fetch_s": round(s1["t_fetch_s"] - s0["t_fetch_s"], 2),
+        "prefill_s": round(s1["t_prefill_s"] - s0["t_prefill_s"], 2),
     }
 
 

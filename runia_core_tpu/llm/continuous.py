@@ -45,6 +45,7 @@ is the serving-throughput story for the TPU rebuild.
 
 from __future__ import annotations
 
+import time
 from collections import deque
 from functools import partial
 from typing import Any, Dict, List, Optional, Sequence
@@ -66,6 +67,31 @@ def _vocab_norm_entropy(log_soft: jnp.ndarray) -> jnp.ndarray:
         jnp.isneginf(log_soft), 0.0, log_soft
     )
     return -jnp.sum(terms, axis=-1) / jnp.log(log_soft.shape[-1])
+
+
+def _pack_harvest(toks, lps, ents, emitted, active):
+    """Flatten every host-bound per-chunk output into ONE f32 buffer.
+
+    The scheduling loop must read these after every decode chunk; on a
+    tunneled device each separate fetch pays a full round trip (~25 ms),
+    so the chunk programs ship one buffer instead of five. Token ids ride
+    as f32 — exact for any vocab below 2**24 (f32 integer range)."""
+    return jnp.concatenate([
+        toks.astype(jnp.float32).ravel(),
+        lps.astype(jnp.float32).ravel(),
+        ents.astype(jnp.float32).ravel(),
+        emitted.astype(jnp.float32).ravel(),
+        active.astype(jnp.float32).ravel(),
+    ])
+
+
+def _unpack_harvest(packed: np.ndarray, shape, num_slots):
+    """Invert :func:`_pack_harvest` host-side: (toks, lps, ents, emitted,
+    active) with ``toks/lps/ents/emitted`` of ``shape``."""
+    n = int(np.prod(shape))
+    sec = [packed[i * n:(i + 1) * n].reshape(shape) for i in range(4)]
+    active = packed[4 * n:4 * n + num_slots] > 0.5
+    return sec[0].astype(np.int64), sec[1], sec[2], sec[3] > 0.5, active
 
 
 class ContinuousBatchingEngine:
@@ -175,6 +201,15 @@ class ContinuousBatchingEngine:
             "decode_chunks": 0,
             "prefill_chunks": 0,
             "deferred_admissions": 0,
+            # Wall-time breakdown of the serving loop (seconds): where a
+            # drain actually spends its time. "fetch" is the blocking wait
+            # for each chunk's packed harvest (device execution drains
+            # here), "dispatch" the async chunk-program launches, "prefill"
+            # the prefill-program launches, "sched" the host bookkeeping.
+            "t_fetch_s": 0.0,
+            "t_dispatch_s": 0.0,
+            "t_prefill_s": 0.0,
+            "t_sched_s": 0.0,
         }
         # Per-slot speculative decoding: a small draft model proposes gamma
         # tokens per slot, one (S, gamma+1) target forward verifies them,
@@ -215,10 +250,19 @@ class ContinuousBatchingEngine:
         vocab = model.vocab_size
         self.cache = init_cache(model, self.num_slots, self.max_ctx)
         self.step_logits = jnp.zeros((self.num_slots, vocab), jnp.float32)
-        self.slot_pos = jnp.zeros((self.num_slots,), jnp.int32)   # next write
-        self.kv_start = jnp.zeros((self.num_slots,), jnp.int32)   # pad offset
-        self.limit = jnp.zeros((self.num_slots,), jnp.int32)      # phys cap
-        self.active = jnp.zeros((self.num_slots,), bool)
+        # Per-slot scheduling state lives on the HOST (numpy) and rides to
+        # the device as one packed (4*S,) int32 upload per decode chunk.
+        # Keeping it device-resident would mean one tiny dispatched program
+        # per admission-time update (slot_pos/limit/active writes) — over a
+        # tunneled device each eager op costs milliseconds of host blocking,
+        # and a 32-admission refill burst was measured at ~18 ms *per
+        # admission* in bookkeeping alone. The chunk programs return the
+        # host-bound updates (emission counts + active flags) inside the
+        # packed harvest, so the mirrors stay exact.
+        self.slot_pos = np.zeros((self.num_slots,), np.int32)   # next write
+        self.kv_start = np.zeros((self.num_slots,), np.int32)   # pad offset
+        self.limit = np.zeros((self.num_slots,), np.int32)      # phys cap
+        self.active = np.zeros((self.num_slots,), bool)
 
         self._prefill_cache: Dict[int, Any] = {}
         self._chunk_fn = None
@@ -232,20 +276,25 @@ class ContinuousBatchingEngine:
         self._next_id = 0
 
     # -- device programs ------------------------------------------------------
-    def _prefill_fn(self, p_pad: int):
-        """Jitted: prefill one prompt into slot ``slot`` of the shared state."""
-        if p_pad in self._prefill_cache:
-            return self._prefill_cache[p_pad]
+    def _prefill_many_fn(self, F: int, p_pad: int):
+        """Jitted: prefill ``F`` prompts into ``F`` distinct slots at once.
+
+        F=1 is the trickle-refill shape; the batched shapes serve admission
+        waves (see ``_BATCH_F``). One forward over the (F, p_pad) block is
+        barely more expensive than batch 1 at weight-bound sizes; the rows
+        are then spliced into each target slot (static unroll over F)."""
+        if (F, p_pad) in self._prefill_cache:
+            return self._prefill_cache[(F, p_pad)]
         model, max_ctx = self.model, self.max_ctx
 
-        # Donate the big buffers: the cache row update happens in place
+        # Donate the big buffers: the cache row updates happen in place
         # instead of allocating a second full cache.
         @partial(jax.jit, donate_argnums=(1, 2))
-        def prefill(params, cache, step_logits, slot, tokens, valid):
-            # Fresh single-row cache for this prompt, then splice the row in.
-            local = init_cache(model, 1, max_ctx)
+        def prefill(params, cache, step_logits, slots, tokens, valid):
+            # Fresh F-row cache for these prompts, then splice each row in.
+            local = init_cache(model, F, max_ctx)
             kv_valid = jnp.concatenate(
-                [valid, jnp.ones((1, max_ctx - p_pad), bool)], axis=1
+                [valid, jnp.ones((F, max_ctx - p_pad), bool)], axis=1
             )
             positions = jnp.maximum(
                 jnp.cumsum(valid.astype(jnp.int32), axis=1) - 1, 0
@@ -255,18 +304,21 @@ class ContinuousBatchingEngine:
                 token_valid=kv_valid, positions=positions,
             )
 
-            def splice(g, l):
-                return jax.lax.dynamic_update_slice(
-                    g, l.astype(g.dtype), (slot,) + (0,) * (g.ndim - 1)
-                )
+            for i in range(F):
+                def splice(g, l, i=i):
+                    row = jax.lax.dynamic_slice_in_dim(l, i, 1, axis=0)
+                    return jax.lax.dynamic_update_slice(
+                        g, row.astype(g.dtype),
+                        (slots[i],) + (0,) * (g.ndim - 1),
+                    )
 
-            cache = jax.tree_util.tree_map(splice, cache, local)
-            step_logits = jax.lax.dynamic_update_slice(
-                step_logits, logits[:, -1, :], (slot, 0)
-            )
+                cache = jax.tree_util.tree_map(splice, cache, local)
+                step_logits = jax.lax.dynamic_update_slice(
+                    step_logits, logits[i:i + 1, -1, :], (slots[i], 0)
+                )
             return cache, step_logits
 
-        self._prefill_cache[p_pad] = prefill
+        self._prefill_cache[(F, p_pad)] = prefill
         return prefill
 
     def _prefill_chunk_prog(self):
@@ -284,7 +336,6 @@ class ContinuousBatchingEngine:
         if self._prefill_chunk_fn is not None:
             return self._prefill_chunk_fn
         model, draft = self.model, self.draft_model
-        dparams = self.draft_params
 
         def slice_row(cache, slot):
             return jax.tree_util.tree_map(
@@ -300,9 +351,9 @@ class ContinuousBatchingEngine:
 
             return jax.tree_util.tree_map(splice, cache, row)
 
-        @partial(jax.jit, donate_argnums=(1, 2, 3))
-        def chunk_prefill(params, cache, d_cache, step_logits, slot, tokens,
-                          write_pos, last_idx, is_last):
+        @partial(jax.jit, donate_argnums=(2, 3, 4))
+        def chunk_prefill(params, dparams, cache, d_cache, step_logits, slot,
+                          tokens, write_pos, last_idx, is_last):
             row = slice_row(cache, slot)
             logits, _, _, row = model.apply(params, tokens, row, write_pos)
             cache = splice_row(cache, row, slot)
@@ -404,6 +455,13 @@ class ContinuousBatchingEngine:
                 best_slot, best_len = slot, n
         return best_slot, best_len
 
+    def _slot_state(self) -> jnp.ndarray:
+        """The host scheduling mirrors as ONE (4*S,) int32 device upload."""
+        return jnp.asarray(np.concatenate([
+            self.slot_pos, self.kv_start, self.limit,
+            self.active.astype(np.int32),
+        ]))
+
     def _chunk(self):
         """Jitted: K decode steps for all slots, per-slot clocks."""
         if self._chunk_fn is not None:
@@ -413,10 +471,14 @@ class ContinuousBatchingEngine:
         do_sample, temperature = self.do_sample, self.temperature
         top_k, top_p = self.top_k, self.top_p
         collect_rauq = self.collect_rauq
+        S = self.num_slots
 
-        @partial(jax.jit, donate_argnums=(1, 2, 3, 6, 7))
-        def chunk(params, cache, step_logits, slot_pos, kv_start, limit,
-                  active, rng_key):
+        @partial(jax.jit, donate_argnums=(1, 2))
+        def chunk(params, cache, step_logits, slot_state, rng_key):
+            slot_pos, kv_start, limit, active = (
+                slot_state[:S], slot_state[S:2 * S],
+                slot_state[2 * S:3 * S], slot_state[3 * S:] > 0,
+            )
             def body(carry, _):
                 cache, step_logits, slot_pos, active, key = carry
                 key, sub = jax.random.split(key)
@@ -486,7 +548,9 @@ class ContinuousBatchingEngine:
                 body, (cache, step_logits, slot_pos, active, rng_key),
                 None, length=K,
             )
-            return cache, step_logits, slot_pos, active, rng_key, out
+            toks, lps, ents, att_prev, emitted = out
+            packed = _pack_harvest(toks, lps, ents, emitted, active)
+            return cache, step_logits, rng_key, packed, att_prev
 
         self._chunk_fn = chunk
         return chunk
@@ -516,11 +580,16 @@ class ContinuousBatchingEngine:
         collect_rauq = self.collect_rauq
         # chunk_tokens keeps its "approx tokens per host sync" meaning.
         rounds = max(1, self.chunk_tokens // (gamma + 1))
+        S = self.num_slots
 
-        @partial(jax.jit, donate_argnums=(2, 3, 4, 5, 6, 9, 10))
+        @partial(jax.jit, donate_argnums=(2, 3, 4, 5))
         def chunk(params, dparams, t_cache, d_cache, step_logits, samp_logp,
-                  slot_pos, kv_start, limit, active, rng_key):
-            del kv_start  # chunked layout: physical == logical, start 0
+                  slot_state, rng_key):
+            # chunked layout: physical == logical, kv_start unused (== 0)
+            slot_pos, limit, active = (
+                slot_state[:S], slot_state[2 * S:3 * S],
+                slot_state[3 * S:] > 0,
+            )
 
             def body(carry, key):
                 (t_cache, d_cache, step_logits, samp_logp, slot_pos,
@@ -682,8 +751,10 @@ class ContinuousBatchingEngine:
                 (t_cache, d_cache, step_logits, samp_logp, slot_pos, active),
                 jax.random.split(sub, rounds),
             )
-            return (t_cache, d_cache, step_logits, samp_logp, slot_pos,
-                    active, rng_key, out)
+            toks, lps, ents, att_prev, emit = out
+            packed = _pack_harvest(toks, lps, ents, emit, active)
+            return (t_cache, d_cache, step_logits, samp_logp, rng_key,
+                    packed, att_prev)
 
         self._spec_chunk_fn = chunk
         return chunk
@@ -693,9 +764,17 @@ class ContinuousBatchingEngine:
         """Assign queued prompts to every free slot (chunked mode defers the
         device work to :meth:`_advance_prefills`; classic mode prefills the
         whole bucketed prompt here)."""
+        t0 = time.perf_counter()
+        try:
+            self._refill_inner()
+        finally:
+            self._stats["t_prefill_s"] += time.perf_counter() - t0
+
+    def _refill_inner(self) -> None:
         free = [
             s for s in range(self.num_slots) if self._slot_req[s] is None
         ]
+        classic_admissions: List[tuple] = []
         for slot in free:
             if not self._queue:
                 break
@@ -738,29 +817,54 @@ class ContinuousBatchingEngine:
                 # Park the decode clock at the next write position so stray
                 # decode writes for this inactive slot land where the next
                 # chunk overwrites them.
-                self.kv_start = self.kv_start.at[slot].set(0)
-                self.slot_pos = self.slot_pos.at[slot].set(req["write_pos"])
-                self.limit = self.limit.at[slot].set(
-                    min(p + req["max_new"], self.max_ctx)
-                )
-                self.active = self.active.at[slot].set(False)
+                self.kv_start[slot] = 0
+                self.slot_pos[slot] = req["write_pos"]
+                self.limit[slot] = min(p + req["max_new"], self.max_ctx)
+                self.active[slot] = False
                 self._slot_req[slot] = req
                 continue
             p_pad = -(-max(p, 1) // self.prompt_bucket) * self.prompt_bucket
-            tokens = np.zeros((1, p_pad), np.int32)
-            valid = np.zeros((1, p_pad), bool)
-            tokens[0, p_pad - p:] = np.asarray(req["prompt"], np.int32)
-            valid[0, p_pad - p:] = True
-            self.cache, self.step_logits = self._prefill_fn(p_pad)(
-                self.params, self.cache, self.step_logits,
-                jnp.int32(slot), jnp.asarray(tokens), jnp.asarray(valid),
-            )
-            self.slot_pos = self.slot_pos.at[slot].set(p_pad)
-            self.kv_start = self.kv_start.at[slot].set(p_pad - p)
-            self.limit = self.limit.at[slot].set(
-                min(p_pad + req["max_new"], self.max_ctx)
-            )
-            self.active = self.active.at[slot].set(True)
+            classic_admissions.append((slot, req, p, p_pad))
+        if classic_admissions:
+            self._admit_classic(classic_admissions)
+
+    # Same-bucket admissions ride one batched prefill program in groups of
+    # this size. Slots free in WAVES (one decode chunk retires several
+    # requests at once), and a batch-1 prefill at serving model sizes is
+    # weight-bound — F prompts cost barely more HBM traffic than one.
+    _BATCH_F = 8
+
+    def _admit_classic(self, admissions: List[tuple]) -> None:
+        """Prefill classic-mode admissions, batching same-bucket groups."""
+        by_pad: Dict[int, List[tuple]] = {}
+        for adm in admissions:
+            by_pad.setdefault(adm[3], []).append(adm)
+        for p_pad, group in by_pad.items():
+            while len(group) >= self._BATCH_F:
+                self._prefill_group(group[:self._BATCH_F], p_pad)
+                group = group[self._BATCH_F:]
+            for single in group:
+                self._prefill_group([single], p_pad)
+
+    def _prefill_group(self, group: List[tuple], p_pad: int) -> None:
+        """One (F, p_pad) prefill program admitting ``group`` together."""
+        F = len(group)
+        tokens = np.zeros((F, p_pad), np.int32)
+        valid = np.zeros((F, p_pad), bool)
+        slots = np.zeros((F,), np.int32)
+        for i, (slot, req, p, _) in enumerate(group):
+            tokens[i, p_pad - p:] = np.asarray(req["prompt"], np.int32)
+            valid[i, p_pad - p:] = True
+            slots[i] = slot
+        self.cache, self.step_logits = self._prefill_many_fn(F, p_pad)(
+            self.params, self.cache, self.step_logits,
+            jnp.asarray(slots), jnp.asarray(tokens), jnp.asarray(valid),
+        )
+        for slot, req, p, _ in group:
+            self.slot_pos[slot] = p_pad
+            self.kv_start[slot] = p_pad - p
+            self.limit[slot] = min(p_pad + req["max_new"], self.max_ctx)
+            self.active[slot] = True
             self._slot_req[slot] = req
 
     def _advance_prefills(self) -> None:
@@ -779,7 +883,8 @@ class ContinuousBatchingEngine:
             toks[0, : len(take)] = take
             is_last = not req["pending"]
             self.cache, self.d_cache, self.step_logits = fn(
-                self.params, self.cache, self.d_cache, self.step_logits,
+                self.params, self.draft_params,
+                self.cache, self.d_cache, self.step_logits,
                 jnp.int32(slot), jnp.asarray(toks),
                 jnp.int32(req["write_pos"]),
                 jnp.int32(len(take) - 1), jnp.asarray(is_last),
@@ -788,10 +893,10 @@ class ContinuousBatchingEngine:
             self._stats["prefill_chunks"] += 1
             # Park the decode clock at the next write position (chunk
             # boundary mid-prefill; the true next-token slot once done).
-            self.slot_pos = self.slot_pos.at[slot].set(req["write_pos"])
+            self.slot_pos[slot] = req["write_pos"]
             if is_last:
                 req["prefill_done"] = True
-                self.active = self.active.at[slot].set(True)
+                self.active[slot] = True
                 if self.samp_logp is not None:
                     self.samp_logp = self._seed_samp()(
                         self.samp_logp, self.step_logits, jnp.int32(slot)
@@ -896,45 +1001,70 @@ class ContinuousBatchingEngine:
         spec = self.draft_model is not None
         chunk = self._spec_chunk() if spec else self._chunk()
         while any(r is not None for r in self._slot_req):
+            t0 = time.perf_counter()
             self._advance_prefills()
-            if not bool(np.any(np.asarray(self.active))):
+            self._stats["t_prefill_s"] += time.perf_counter() - t0
+            if not self.active.any():
                 # Nothing decodable yet (all occupied slots mid-prefill):
-                # skip the decode chunk and keep prefilling.
+                # skip the decode chunk and keep prefilling. The host
+                # mirror answers this without a device round trip.
                 self._refill()
                 continue
+            # ONE packed fetch per chunk (see _pack_harvest); the RAUQ
+            # attention stack stays a separate opt-in fetch.
             if spec:
+                t0 = time.perf_counter()
                 (self.cache, self.d_cache, self.step_logits, self.samp_logp,
-                 self.slot_pos, self.active, self._key,
-                 (toks, lps, ents, atts, emitted)) = chunk(
+                 self._key, packed, atts_dev) = chunk(
                     self.params, self.draft_params, self.cache, self.d_cache,
-                    self.step_logits, self.samp_logp, self.slot_pos,
-                    self.kv_start, self.limit, self.active, self._key,
+                    self.step_logits, self.samp_logp, self._slot_state(),
+                    self._key,
+                )
+                t1 = time.perf_counter()
+                packed_np = np.asarray(packed)
+                t2 = time.perf_counter()
+                self._stats["t_dispatch_s"] += t1 - t0
+                self._stats["t_fetch_s"] += t2 - t1
+                rounds = max(1, self.chunk_tokens // (self.gamma + 1))
+                toks, lps, ents, emitted, active_now = _unpack_harvest(
+                    packed_np,
+                    (rounds, self.num_slots, self.gamma + 1), self.num_slots,
                 )
                 # (R, S, gamma+1) round blocks -> (R*(gamma+1), S)
                 # chronological steps, the same harvest contract as below.
-                flat = lambda a: np.asarray(a).swapaxes(1, 2).reshape(
-                    -1, np.asarray(a).shape[1]
-                )
+                flat = lambda a: a.swapaxes(1, 2).reshape(-1, a.shape[1])
                 toks, lps, ents, emitted = map(flat, (toks, lps, ents, emitted))
                 if self.collect_rauq:
-                    a = np.asarray(atts)  # (R, L, S, H, gamma+1)
+                    a = np.asarray(atts_dev)  # (R, L, S, H, gamma+1)
                     atts = np.transpose(a, (0, 4, 1, 2, 3)).reshape(
                         -1, *a.shape[1:4]
                     )  # (R*(gamma+1), L, S, H)
                 else:
                     atts = None
             else:
-                (self.cache, self.step_logits, self.slot_pos, self.active,
-                 self._key, (toks, lps, ents, atts, emitted)) = chunk(
-                    self.params, self.cache, self.step_logits, self.slot_pos,
-                    self.kv_start, self.limit, self.active, self._key,
+                t0 = time.perf_counter()
+                (self.cache, self.step_logits, self._key,
+                 packed, atts_dev) = chunk(
+                    self.params, self.cache, self.step_logits,
+                    self._slot_state(), self._key,
                 )
-                toks = np.asarray(toks)          # (K, S)
-                lps = np.asarray(lps)
-                emitted = np.asarray(emitted)
-                ents = np.asarray(ents)
-                atts = np.asarray(atts) if self.collect_rauq else None
-            active_now = np.asarray(self.active)
+                t1 = time.perf_counter()
+                packed_np = np.asarray(packed)
+                t2 = time.perf_counter()
+                self._stats["t_dispatch_s"] += t1 - t0
+                self._stats["t_fetch_s"] += t2 - t1
+                toks, lps, ents, emitted, active_now = _unpack_harvest(
+                    packed_np,
+                    (self.chunk_tokens, self.num_slots), self.num_slots,
+                )
+                atts = np.asarray(atts_dev) if self.collect_rauq else None
+            # Advance the host mirrors exactly as the device did: each slot's
+            # clock moved by its emission count; active is shipped back in
+            # the packed harvest (EOS/budget stops happen device-side).
+            self.slot_pos = self.slot_pos + emitted.sum(axis=0).astype(
+                np.int32
+            )
+            self.active = active_now.copy()
             self._stats["decode_chunks"] += 1
             self._stats["tokens_emitted"] += int(emitted.sum())
             for slot in range(self.num_slots):
@@ -963,7 +1093,7 @@ class ContinuousBatchingEngine:
                     len(req["tokens"]) >= req["max_new"]
                 )
                 if done:
-                    self.active = self.active.at[slot].set(False)
+                    self.active[slot] = False
                     self._finish_slot(slot)
             self._refill()
 

@@ -682,3 +682,50 @@ class TestPerRequestBudget:
         eng.run_until_drained()
         assert eng.result(rid_zero)["tokens"] == []
         assert len(eng.result(rid_two)["tokens"]) == 2
+
+
+class TestBatchedAdmissionWave:
+    """Admission waves of >= _BATCH_F same-bucket prompts ride ONE batched
+    prefill program (classic mode); results must stay token-identical to
+    the per-prompt decoder."""
+
+    def test_wave_admission_matches_single_prompt(self, model_and_params):
+        model, params = model_and_params
+        rng = np.random.RandomState(11)
+        # 10 prompts, all inside one prompt_bucket=16 bucket: the first
+        # refill admits 8 of them through the batched program and the
+        # remaining 2 through the F=1 shape.
+        wave = [list(rng.randint(1, VOCAB, rng.randint(9, 16)))
+                for _ in range(10)]
+        ref = reference_outputs(model, params, wave, eos_id=None)
+
+        eng = ContinuousBatchingEngine(
+            model, params, num_slots=10, max_ctx=64, max_new_tokens=MAX_NEW,
+            chunk_tokens=4, eos_id=None, prompt_bucket=16,
+        )
+        results = eng.generate_all(wave)
+        for i, ((ref_toks, ref_lps), res) in enumerate(zip(ref, results)):
+            assert res["tokens"] == ref_toks, f"prompt {i}"
+            np.testing.assert_allclose(
+                res["log_probs"], ref_lps[: len(res["tokens"])],
+                rtol=1e-4, atol=1e-5, err_msg=f"prompt {i}",
+            )
+
+    def test_mixed_bucket_wave(self, model_and_params):
+        """A wave spanning two buckets groups per-bucket and still matches."""
+        model, params = model_and_params
+        rng = np.random.RandomState(12)
+        short = [list(rng.randint(1, VOCAB, rng.randint(3, 8)))
+                 for _ in range(3)]
+        long = [list(rng.randint(1, VOCAB, rng.randint(9, 16)))
+                for _ in range(3)]
+        wave = short + long
+        ref = reference_outputs(model, params, wave, eos_id=None)
+
+        eng = ContinuousBatchingEngine(
+            model, params, num_slots=6, max_ctx=64, max_new_tokens=MAX_NEW,
+            chunk_tokens=4, eos_id=None, prompt_bucket=8,
+        )
+        results = eng.generate_all(wave)
+        for i, ((ref_toks, _), res) in enumerate(zip(ref, results)):
+            assert res["tokens"] == ref_toks, f"prompt {i}"
