@@ -264,6 +264,12 @@ class ContinuousBatchingEngine:
         self.limit = np.zeros((self.num_slots,), np.int32)      # phys cap
         self.active = np.zeros((self.num_slots,), bool)
 
+        # Device-resident copy of the packed scheduling state, carried
+        # chunk-to-chunk and edited in place by the prefill programs — the
+        # lookahead dispatch launches the next chunk from it before the
+        # host has processed the previous harvest.
+        self._slot_state_dev = None
+
         self._prefill_cache: Dict[int, Any] = {}
         self._chunk_fn = None
         self._spec_chunk_fn = None
@@ -286,11 +292,19 @@ class ContinuousBatchingEngine:
         if (F, p_pad) in self._prefill_cache:
             return self._prefill_cache[(F, p_pad)]
         model, max_ctx = self.model, self.max_ctx
+        S = self.num_slots
 
         # Donate the big buffers: the cache row updates happen in place
-        # instead of allocating a second full cache.
-        @partial(jax.jit, donate_argnums=(1, 2))
-        def prefill(params, cache, step_logits, slots, tokens, valid):
+        # instead of allocating a second full cache. The scheduling-state
+        # edits ride this same program (the device copy stays authoritative
+        # for the lookahead pipeline without extra dispatches).
+        @partial(jax.jit, donate_argnums=(1, 2, 3))
+        def prefill(params, cache, step_logits, slot_state, slots, tokens,
+                    valid, new_pos, new_kv, new_limit):
+            slot_state = slot_state.at[slots].set(new_pos)
+            slot_state = slot_state.at[slots + S].set(new_kv)
+            slot_state = slot_state.at[slots + 2 * S].set(new_limit)
+            slot_state = slot_state.at[slots + 3 * S].set(1)
             # Fresh F-row cache for these prompts, then splice each row in.
             local = init_cache(model, F, max_ctx)
             kv_valid = jnp.concatenate(
@@ -316,7 +330,7 @@ class ContinuousBatchingEngine:
                 step_logits = jax.lax.dynamic_update_slice(
                     step_logits, logits[i:i + 1, -1, :], (slots[i], 0)
                 )
-            return cache, step_logits
+            return cache, step_logits, slot_state
 
         self._prefill_cache[(F, p_pad)] = prefill
         return prefill
@@ -336,6 +350,7 @@ class ContinuousBatchingEngine:
         if self._prefill_chunk_fn is not None:
             return self._prefill_chunk_fn
         model, draft = self.model, self.draft_model
+        S = self.num_slots
 
         def slice_row(cache, slot):
             return jax.tree_util.tree_map(
@@ -351,9 +366,20 @@ class ContinuousBatchingEngine:
 
             return jax.tree_util.tree_map(splice, cache, row)
 
-        @partial(jax.jit, donate_argnums=(2, 3, 4))
-        def chunk_prefill(params, dparams, cache, d_cache, step_logits, slot,
-                          tokens, write_pos, last_idx, is_last):
+        @partial(jax.jit, donate_argnums=(2, 3, 4, 5))
+        def chunk_prefill(params, dparams, cache, d_cache, step_logits,
+                          slot_state, slot, tokens, write_pos, last_idx,
+                          is_last, parked_pos, limit):
+            # Scheduling-state edits ride this program (device copy stays
+            # authoritative for the lookahead pipeline): park the clock at
+            # the next write position, pin limit/kv_start, and activate the
+            # slot on its final chunk.
+            slot_state = slot_state.at[slot].set(parked_pos)
+            slot_state = slot_state.at[slot + S].set(0)
+            slot_state = slot_state.at[slot + 2 * S].set(limit)
+            slot_state = slot_state.at[slot + 3 * S].set(
+                is_last.astype(jnp.int32)
+            )
             row = slice_row(cache, slot)
             logits, _, _, row = model.apply(params, tokens, row, write_pos)
             cache = splice_row(cache, row, slot)
@@ -370,7 +396,7 @@ class ContinuousBatchingEngine:
                 step_logits, sel, (slot, 0)
             )
             step_logits = jnp.where(is_last, updated, step_logits)
-            return cache, d_cache, step_logits
+            return cache, d_cache, step_logits, slot_state
 
         self._prefill_chunk_fn = chunk_prefill
         return chunk_prefill
@@ -473,7 +499,7 @@ class ContinuousBatchingEngine:
         collect_rauq = self.collect_rauq
         S = self.num_slots
 
-        @partial(jax.jit, donate_argnums=(1, 2))
+        @partial(jax.jit, donate_argnums=(1, 2, 3))
         def chunk(params, cache, step_logits, slot_state, rng_key):
             slot_pos, kv_start, limit, active = (
                 slot_state[:S], slot_state[S:2 * S],
@@ -550,7 +576,13 @@ class ContinuousBatchingEngine:
             )
             toks, lps, ents, att_prev, emitted = out
             packed = _pack_harvest(toks, lps, ents, emitted, active)
-            return cache, step_logits, rng_key, packed, att_prev
+            # Device-resident copy of the post-chunk scheduling state: the
+            # NEXT chunk can launch from it without waiting for the host to
+            # see this chunk's harvest (the lookahead pipeline).
+            new_state = jnp.concatenate(
+                [slot_pos, kv_start, limit, active.astype(jnp.int32)]
+            )
+            return cache, step_logits, new_state, rng_key, packed, att_prev
 
         self._chunk_fn = chunk
         return chunk
@@ -582,10 +614,11 @@ class ContinuousBatchingEngine:
         rounds = max(1, self.chunk_tokens // (gamma + 1))
         S = self.num_slots
 
-        @partial(jax.jit, donate_argnums=(2, 3, 4, 5))
+        @partial(jax.jit, donate_argnums=(2, 3, 4, 5, 6))
         def chunk(params, dparams, t_cache, d_cache, step_logits, samp_logp,
                   slot_state, rng_key):
             # chunked layout: physical == logical, kv_start unused (== 0)
+            kv_start = slot_state[S:2 * S]
             slot_pos, limit, active = (
                 slot_state[:S], slot_state[2 * S:3 * S],
                 slot_state[3 * S:] > 0,
@@ -753,8 +786,11 @@ class ContinuousBatchingEngine:
             )
             toks, lps, ents, att_prev, emit = out
             packed = _pack_harvest(toks, lps, ents, emit, active)
-            return (t_cache, d_cache, step_logits, samp_logp, rng_key,
-                    packed, att_prev)
+            new_state = jnp.concatenate(
+                [slot_pos, kv_start, limit, active.astype(jnp.int32)]
+            )
+            return (t_cache, d_cache, step_logits, samp_logp, new_state,
+                    rng_key, packed, att_prev)
 
         self._spec_chunk_fn = chunk
         return chunk
@@ -852,13 +888,20 @@ class ContinuousBatchingEngine:
         tokens = np.zeros((F, p_pad), np.int32)
         valid = np.zeros((F, p_pad), bool)
         slots = np.zeros((F,), np.int32)
+        kvs = np.zeros((F,), np.int32)
+        lims = np.zeros((F,), np.int32)
         for i, (slot, req, p, _) in enumerate(group):
             tokens[i, p_pad - p:] = np.asarray(req["prompt"], np.int32)
             valid[i, p_pad - p:] = True
             slots[i] = slot
-        self.cache, self.step_logits = self._prefill_many_fn(F, p_pad)(
-            self.params, self.cache, self.step_logits,
+            kvs[i] = p_pad - p
+            lims[i] = min(p_pad + req["max_new"], self.max_ctx)
+        (self.cache, self.step_logits,
+         self._slot_state_dev) = self._prefill_many_fn(F, p_pad)(
+            self.params, self.cache, self.step_logits, self._slot_state_dev,
             jnp.asarray(slots), jnp.asarray(tokens), jnp.asarray(valid),
+            jnp.full((F,), p_pad, jnp.int32), jnp.asarray(kvs),
+            jnp.asarray(lims),
         )
         for slot, req, p, _ in group:
             self.slot_pos[slot] = p_pad
@@ -882,12 +925,16 @@ class ContinuousBatchingEngine:
             toks = np.zeros((1, C), np.int32)
             toks[0, : len(take)] = take
             is_last = not req["pending"]
-            self.cache, self.d_cache, self.step_logits = fn(
+            limit = min(len(req["prompt"]) + req["max_new"], self.max_ctx)
+            (self.cache, self.d_cache, self.step_logits,
+             self._slot_state_dev) = fn(
                 self.params, self.draft_params,
                 self.cache, self.d_cache, self.step_logits,
+                self._slot_state_dev,
                 jnp.int32(slot), jnp.asarray(toks),
                 jnp.int32(req["write_pos"]),
                 jnp.int32(len(take) - 1), jnp.asarray(is_last),
+                jnp.int32(req["write_pos"] + len(take)), jnp.int32(limit),
             )
             req["write_pos"] += len(take)
             self._stats["prefill_chunks"] += 1
@@ -996,106 +1043,166 @@ class ContinuousBatchingEngine:
         EOS appears, nothing past it is ever yielded, so the concatenated
         increments equal the final result's ``tokens`` exactly. A request
         may yield several times (long budgets, small ``chunk_tokens``) or
-        zero times (zero-budget requests)."""
-        self._refill()
+        zero times (zero-budget requests).
+
+        The drain loop is PIPELINED (lookahead 1): chunk k+1 is dispatched
+        from the device-resident scheduling state before chunk k's harvest
+        is fetched, so the host's fetch round trip, bookkeeping, and refill
+        dispatches all overlap chunk k+1's device execution. The price is
+        that a slot freed during chunk k idles through chunk k+1 before its
+        refill decodes — on a tunneled device the hidden round trips win.
+        """
         spec = self.draft_model is not None
         chunk = self._spec_chunk() if spec else self._chunk()
-        while any(r is not None for r in self._slot_req):
+        # Fresh device copy of the scheduling state for this drain; from
+        # here on the prefill/decode programs edit it in place and the
+        # host mirrors track it through the harvests.
+        self._slot_state_dev = self._slot_state()
+        self._refill()
+        inflight = None
+        while any(r is not None for r in self._slot_req) or inflight:
             t0 = time.perf_counter()
             self._advance_prefills()
             self._stats["t_prefill_s"] += time.perf_counter() - t0
-            if not self.active.any():
-                # Nothing decodable yet (all occupied slots mid-prefill):
-                # skip the decode chunk and keep prefilling. The host
-                # mirror answers this without a device round trip.
+            nxt = None
+            if self.active.any():
+                # Tail guard: when the queue is empty and the chunk already
+                # in flight covers every live request's remaining budget,
+                # don't dispatch a lookahead chunk that would decode for
+                # (mostly) finished slots — process the in-flight harvest
+                # first and let the next iteration dispatch only if work
+                # actually remains. Costs pipelining on the final chunk
+                # only; saves a full weight-read per drain.
+                if not (inflight is not None and self._tail_drain()):
+                    nxt = self._dispatch_chunk(chunk, spec)
+            elif inflight is None:
+                # Nothing decodable and nothing in flight (all occupied
+                # slots mid-prefill): keep prefilling. The host mirror
+                # answers this without a device round trip.
                 self._refill()
                 continue
-            # ONE packed fetch per chunk (see _pack_harvest); the RAUQ
-            # attention stack stays a separate opt-in fetch.
-            if spec:
-                t0 = time.perf_counter()
-                (self.cache, self.d_cache, self.step_logits, self.samp_logp,
-                 self._key, packed, atts_dev) = chunk(
-                    self.params, self.draft_params, self.cache, self.d_cache,
-                    self.step_logits, self.samp_logp, self._slot_state(),
-                    self._key,
-                )
-                t1 = time.perf_counter()
-                packed_np = np.asarray(packed)
-                t2 = time.perf_counter()
-                self._stats["t_dispatch_s"] += t1 - t0
-                self._stats["t_fetch_s"] += t2 - t1
-                rounds = max(1, self.chunk_tokens // (self.gamma + 1))
-                toks, lps, ents, emitted, active_now = _unpack_harvest(
-                    packed_np,
-                    (rounds, self.num_slots, self.gamma + 1), self.num_slots,
-                )
-                # (R, S, gamma+1) round blocks -> (R*(gamma+1), S)
-                # chronological steps, the same harvest contract as below.
-                flat = lambda a: a.swapaxes(1, 2).reshape(-1, a.shape[1])
-                toks, lps, ents, emitted = map(flat, (toks, lps, ents, emitted))
-                if self.collect_rauq:
-                    a = np.asarray(atts_dev)  # (R, L, S, H, gamma+1)
-                    atts = np.transpose(a, (0, 4, 1, 2, 3)).reshape(
-                        -1, *a.shape[1:4]
-                    )  # (R*(gamma+1), L, S, H)
-                else:
-                    atts = None
-            else:
-                t0 = time.perf_counter()
-                (self.cache, self.step_logits, self._key,
-                 packed, atts_dev) = chunk(
-                    self.params, self.cache, self.step_logits,
-                    self._slot_state(), self._key,
-                )
-                t1 = time.perf_counter()
-                packed_np = np.asarray(packed)
-                t2 = time.perf_counter()
-                self._stats["t_dispatch_s"] += t1 - t0
-                self._stats["t_fetch_s"] += t2 - t1
-                toks, lps, ents, emitted, active_now = _unpack_harvest(
-                    packed_np,
-                    (self.chunk_tokens, self.num_slots), self.num_slots,
-                )
-                atts = np.asarray(atts_dev) if self.collect_rauq else None
-            # Advance the host mirrors exactly as the device did: each slot's
-            # clock moved by its emission count; active is shipped back in
-            # the packed harvest (EOS/budget stops happen device-side).
-            self.slot_pos = self.slot_pos + emitted.sum(axis=0).astype(
-                np.int32
-            )
-            self.active = active_now.copy()
-            self._stats["decode_chunks"] += 1
-            self._stats["tokens_emitted"] += int(emitted.sum())
-            for slot in range(self.num_slots):
-                req = self._slot_req[slot]
-                if req is None or not req.get("prefill_done", True):
-                    continue
-                before = len(req["tokens"])
-                for k in range(toks.shape[0]):
-                    if emitted[k, slot]:
-                        req["tokens"].append(int(toks[k, slot]))
-                        req["lps"].append(float(lps[k, slot]))
-                        req["ents"].append(float(ents[k, slot]))
-                        if atts is not None:
-                            # copy: a view would pin the whole (K, L, S, H)
-                            # chunk buffer until the request finishes
-                            req["atts"].append(atts[k, :, slot, :].copy())
-                # Stream exactly what the final (EOS-stripped) result will
-                # contain: never yield at or past the first EOS.
-                visible = len(req["tokens"])
-                if self.eos_id is not None and self.eos_id in req["tokens"]:
-                    visible = min(visible, req["tokens"].index(self.eos_id))
-                new = req["tokens"][before:visible]
-                if new:
-                    yield req["id"], new
-                done = (not active_now[slot]) or (
-                    len(req["tokens"]) >= req["max_new"]
-                )
-                if done:
-                    self.active[slot] = False
-                    self._finish_slot(slot)
+            if inflight is not None:
+                yield from self._process_harvest(*inflight, spec=spec)
+            inflight = nxt
             self._refill()
+
+    def _tail_drain(self) -> bool:
+        """True when the in-flight chunk plausibly completes every live
+        request: the queue is empty, no slot is mid-prefill, and each
+        decodable request's remaining budget fits in one chunk."""
+        if self._queue:
+            return False
+        for req in self._slot_req:
+            if req is None:
+                continue
+            if not req.get("prefill_done", True):
+                return False
+            if req["max_new"] - len(req["tokens"]) > self.chunk_tokens:
+                return False
+        return True
+
+    def _dispatch_chunk(self, chunk, spec):
+        """Launch one decode chunk from the device scheduling state and
+        start its harvest's device->host copy; returns the harvest handles
+        plus the per-slot request ids the chunk could decode for (the
+        ownership tags that keep a later-refilled slot from being confused
+        with the request the chunk actually served)."""
+        owners = [
+            req["id"]
+            if req is not None and req.get("prefill_done", True)
+            and self.active[s] else None
+            for s, req in enumerate(self._slot_req)
+        ]
+        t0 = time.perf_counter()
+        if spec:
+            (self.cache, self.d_cache, self.step_logits, self.samp_logp,
+             self._slot_state_dev, self._key, packed, atts_dev) = chunk(
+                self.params, self.draft_params, self.cache, self.d_cache,
+                self.step_logits, self.samp_logp, self._slot_state_dev,
+                self._key,
+            )
+        else:
+            (self.cache, self.step_logits, self._slot_state_dev, self._key,
+             packed, atts_dev) = chunk(
+                self.params, self.cache, self.step_logits,
+                self._slot_state_dev, self._key,
+            )
+        # Start the device->host copies NOW: they ride the device queue
+        # right behind this chunk, so by the time the host blocks on
+        # np.asarray the transfer is already in flight (or done).
+        packed.copy_to_host_async()
+        if self.collect_rauq:
+            atts_dev.copy_to_host_async()
+        self._stats["t_dispatch_s"] += time.perf_counter() - t0
+        return packed, atts_dev, owners
+
+    def _process_harvest(self, packed, atts_dev, owners, spec):
+        """Fetch + unpack one chunk's harvest, advance the host mirrors,
+        append/yield emissions, and finish completed requests."""
+        t1 = time.perf_counter()
+        packed_np = np.asarray(packed)
+        self._stats["t_fetch_s"] += time.perf_counter() - t1
+        if spec:
+            rounds = max(1, self.chunk_tokens // (self.gamma + 1))
+            toks, lps, ents, emitted, active_now = _unpack_harvest(
+                packed_np,
+                (rounds, self.num_slots, self.gamma + 1), self.num_slots,
+            )
+            # (R, S, gamma+1) round blocks -> (R*(gamma+1), S)
+            # chronological steps, the same harvest contract as below.
+            flat = lambda a: a.swapaxes(1, 2).reshape(-1, a.shape[1])
+            toks, lps, ents, emitted = map(flat, (toks, lps, ents, emitted))
+            if self.collect_rauq:
+                a = np.asarray(atts_dev)  # (R, L, S, H, gamma+1)
+                atts = np.transpose(a, (0, 4, 1, 2, 3)).reshape(
+                    -1, *a.shape[1:4]
+                )  # (R*(gamma+1), L, S, H)
+            else:
+                atts = None
+        else:
+            toks, lps, ents, emitted, active_now = _unpack_harvest(
+                packed_np,
+                (self.chunk_tokens, self.num_slots), self.num_slots,
+            )
+            atts = np.asarray(atts_dev) if self.collect_rauq else None
+        # Advance the host mirrors exactly as the device did: each slot's
+        # clock moved by its emission count (zero for non-owned slots);
+        # active is shipped back in the harvest (EOS/budget stops happen
+        # device-side) but only owned slots may be overwritten — a slot
+        # refilled after this chunk was dispatched keeps its host-set state.
+        self.slot_pos = self.slot_pos + emitted.sum(axis=0).astype(np.int32)
+        self._stats["decode_chunks"] += 1
+        self._stats["tokens_emitted"] += int(emitted.sum())
+        for slot in range(self.num_slots):
+            req = self._slot_req[slot]
+            if owners[slot] is None or req is None \
+                    or req["id"] != owners[slot]:
+                continue
+            self.active[slot] = bool(active_now[slot])
+            before = len(req["tokens"])
+            for k in range(toks.shape[0]):
+                if emitted[k, slot]:
+                    req["tokens"].append(int(toks[k, slot]))
+                    req["lps"].append(float(lps[k, slot]))
+                    req["ents"].append(float(ents[k, slot]))
+                    if atts is not None:
+                        # copy: a view would pin the whole (K, L, S, H)
+                        # chunk buffer until the request finishes
+                        req["atts"].append(atts[k, :, slot, :].copy())
+            # Stream exactly what the final (EOS-stripped) result will
+            # contain: never yield at or past the first EOS.
+            visible = len(req["tokens"])
+            if self.eos_id is not None and self.eos_id in req["tokens"]:
+                visible = min(visible, req["tokens"].index(self.eos_id))
+            new = req["tokens"][before:visible]
+            if new:
+                yield req["id"], new
+            done = (not active_now[slot]) or (
+                len(req["tokens"]) >= req["max_new"]
+            )
+            if done:
+                self.active[slot] = False
+                self._finish_slot(slot)
 
     def stats(self) -> dict:
         """Serving counters (host-side, zero device cost): requests
