@@ -729,3 +729,79 @@ class TestBatchedAdmissionWave:
         results = eng.generate_all(wave)
         for i, ((ref_toks, _), res) in enumerate(zip(ref, results)):
             assert res["tokens"] == ref_toks, f"prompt {i}"
+
+
+class TestLookaheadPipeline:
+    """The drain loop dispatches chunk k+1 from the device-resident
+    scheduling state before chunk k's harvest is processed. These tests pin
+    the two hazards that pipelining introduces: a slot that finishes inside
+    an in-flight chunk and is refilled before that chunk's harvest lands
+    (ownership), and the tail guard that skips the final lookahead chunk."""
+
+    def test_staggered_budgets_force_refill_under_inflight_chunk(
+        self, model_and_params
+    ):
+        """Per-request budgets 1..12 over 2 slots with chunk 5: slots free
+        mid-drain constantly, so refills race in-flight chunks every few
+        chunks. Every request must still match its single-prompt trace."""
+        model, params = model_and_params
+        rng = np.random.RandomState(21)
+        prompts = [list(rng.randint(1, VOCAB, rng.randint(3, 20)))
+                   for _ in range(9)]
+        budgets = [1, 12, 2, 7, 3, 1, 9, 4, 2]
+
+        gen = JaxGenerator(model, params, max_new_tokens=12, eos_id=None)
+        want = []
+        for p, b in zip(prompts, budgets):
+            out = gen.generate(p, do_sample=False, output_attentions=False,
+                               output_hidden_states=False)
+            want.append(np.asarray(out["sequences"][0, len(p):len(p) + b])
+                        .tolist())
+
+        eng = ContinuousBatchingEngine(
+            model, params, num_slots=2, max_ctx=64, max_new_tokens=12,
+            chunk_tokens=5, eos_id=None,
+        )
+        ids = [eng.submit(p, b) for p, b in zip(prompts, budgets)]
+        eng.run_until_drained()
+        for i, rid in enumerate(ids):
+            assert eng.result(rid)["tokens"] == want[i], f"request {i}"
+
+    def test_stream_increments_equal_final_tokens_under_refill(
+        self, model_and_params, prompts
+    ):
+        """stream() increments concatenated per request must equal the
+        final result even when yields interleave with lookahead refills."""
+        model, params = model_and_params
+        eng = ContinuousBatchingEngine(
+            model, params, num_slots=2, max_ctx=64, max_new_tokens=MAX_NEW,
+            chunk_tokens=3, eos_id=None,
+        )
+        ids = [eng.submit(p) for p in prompts]
+        seen = {rid: [] for rid in ids}
+        for rid, new in eng.stream():
+            seen[rid].extend(new)
+        for rid in ids:
+            assert seen[rid] == eng.result(rid)["tokens"]
+
+    def test_tail_drain_single_small_request(self, model_and_params):
+        """A lone request whose whole budget fits in one chunk exercises
+        the tail guard's skip path (no lookahead chunk after the last)."""
+        model, params = model_and_params
+        prompt = list(np.random.RandomState(5).randint(1, VOCAB, 6))
+        gen = JaxGenerator(model, params, max_new_tokens=4, eos_id=None)
+        out = gen.generate(prompt, do_sample=False, output_attentions=False,
+                           output_hidden_states=False)
+        want = np.asarray(out["sequences"][0, len(prompt):]).tolist()
+
+        eng = ContinuousBatchingEngine(
+            model, params, num_slots=3, max_ctx=64, max_new_tokens=4,
+            chunk_tokens=8, eos_id=None,
+        )
+        rid = eng.submit(prompt)
+        eng.run_until_drained()
+        assert eng.result(rid)["tokens"] == want
+        # The drained engine must be reusable (slot state fully reset).
+        rid2 = eng.submit(prompt)
+        eng.run_until_drained()
+        assert eng.result(rid2)["tokens"] == want
