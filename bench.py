@@ -223,7 +223,11 @@ def measure_objects():
     from runia_core_tpu.extraction import build_object_scorer, pad_detections
     from runia_core_tpu.models import ResNet18, build_tapped_forward
 
-    b, img, max_det = 64, 256, 20
+    # Batch 128: the RN18@256 forward (which dominates this program — the
+    # ROI+score stages cost 0.17 ms, see benchmarks/profile_object_scorer)
+    # is HBM-bound, and doubling the batch amortizes the weight reads:
+    # 18.3 vs 30.5 MB/img measured, 1.53x forward throughput over b=64.
+    b, img, max_det = 128, 256, 20
     rng = np.random.RandomState(0)
     model = ResNet18(num_classes=10, dtype=jnp.bfloat16)
     variables = jax.jit(model.init)(jax.random.key(0), jnp.zeros((b, img, img, 3)))
