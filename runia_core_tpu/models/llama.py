@@ -30,6 +30,8 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
+from runia_core_tpu.ops.quant_matmul import quant_matmul, quant_matmul_supported
+
 __all__ = ["LlamaLM", "convert_hf_llama", "convert_hf_gemma",
            "convert_hf_mixtral", "quantize_llama_params"]
 
@@ -53,8 +55,19 @@ class QDense(nn.Module):
         scale = self.param(
             "scale", nn.initializers.ones_init(), (self.features,), jnp.float32
         )
-        w = kernel_q.astype(self.dtype) * scale.astype(self.dtype)[None, :]
-        out = x.astype(self.dtype) @ w
+        xd = x.astype(self.dtype)
+        rows = int(np.prod(xd.shape[:-1]))
+        if jax.default_backend() == "tpu" and quant_matmul_supported(
+            rows, xd.shape[-1], self.features
+        ):
+            # Decode-regime path: keep the weights int8 all the way to VMEM.
+            # The XLA expression below is loop-invariant in the decode scan,
+            # so XLA hoists the dequantized full-width weight out of the
+            # loop and every step re-reads bf16 — see ops/quant_matmul.py.
+            out = quant_matmul(xd, kernel_q, scale)
+        else:
+            w = kernel_q.astype(self.dtype) * scale.astype(self.dtype)[None, :]
+            out = xd @ w
         if self.use_bias:
             bias = self.param(
                 "bias", nn.initializers.zeros_init(), (self.features,),
