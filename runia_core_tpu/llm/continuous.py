@@ -271,6 +271,8 @@ class ContinuousBatchingEngine:
         self._slot_state_dev = None
 
         self._prefill_cache: Dict[int, Any] = {}
+        self._fused_cache: Dict[tuple, Any] = {}
+        self._last_fused_stats: Dict[str, int] = {}
         self._chunk_fn = None
         self._spec_chunk_fn = None
         self._prefill_chunk_fn = None
@@ -1221,3 +1223,331 @@ class ContinuousBatchingEngine:
         ids = [self.submit(p) for p in prompts]
         self.run_until_drained()
         return [self.result(i) for i in ids]
+
+    # -- fused offline drain ---------------------------------------------------
+    def _fused_drain_fn(self, R: int, P_pad: int, M: int,
+                        prefill_lanes: int = 4):
+        """Jitted: drain an ENTIRE known-up-front workload in one program.
+
+        The interactive drain loop (``stream``) pays one host round trip
+        per decode chunk — on a tunneled TPU the fetch wait dominates the
+        drain (measured: ~2.5 s of fetch against ~1.5 s of decode on the
+        96-request bench workload), capping the engine at parity with
+        static batching. When every request is known before decoding
+        starts (offline batch inference), the whole scheduler fits on the
+        device: a ``lax.while_loop`` whose body refills free slots from a
+        device-resident queue, chunk-prefills one admitted prompt per
+        iteration (``lax.cond`` branch), or decodes ``chunk_tokens`` steps
+        for every active slot, scattering emissions straight into
+        per-request output buffers. The host uploads the request table
+        once and fetches the outputs once.
+
+        With ``prefill_lanes=1`` greedy outputs are bit-identical to the
+        interactive drain (same batch-1 chunk prefill, same decode step
+        program). Wider lanes prefill several slots per weight sweep —
+        faster, but the (W, C) matmul rounds bf16 differently from the
+        interactive (1, C) prefill, so greedy argmax can flip on near-tie
+        logits (verified on v5e: 1/24 random-weight requests diverged
+        mid-sequence at lanes=4; lanes=1 is exact).
+        """
+        key_ = (R, P_pad, M, prefill_lanes)
+        fn = self._fused_cache.get(key_)
+        if fn is not None:
+            return fn
+        model, eos = self.model, self.eos_id
+        S, C, K = self.num_slots, self.prefill_chunk, max(1, self.chunk_tokens)
+        do_sample, temperature = self.do_sample, self.temperature
+        top_k, top_p = self.top_k, self.top_p
+
+        def slice_row(cache, slot):
+            return jax.tree_util.tree_map(
+                lambda g: jax.lax.dynamic_slice_in_dim(g, slot, 1, axis=0),
+                cache,
+            )
+
+        def splice_row(cache, row, slot):
+            return jax.tree_util.tree_map(
+                lambda g, l: jax.lax.dynamic_update_slice(
+                    g, l.astype(g.dtype), (slot,) + (0,) * (g.ndim - 1)
+                ),
+                cache, row,
+            )
+
+        @partial(jax.jit, donate_argnums=(1, 2))
+        def drain(params, cache, step_logits, req_tokens, req_len,
+                  req_budget, key):
+            n_chunks = (req_len + C - 1) // C  # (R,) prefill chunks per req
+
+            def refill(st):
+                (cache, step_logits, slot_req, write_pos, pre_rem, slot_pos,
+                 start, limit, active, qh, out_t, out_l, out_e, n_emit,
+                 iters, key) = st
+                # Vectorized queue admission: the i-th free slot (by rank
+                # among free slots) takes request qh+i. No sequential scan —
+                # this runs every while iteration and must cost nothing.
+                free = (~active) & (pre_rem == 0)
+                rank = jnp.cumsum(free.astype(jnp.int32)) - 1
+                take = free & (qh + rank < R)
+                r_new = jnp.clip(qh + rank, 0, R - 1)
+                slot_req = jnp.where(take, r_new, slot_req)
+                write_pos = jnp.where(take, 0, write_pos)
+                pre_rem = jnp.where(take, n_chunks[r_new], pre_rem)
+                qh = qh + jnp.minimum(
+                    free.sum(dtype=jnp.int32), jnp.maximum(R - qh, 0)
+                )
+                return (cache, step_logits, slot_req, write_pos, pre_rem,
+                        slot_pos, start, limit, active, qh, out_t, out_l,
+                        out_e, n_emit, iters, key)
+
+            # Prefill lanes per iteration: each lane advances one slot's
+            # prefill by one chunk, so one weight sweep serves W*C prompt
+            # tokens instead of C. Fewer lanes than pending slots pad by
+            # DUPLICATING the first pending slot — duplicate lanes compute
+            # identical rows, so the duplicate scatter writes are benign.
+            W = min(prefill_lanes, S)
+
+            def prefill_branch(st):
+                (cache, step_logits, slot_req, write_pos, pre_rem, slot_pos,
+                 start, limit, active, qh, out_t, out_l, out_e, n_emit,
+                 iters, key) = st
+                pending = pre_rem > 0
+                # First W pending slot indices, padded with the first one.
+                order = jnp.argsort(~pending)  # pending slots first
+                first = order[0]
+                lanes = jnp.where(pending[order[:W]], order[:W], first)
+                r_l = slot_req[lanes]  # (W,)
+                w_l = write_pos[lanes]
+                tok = jax.vmap(
+                    lambda r, w: jax.lax.dynamic_slice(
+                        req_tokens[r], (w,), (C,)
+                    )
+                )(r_l, w_l)  # (W, C)
+                rows = jax.tree_util.tree_map(
+                    lambda g: g[lanes], cache
+                )
+                logits, _, _, rows = model.apply(params, tok, rows, w_l)
+                cache = jax.tree_util.tree_map(
+                    lambda g, l: g.at[lanes].set(l.astype(g.dtype)),
+                    cache, rows,
+                )
+                is_last = pre_rem[lanes] == 1
+                # Next-token logits sit at the prompt's last REAL token of
+                # the final chunk (garbage past it is causally unreachable).
+                last_idx = jnp.clip(req_len[r_l] - 1 - w_l, 0, C - 1)
+                sel = jnp.take_along_axis(
+                    logits, last_idx[:, None, None], axis=1
+                )[:, 0, :]  # (W, V)
+                lane_tgt = jnp.where(is_last, lanes, S)  # drop non-final
+                step_logits = step_logits.at[lane_tgt].set(
+                    sel.astype(step_logits.dtype), mode="drop"
+                )
+                fin = req_len[r_l]
+                slot_pos = slot_pos.at[lane_tgt].set(fin, mode="drop")
+                start = start.at[lane_tgt].set(fin, mode="drop")
+                limit = limit.at[lane_tgt].set(
+                    fin + req_budget[r_l], mode="drop"
+                )
+                active = active.at[lane_tgt].set(True, mode="drop")
+                # Duplicate lanes advance their shared slot once, not W
+                # times: scatter-set the same values through every lane.
+                write_pos = write_pos.at[lanes].set(w_l + C)
+                pre_rem = pre_rem.at[lanes].set(pre_rem[lanes] - 1)
+                iters = iters.at[0].add(1)
+                return (cache, step_logits, slot_req, write_pos, pre_rem,
+                        slot_pos, start, limit, active, qh, out_t, out_l,
+                        out_e, n_emit, iters, key)
+
+            def decode_branch(st):
+                (cache, step_logits, slot_req, write_pos, pre_rem, slot_pos,
+                 start, limit, active, qh, out_t, out_l, out_e, n_emit,
+                 iters, key) = st
+
+                def body(carry, _):
+                    (cache, step_logits, slot_pos, active, out_t, out_l,
+                     out_e, n_emit, key) = carry
+                    key, sub = jax.random.split(key)
+                    log_soft = jax.nn.log_softmax(step_logits, axis=-1)
+                    if do_sample:
+                        from runia_core_tpu.llm.generate import sample_logits
+
+                        next_tok = sample_logits(
+                            sub, step_logits, temperature, top_k, top_p
+                        )
+                    else:
+                        next_tok = jnp.argmax(step_logits, axis=-1)
+                    lp = jnp.take_along_axis(
+                        log_soft, next_tok[:, None], axis=-1
+                    )[:, 0]
+                    emitted = active & (slot_pos < limit)
+                    next_tok = jnp.where(emitted, next_tok, 0)
+                    ent = _vocab_norm_entropy(log_soft)
+                    if eos is not None:
+                        active = active & (next_tok != eos)
+                    # Scatter emissions straight into the request buffers;
+                    # non-emitting slots aim out of bounds and are dropped.
+                    e_idx = jnp.where(emitted, slot_pos - start, M)
+                    r_idx = jnp.where(emitted, slot_req, R)
+                    out_t = out_t.at[r_idx, e_idx].set(
+                        next_tok, mode="drop"
+                    )
+                    out_l = out_l.at[r_idx, e_idx].set(lp, mode="drop")
+                    out_e = out_e.at[r_idx, e_idx].set(ent, mode="drop")
+                    n_emit = n_emit.at[r_idx].set(
+                        slot_pos - start + 1, mode="drop"
+                    )
+                    new_logits, _, _, cache = model.apply(
+                        params, next_tok[:, None], cache, slot_pos
+                    )
+                    slot_pos = slot_pos + emitted.astype(jnp.int32)
+                    active = active & (slot_pos < limit)
+                    step_logits = jnp.where(
+                        emitted[:, None], new_logits[:, 0, :], step_logits
+                    )
+                    return (cache, step_logits, slot_pos, active, out_t,
+                            out_l, out_e, n_emit, key), None
+
+                (cache, step_logits, slot_pos, active, out_t, out_l, out_e,
+                 n_emit, key), _ = jax.lax.scan(
+                    body,
+                    (cache, step_logits, slot_pos, active, out_t, out_l,
+                     out_e, n_emit, key),
+                    None, length=K,
+                )
+                iters = iters.at[1].add(1)
+                return (cache, step_logits, slot_req, write_pos, pre_rem,
+                        slot_pos, start, limit, active, qh, out_t, out_l,
+                        out_e, n_emit, iters, key)
+
+            def cond(st):
+                pre_rem, active, qh = st[4], st[8], st[9]
+                return ~((qh >= R) & ~active.any() & ~(pre_rem > 0).any())
+
+            def body(st):
+                st = refill(st)
+                return jax.lax.cond(
+                    (st[4] > 0).any(), prefill_branch, decode_branch, st
+                )
+
+            st0 = (
+                cache, step_logits,
+                jnp.zeros((S,), jnp.int32),            # slot_req
+                jnp.zeros((S,), jnp.int32),            # write_pos
+                jnp.zeros((S,), jnp.int32),            # pre_rem
+                jnp.zeros((S,), jnp.int32),            # slot_pos
+                jnp.zeros((S,), jnp.int32),            # start
+                jnp.zeros((S,), jnp.int32),            # limit
+                jnp.zeros((S,), bool),                 # active
+                jnp.zeros((), jnp.int32),              # qh
+                jnp.zeros((R, M), jnp.int32),          # out tokens
+                jnp.full((R, M), -jnp.inf, jnp.float32),  # out log-probs
+                jnp.zeros((R, M), jnp.float32),        # out entropies
+                jnp.zeros((R,), jnp.int32),            # emit counts
+                jnp.zeros((2,), jnp.int32),            # [prefill, decode] iters
+                key,
+            )
+            st = jax.lax.while_loop(cond, body, st0)
+            return st[0], st[1], st[10], st[11], st[12], st[13], st[14]
+
+        self._fused_cache[key_] = drain
+        return drain
+
+    def generate_all_fused(
+        self,
+        prompts: Sequence[Sequence[int]],
+        max_new_tokens: Optional[Sequence[int]] = None,
+        prefill_lanes: int = 4,
+    ) -> List[Dict[str, Any]]:
+        """Drain a known-up-front workload in ONE device program.
+
+        Same results contract as :meth:`generate_all` (ordered dicts with
+        ``tokens``/``log_probs``/``perplexity``/``generation_entropy``),
+        but the scheduler runs on-device (see ``_fused_drain_fn``): no
+        per-chunk host round trips, so offline batch throughput is bound
+        by occupancy, not tunnel latency. ``max_new_tokens`` takes a
+        per-request budget list (defaults to the engine budget).
+        ``prefill_lanes=1`` makes greedy output bit-identical to the
+        interactive drain; the wider default trades that for prefill
+        throughput (see ``_fused_drain_fn`` on bf16 near-tie flips).
+
+        Requires chunked-prefill mode; RAUQ collection, speculative
+        drafting, and prefix caching are interactive-drain features and
+        are rejected here.
+        """
+        if not self.prefill_chunk:
+            raise ValueError("generate_all_fused requires prefill_chunk")
+        if self.draft_model is not None or self.collect_rauq:
+            raise ValueError(
+                "generate_all_fused supports the plain decode path only "
+                "(no draft model, no RAUQ collection)"
+            )
+        if any(r is not None for r in self._slot_req) or self._queue:
+            raise RuntimeError(
+                "engine has in-flight requests; drain them before a fused run"
+            )
+        prompts = [list(p) for p in prompts]
+        if not prompts:
+            return []
+        R = len(prompts)
+        if max_new_tokens is None:
+            budgets = [self.max_new_tokens] * R
+        else:
+            budgets = [int(b) for b in max_new_tokens]
+            if len(budgets) != R:
+                raise ValueError("one budget per prompt")
+        C = self.prefill_chunk
+        for p, b in zip(prompts, budgets):
+            if not p:
+                raise ValueError("chunked prefill needs a non-empty prompt")
+            if len(p) + b > self.max_ctx:
+                raise ValueError(
+                    f"prompt of {len(p)} tokens + {b} new exceeds "
+                    f"max_ctx={self.max_ctx}"
+                )
+        P_pad = -(-max(len(p) for p in prompts) // C) * C
+        M = max(max(budgets), 1)
+
+        req_tokens = np.zeros((R, P_pad), np.int32)
+        for i, p in enumerate(prompts):
+            req_tokens[i, : len(p)] = p
+        req_len = np.asarray([len(p) for p in prompts], np.int32)
+        req_budget = np.asarray(budgets, np.int32)
+
+        self._key, sub = jax.random.split(self._key)
+        fn = self._fused_drain_fn(R, P_pad, M, prefill_lanes)
+        (self.cache, self.step_logits, out_t, out_l, out_e,
+         n_emit, iters) = fn(
+            self.params, self.cache, self.step_logits,
+            jnp.asarray(req_tokens), jnp.asarray(req_len),
+            jnp.asarray(req_budget), sub,
+        )
+        iters = np.asarray(iters)
+        self._last_fused_stats = {
+            "prefill_iters": int(iters[0]),
+            "decode_iters": int(iters[1]),
+        }
+        out_t = np.asarray(out_t)
+        out_l = np.asarray(out_l)
+        out_e = np.asarray(out_e)
+        n_emit = np.asarray(n_emit)
+
+        results = []
+        for i in range(R):
+            toks = list(out_t[i, : n_emit[i]])
+            lps, ents = out_l[i, : n_emit[i]], out_e[i, : n_emit[i]]
+            if self.eos_id is not None and self.eos_id in toks:
+                cut = toks.index(self.eos_id)
+                toks, lps, ents = toks[:cut], lps[:cut], ents[:cut]
+            lps = np.asarray(lps, np.float32)
+            ents = np.asarray(ents, np.float32)
+            results.append({
+                "tokens": [int(t) for t in toks],
+                "log_probs": lps,
+                "prompt_length": len(prompts[i]),
+                "perplexity": float(-lps.mean()) if len(toks) else float("nan"),
+                "generation_entropy": (
+                    float(ents.mean()) if len(toks) else float("nan")
+                ),
+            })
+            self._stats["requests_finished"] += 1
+            self._stats["tokens_emitted"] += len(toks)
+        return results

@@ -805,3 +805,117 @@ class TestLookaheadPipeline:
         rid2 = eng.submit(prompt)
         eng.run_until_drained()
         assert eng.result(rid2)["tokens"] == want
+
+
+class TestFusedDrain:
+    """generate_all_fused: the on-device scheduler (one while_loop, zero
+    per-chunk host round trips) must reproduce the interactive drain."""
+
+    def _engine(self, model, params, **kw):
+        cfg = dict(num_slots=4, max_ctx=64, max_new_tokens=MAX_NEW,
+                   chunk_tokens=3, prefill_chunk=8, eos_id=None)
+        cfg.update(kw)
+        return ContinuousBatchingEngine(model, params, **cfg)
+
+    def test_greedy_token_identical_to_generator(self, model_and_params,
+                                                 prompts):
+        model, params = model_and_params
+        want = reference_outputs(model, params, prompts, None)
+        res = self._engine(model, params).generate_all_fused(prompts)
+        for r, (toks, lps) in zip(res, want):
+            assert r["tokens"] == toks
+            np.testing.assert_allclose(r["log_probs"], lps, rtol=2e-4,
+                                       atol=2e-5)
+
+    def test_matches_interactive_drain_results(self, model_and_params,
+                                               prompts):
+        """Same engine config, fused vs interactive: identical tokens and
+        uncertainty scores (shared step program, shared prefill layout)."""
+        model, params = model_and_params
+        a = self._engine(model, params).generate_all(prompts)
+        b = self._engine(model, params).generate_all_fused(prompts)
+        for ra, rb in zip(a, b):
+            assert ra["tokens"] == rb["tokens"]
+            np.testing.assert_allclose(
+                rb["log_probs"], ra["log_probs"], rtol=2e-4, atol=2e-5)
+            np.testing.assert_allclose(
+                rb["perplexity"], ra["perplexity"], rtol=2e-4)
+            np.testing.assert_allclose(
+                rb["generation_entropy"], ra["generation_entropy"],
+                rtol=2e-4)
+
+    def test_eos_stops_and_strips(self, model_and_params, prompts):
+        model, params = model_and_params
+        eos = 7
+        a = self._engine(model, params, eos_id=eos).generate_all(prompts)
+        b = self._engine(model, params,
+                         eos_id=eos).generate_all_fused(prompts)
+        for ra, rb in zip(a, b):
+            assert ra["tokens"] == rb["tokens"]
+            assert eos not in rb["tokens"]
+
+    def test_per_request_budgets(self, model_and_params, prompts):
+        model, params = model_and_params
+        budgets = [1 + (i % 4) for i in range(len(prompts))]
+        want = reference_outputs(model, params, prompts, None)
+        res = self._engine(model, params).generate_all_fused(
+            prompts, max_new_tokens=budgets)
+        for r, (toks, _), b in zip(res, want, budgets):
+            assert r["tokens"] == toks[:b]
+
+    def test_more_requests_than_slots_refills(self, model_and_params):
+        model, params = model_and_params
+        rng = np.random.RandomState(11)
+        many = [list(rng.randint(1, VOCAB, rng.randint(3, 30)))
+                for _ in range(13)]
+        want = reference_outputs(model, params, many, None)
+        res = self._engine(model, params,
+                           num_slots=3).generate_all_fused(many)
+        for r, (toks, _) in zip(res, want):
+            assert r["tokens"] == toks
+
+    def test_sampled_mode_well_formed(self, model_and_params, prompts):
+        model, params = model_and_params
+        eng = self._engine(model, params, do_sample=True, temperature=0.9)
+        res = eng.generate_all_fused(prompts[:3])
+        for r in res:
+            assert len(r["tokens"]) == MAX_NEW
+            assert np.isfinite(r["log_probs"]).all()
+
+    def test_rejects_unsupported_modes(self, model_and_params, prompts):
+        model, params = model_and_params
+        with pytest.raises(ValueError, match="prefill_chunk"):
+            ContinuousBatchingEngine(
+                model, params, num_slots=2, max_ctx=64,
+            ).generate_all_fused(prompts[:1])
+        with pytest.raises(ValueError, match="plain decode"):
+            self._engine(model, params,
+                         collect_rauq=True).generate_all_fused(prompts[:1])
+        with pytest.raises(RuntimeError, match="in-flight"):
+            eng = self._engine(model, params)
+            eng.submit(prompts[0])
+            eng.generate_all_fused(prompts[:1])
+        with pytest.raises(ValueError, match="exceeds"):
+            self._engine(model, params).generate_all_fused(
+                [list(range(1, 60))], max_new_tokens=[30])
+
+    def test_prefill_lanes_one_matches_default(self, model_and_params,
+                                               prompts):
+        """prefill_lanes=1 is the bit-identity mode (batch-1 chunk prefill
+        like the interactive drain); in f32 both lane widths must agree
+        exactly — this pins the lane plumbing, not bf16 rounding."""
+        model, params = model_and_params
+        a = self._engine(model, params).generate_all_fused(
+            prompts, prefill_lanes=1)
+        b = self._engine(model, params).generate_all_fused(prompts)
+        for ra, rb in zip(a, b):
+            assert ra["tokens"] == rb["tokens"]
+
+    def test_empty_and_engine_reuse(self, model_and_params, prompts):
+        model, params = model_and_params
+        eng = self._engine(model, params)
+        assert eng.generate_all_fused([]) == []
+        a = eng.generate_all_fused(prompts[:2])
+        b = eng.generate_all_fused(prompts[:2])  # cache rows fully rewritten
+        for ra, rb in zip(a, b):
+            assert ra["tokens"] == rb["tokens"]
