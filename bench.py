@@ -18,9 +18,11 @@ round-2 item 1):
                           HBM GB/s vs the 819 GB/s v5e peak (decode is
                           bandwidth-bound; FLOP-MFU is the wrong lens)
   - llama1b_decode_int8kv8  same with int8 weights + int8 KV cache
-  - llama1b_serving_96req_fused  96 mixed requests through the batching
-                          engine's fused on-device drain (one while_loop,
-                          no per-chunk host round trips), vs static batch
+  - llama1b_serving_96req  96 mixed requests through the batching
+                          engine, best of the fused on-device drain (one
+                          while_loop, zero per-chunk host round trips) and
+                          the lookahead-pipelined interactive drain, vs
+                          static batching
   - llama1b_speculative   fused draft/verify with a layer-truncated
                           correlated draft; reports measured acceptance
 
@@ -446,9 +448,10 @@ def measure_llm_continuous():
     static_tps = best_of(static_pass)
 
     # Fused offline drain: the same workload as ONE device program (the
-    # scheduler runs on-device, so the tunnel's per-chunk fetch round trips
-    # — the dominant cost of the interactive drain here — disappear).
-    # Smaller decode chunks are free on-device and refill slots sooner.
+    # scheduler runs on-device — zero per-chunk host round trips). At toy
+    # scale it wins 3.9x over the tunnel; at this production size the
+    # lookahead-pipelined interactive drain is already device-bound, so
+    # the leg reports whichever drain is faster and records both.
     feng = ContinuousBatchingEngine(
         model, st["params"], num_slots=n_slots, max_ctx=320,
         max_new_tokens=64, prompt_bucket=64, prefill_chunk=64,
@@ -458,9 +461,12 @@ def measure_llm_continuous():
     feng.generate_all_fused(prompts, budget_list)  # compile warmup
     fused_tps = best_of(lambda: feng.generate_all_fused(prompts, budget_list))
 
-    return fused_tps, None, {
+    return max(fused_tps, engine_tps), None, {
         "useful_tokens": useful,
-        "speedup_vs_static_batch": round(fused_tps / static_tps, 4),
+        "speedup_vs_static_batch": round(
+            max(fused_tps, engine_tps) / static_tps, 4
+        ),
+        "fused_tok_s": round(fused_tps, 2),
         **feng._last_fused_stats,
         "interactive_tok_s": round(engine_tps, 2),
         "interactive_vs_static": round(engine_tps / static_tps, 4),
@@ -671,7 +677,7 @@ def run_suite():
     leg("llama1b_prefill_8x1024", "tok/s", measure_llm_prefill)
     leg("llama1b_decode_greedy_16x64", "tok/s", measure_llm_decode)
     leg("llama1b_decode_int8kv8_16x64", "tok/s", measure_llm_decode_int8)
-    leg("llama1b_serving_96req_fused", "tok/s", measure_llm_continuous)
+    leg("llama1b_serving_96req", "tok/s", measure_llm_continuous)
     leg("llama1b_speculative_1x32", "tok/s", measure_llm_speculative_production)
     leg("llama1b_spec_engine_24req_prefix", "tok/s", measure_llm_spec_engine)
     return ips18, suite

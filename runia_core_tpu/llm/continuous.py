@@ -1259,45 +1259,36 @@ class ContinuousBatchingEngine:
         do_sample, temperature = self.do_sample, self.temperature
         top_k, top_p = self.top_k, self.top_p
 
-        def slice_row(cache, slot):
-            return jax.tree_util.tree_map(
-                lambda g: jax.lax.dynamic_slice_in_dim(g, slot, 1, axis=0),
-                cache,
-            )
+        draft, gamma = self.draft_model, self.gamma
+        use_samp = do_sample and draft is not None
+        # Spec rounds per decode-branch visit: chunk_tokens keeps its
+        # "approx tokens per scheduler check" meaning (emission timing
+        # never changes a slot's token stream — slots are independent).
+        spec_rounds = max(1, K // (gamma + 1))
 
-        def splice_row(cache, row, slot):
-            return jax.tree_util.tree_map(
-                lambda g, l: jax.lax.dynamic_update_slice(
-                    g, l.astype(g.dtype), (slot,) + (0,) * (g.ndim - 1)
-                ),
-                cache, row,
-            )
-
-        @partial(jax.jit, donate_argnums=(1, 2))
-        def drain(params, cache, step_logits, req_tokens, req_len,
-                  req_budget, key):
+        @partial(jax.jit, donate_argnums=(2, 3, 4, 5))
+        def drain(params, dparams, cache, d_cache, step_logits, samp_logp,
+                  req_tokens, req_len, req_budget, key):
             n_chunks = (req_len + C - 1) // C  # (R,) prefill chunks per req
 
             def refill(st):
-                (cache, step_logits, slot_req, write_pos, pre_rem, slot_pos,
-                 start, limit, active, qh, out_t, out_l, out_e, n_emit,
-                 iters, key) = st
+                st = dict(st)
                 # Vectorized queue admission: the i-th free slot (by rank
                 # among free slots) takes request qh+i. No sequential scan —
                 # this runs every while iteration and must cost nothing.
-                free = (~active) & (pre_rem == 0)
+                free = (~st["active"]) & (st["pre_rem"] == 0)
                 rank = jnp.cumsum(free.astype(jnp.int32)) - 1
-                take = free & (qh + rank < R)
-                r_new = jnp.clip(qh + rank, 0, R - 1)
-                slot_req = jnp.where(take, r_new, slot_req)
-                write_pos = jnp.where(take, 0, write_pos)
-                pre_rem = jnp.where(take, n_chunks[r_new], pre_rem)
-                qh = qh + jnp.minimum(
-                    free.sum(dtype=jnp.int32), jnp.maximum(R - qh, 0)
+                take = free & (st["qh"] + rank < R)
+                r_new = jnp.clip(st["qh"] + rank, 0, R - 1)
+                st["slot_req"] = jnp.where(take, r_new, st["slot_req"])
+                st["write_pos"] = jnp.where(take, 0, st["write_pos"])
+                st["pre_rem"] = jnp.where(
+                    take, n_chunks[r_new], st["pre_rem"]
                 )
-                return (cache, step_logits, slot_req, write_pos, pre_rem,
-                        slot_pos, start, limit, active, qh, out_t, out_l,
-                        out_e, n_emit, iters, key)
+                st["qh"] = st["qh"] + jnp.minimum(
+                    free.sum(dtype=jnp.int32), jnp.maximum(R - st["qh"], 0)
+                )
+                return st
 
             # Prefill lanes per iteration: each lane advances one slot's
             # prefill by one chunk, so one weight sweep serves W*C prompt
@@ -1307,30 +1298,39 @@ class ContinuousBatchingEngine:
             W = min(prefill_lanes, S)
 
             def prefill_branch(st):
-                (cache, step_logits, slot_req, write_pos, pre_rem, slot_pos,
-                 start, limit, active, qh, out_t, out_l, out_e, n_emit,
-                 iters, key) = st
-                pending = pre_rem > 0
+                st = dict(st)
+                pending = st["pre_rem"] > 0
                 # First W pending slot indices, padded with the first one.
                 order = jnp.argsort(~pending)  # pending slots first
                 first = order[0]
                 lanes = jnp.where(pending[order[:W]], order[:W], first)
-                r_l = slot_req[lanes]  # (W,)
-                w_l = write_pos[lanes]
+                r_l = st["slot_req"][lanes]  # (W,)
+                w_l = st["write_pos"][lanes]
                 tok = jax.vmap(
                     lambda r, w: jax.lax.dynamic_slice(
                         req_tokens[r], (w,), (C,)
                     )
                 )(r_l, w_l)  # (W, C)
                 rows = jax.tree_util.tree_map(
-                    lambda g: g[lanes], cache
+                    lambda g: g[lanes], st["cache"]
                 )
                 logits, _, _, rows = model.apply(params, tok, rows, w_l)
-                cache = jax.tree_util.tree_map(
+                st["cache"] = jax.tree_util.tree_map(
                     lambda g, l: g.at[lanes].set(l.astype(g.dtype)),
-                    cache, rows,
+                    st["cache"], rows,
                 )
-                is_last = pre_rem[lanes] == 1
+                if draft is not None:
+                    # The draft tracks the same token stream on its own
+                    # cache (its KV is what the speculative rounds attend).
+                    d_rows = jax.tree_util.tree_map(
+                        lambda g: g[lanes], st["d_cache"]
+                    )
+                    d_rows = draft.apply(dparams, tok, d_rows, w_l)[3]
+                    st["d_cache"] = jax.tree_util.tree_map(
+                        lambda g, l: g.at[lanes].set(l.astype(g.dtype)),
+                        st["d_cache"], d_rows,
+                    )
+                is_last = st["pre_rem"][lanes] == 1
                 # Next-token logits sit at the prompt's last REAL token of
                 # the final chunk (garbage past it is causally unreachable).
                 last_idx = jnp.clip(req_len[r_l] - 1 - w_l, 0, C - 1)
@@ -1338,29 +1338,40 @@ class ContinuousBatchingEngine:
                     logits, last_idx[:, None, None], axis=1
                 )[:, 0, :]  # (W, V)
                 lane_tgt = jnp.where(is_last, lanes, S)  # drop non-final
-                step_logits = step_logits.at[lane_tgt].set(
-                    sel.astype(step_logits.dtype), mode="drop"
+                st["step_logits"] = st["step_logits"].at[lane_tgt].set(
+                    sel.astype(st["step_logits"].dtype), mode="drop"
                 )
+                if use_samp:
+                    # Seed the slot's sampling distribution (what the first
+                    # spec round draws tok0 from; later rounds replace it
+                    # with the deferred Leviathan residual).
+                    st["samp_logp"] = st["samp_logp"].at[lane_tgt].set(
+                        jax.nn.log_softmax(sel / temperature, axis=-1),
+                        mode="drop",
+                    )
                 fin = req_len[r_l]
-                slot_pos = slot_pos.at[lane_tgt].set(fin, mode="drop")
-                start = start.at[lane_tgt].set(fin, mode="drop")
-                limit = limit.at[lane_tgt].set(
+                st["slot_pos"] = st["slot_pos"].at[lane_tgt].set(
+                    fin, mode="drop"
+                )
+                st["start"] = st["start"].at[lane_tgt].set(fin, mode="drop")
+                st["limit"] = st["limit"].at[lane_tgt].set(
                     fin + req_budget[r_l], mode="drop"
                 )
-                active = active.at[lane_tgt].set(True, mode="drop")
+                st["active"] = st["active"].at[lane_tgt].set(
+                    True, mode="drop"
+                )
                 # Duplicate lanes advance their shared slot once, not W
                 # times: scatter-set the same values through every lane.
-                write_pos = write_pos.at[lanes].set(w_l + C)
-                pre_rem = pre_rem.at[lanes].set(pre_rem[lanes] - 1)
-                iters = iters.at[0].add(1)
-                return (cache, step_logits, slot_req, write_pos, pre_rem,
-                        slot_pos, start, limit, active, qh, out_t, out_l,
-                        out_e, n_emit, iters, key)
+                st["write_pos"] = st["write_pos"].at[lanes].set(w_l + C)
+                st["pre_rem"] = st["pre_rem"].at[lanes].set(
+                    st["pre_rem"][lanes] - 1
+                )
+                st["iters"] = st["iters"].at[0].add(1)
+                return st
 
             def decode_branch(st):
-                (cache, step_logits, slot_req, write_pos, pre_rem, slot_pos,
-                 start, limit, active, qh, out_t, out_l, out_e, n_emit,
-                 iters, key) = st
+                st = dict(st)
+                slot_req, start, limit = st["slot_req"], st["start"], st["limit"]
 
                 def body(carry, _):
                     (cache, step_logits, slot_pos, active, out_t, out_l,
@@ -1406,47 +1417,232 @@ class ContinuousBatchingEngine:
                     return (cache, step_logits, slot_pos, active, out_t,
                             out_l, out_e, n_emit, key), None
 
-                (cache, step_logits, slot_pos, active, out_t, out_l, out_e,
-                 n_emit, key), _ = jax.lax.scan(
+                (st["cache"], st["step_logits"], st["slot_pos"],
+                 st["active"], st["out_t"], st["out_l"], st["out_e"],
+                 st["n_emit"], st["key"]), _ = jax.lax.scan(
                     body,
-                    (cache, step_logits, slot_pos, active, out_t, out_l,
-                     out_e, n_emit, key),
+                    (st["cache"], st["step_logits"], st["slot_pos"],
+                     st["active"], st["out_t"], st["out_l"], st["out_e"],
+                     st["n_emit"], st["key"]),
                     None, length=K,
                 )
-                iters = iters.at[1].add(1)
-                return (cache, step_logits, slot_req, write_pos, pre_rem,
-                        slot_pos, start, limit, active, qh, out_t, out_l,
-                        out_e, n_emit, iters, key)
+                st["iters"] = st["iters"].at[1].add(1)
+                return st
+
+            def spec_decode_branch(st):
+                """Speculative rounds with on-device scheduling: the
+                interactive ``_spec_chunk`` round body (draft gamma
+                proposals per slot, ONE (S, gamma+1) verify forward,
+                deferred correction) with emissions scattered straight
+                into the request output buffers. Greedy is token-identical
+                to the interactive spec engine (slots' token streams are
+                independent of emission timing); sampled is exact
+                temperature rejection sampling."""
+                st = dict(st)
+                slot_req, start, limit = st["slot_req"], st["start"], st["limit"]
+                idxs = jnp.arange(gamma + 1)[None, :]
+
+                def round_body(carry, kj):
+                    (cache, d_cache, step_logits, samp_logp, slot_pos,
+                     active, out_t, out_l, out_e, n_emit, acc) = carry
+                    k0, kd, kr = jax.random.split(kj, 3)
+                    log_soft = jax.nn.log_softmax(step_logits, axis=-1)
+                    if use_samp:
+                        tok0 = jax.random.categorical(
+                            k0, samp_logp, axis=-1
+                        ).astype(jnp.int32)
+                    else:
+                        tok0 = jnp.argmax(step_logits, axis=-1).astype(
+                            jnp.int32
+                        )
+                    lp0 = jnp.take_along_axis(
+                        log_soft, tok0[:, None], axis=-1
+                    )[:, 0]
+                    ent0 = _vocab_norm_entropy(log_soft)
+
+                    def draft_step(carry2, kj2):
+                        tok, dc, idx = carry2
+                        lg, _, _, dc = draft.apply(
+                            dparams, tok[:, None], dc, idx
+                        )
+                        if use_samp:
+                            row = lg[:, 0, :] / temperature
+                            nxt = jax.random.categorical(kj2, row, axis=-1)
+                        else:
+                            row = lg[:, 0, :]
+                            nxt = jnp.argmax(row, axis=-1)
+                        nxt = nxt.astype(jnp.int32)
+                        return (nxt, dc, idx + 1), (nxt, jax.nn.softmax(row))
+
+                    (_, d_cache, _), (outs, dprob_x) = jax.lax.scan(
+                        draft_step, (tok0, d_cache, slot_pos),
+                        jax.random.split(kd, gamma + 1),
+                    )
+                    proposals = jnp.swapaxes(outs[:gamma], 0, 1)  # (S, g)
+                    draft_probs = jnp.swapaxes(dprob_x[:gamma], 0, 1)
+                    block = jnp.concatenate(
+                        [tok0[:, None], proposals], axis=1
+                    )
+                    lg, _, _, cache = model.apply(
+                        params, block, cache, slot_pos
+                    )  # (S, gamma+1, V), vector clocks
+                    logp = jax.nn.log_softmax(lg, axis=-1)
+                    if use_samp:
+                        # Leviathan rejection sampling (same math as the
+                        # interactive _spec_chunk; see there for the
+                        # deferred-residual correctness argument).
+                        t_probs = jax.nn.softmax(lg / temperature, axis=-1)
+                        p_t = jnp.take_along_axis(
+                            t_probs[:, :-1, :], proposals[..., None],
+                            axis=-1,
+                        )[..., 0]
+                        p_d = jnp.take_along_axis(
+                            draft_probs, proposals[..., None], axis=-1
+                        )[..., 0]
+                        u = jax.random.uniform(kr, p_t.shape)
+                        accept = u < jnp.minimum(
+                            1.0, p_t / jnp.maximum(p_d, 1e-20)
+                        )
+                        agree = jnp.cumprod(accept.astype(jnp.int32), axis=1)
+                        n_acc = jnp.sum(agree, axis=1)
+                        draft_ext = jnp.concatenate(
+                            [draft_probs, jnp.zeros_like(t_probs[:, :1, :])],
+                            axis=1,
+                        )
+                        t_row = jnp.take_along_axis(
+                            t_probs, n_acc[:, None, None], axis=1
+                        )[:, 0, :]
+                        d_row = jnp.take_along_axis(
+                            draft_ext, n_acc[:, None, None], axis=1
+                        )[:, 0, :]
+                        residual = jnp.maximum(t_row - d_row, 0.0)
+                        residual = jnp.where(
+                            jnp.sum(residual, axis=-1, keepdims=True) > 0,
+                            residual, t_row,
+                        )
+                        samp_logp = jnp.where(
+                            active[:, None],
+                            jnp.log(residual + 1e-30), samp_logp,
+                        )
+                    else:
+                        preds = jnp.argmax(lg, axis=-1).astype(jnp.int32)
+                        agree = jnp.cumprod(
+                            (proposals == preds[:, :-1]).astype(jnp.int32),
+                            axis=1,
+                        )
+                        n_acc = jnp.sum(agree, axis=1)
+
+                    lp_rest = jnp.take_along_axis(
+                        logp[:, :-1, :], proposals[..., None], axis=-1
+                    )[..., 0]
+                    lps = jnp.concatenate([lp0[:, None], lp_rest], axis=1)
+                    ent_rest = _vocab_norm_entropy(logp[:, :-1, :])
+                    ents = jnp.concatenate([ent0[:, None], ent_rest], axis=1)
+                    cand = n_acc + 1
+                    if eos is not None:
+                        in_r = idxs < cand[:, None]
+                        is_eos = (block == eos) & in_r
+                        has_eos = jnp.any(is_eos, axis=1)
+                        cand = jnp.where(
+                            has_eos, jnp.argmax(is_eos, axis=1) + 1, cand
+                        )
+                    emit = (
+                        active[:, None]
+                        & (idxs < cand[:, None])
+                        & ((slot_pos[:, None] + idxs) < limit[:, None])
+                    )
+                    take = jnp.sum(emit.astype(jnp.int32), axis=1)
+                    base = slot_pos - start
+                    e_idx = jnp.where(emit, base[:, None] + idxs, M)
+                    r_idx = jnp.where(emit, slot_req[:, None], R)
+                    out_t = out_t.at[r_idx, e_idx].set(
+                        jnp.where(emit, block, 0), mode="drop"
+                    )
+                    out_l = out_l.at[r_idx, e_idx].set(lps, mode="drop")
+                    out_e = out_e.at[r_idx, e_idx].set(ents, mode="drop")
+                    r1 = jnp.where(take > 0, slot_req, R)
+                    n_emit = n_emit.at[r1].set(base + take, mode="drop")
+                    slot_pos = slot_pos + take
+                    new_active = active & (slot_pos < limit)
+                    if eos is not None:
+                        new_active = new_active & ~has_eos
+                    # Deferred correction: the target's row at the rejection
+                    # index is the next round's distribution.
+                    nxt_row = jnp.take_along_axis(
+                        lg, n_acc[:, None, None], axis=1
+                    )[:, 0, :]
+                    step_logits = jnp.where(
+                        active[:, None], nxt_row, step_logits
+                    )
+                    acc = acc + jnp.stack([
+                        jnp.sum(jnp.where(active, n_acc, 0)),
+                        jnp.sum(jnp.where(active, gamma, 0)),
+                    ])
+                    return (cache, d_cache, step_logits, samp_logp,
+                            slot_pos, new_active, out_t, out_l, out_e,
+                            n_emit, acc), None
+
+                st["key"], sub = jax.random.split(st["key"])
+                acc0 = jnp.zeros((2,), jnp.int32)
+                (st["cache"], st["d_cache"], st["step_logits"],
+                 st["samp_logp"], st["slot_pos"], st["active"], st["out_t"],
+                 st["out_l"], st["out_e"], st["n_emit"], acc), _ = (
+                    jax.lax.scan(
+                        round_body,
+                        (st["cache"], st["d_cache"], st["step_logits"],
+                         st["samp_logp"], st["slot_pos"], st["active"],
+                         st["out_t"], st["out_l"], st["out_e"],
+                         st["n_emit"], acc0),
+                        jax.random.split(sub, spec_rounds),
+                    )
+                )
+                st["iters"] = (
+                    st["iters"].at[1].add(1).at[2].add(acc[0]).at[3].add(acc[1])
+                )
+                return st
+
+            dec_branch = (
+                spec_decode_branch if draft is not None else decode_branch
+            )
 
             def cond(st):
-                pre_rem, active, qh = st[4], st[8], st[9]
-                return ~((qh >= R) & ~active.any() & ~(pre_rem > 0).any())
+                return ~(
+                    (st["qh"] >= R)
+                    & ~st["active"].any()
+                    & ~(st["pre_rem"] > 0).any()
+                )
 
             def body(st):
                 st = refill(st)
                 return jax.lax.cond(
-                    (st[4] > 0).any(), prefill_branch, decode_branch, st
+                    (st["pre_rem"] > 0).any(), prefill_branch, dec_branch, st
                 )
 
-            st0 = (
-                cache, step_logits,
-                jnp.zeros((S,), jnp.int32),            # slot_req
-                jnp.zeros((S,), jnp.int32),            # write_pos
-                jnp.zeros((S,), jnp.int32),            # pre_rem
-                jnp.zeros((S,), jnp.int32),            # slot_pos
-                jnp.zeros((S,), jnp.int32),            # start
-                jnp.zeros((S,), jnp.int32),            # limit
-                jnp.zeros((S,), bool),                 # active
-                jnp.zeros((), jnp.int32),              # qh
-                jnp.zeros((R, M), jnp.int32),          # out tokens
-                jnp.full((R, M), -jnp.inf, jnp.float32),  # out log-probs
-                jnp.zeros((R, M), jnp.float32),        # out entropies
-                jnp.zeros((R,), jnp.int32),            # emit counts
-                jnp.zeros((2,), jnp.int32),            # [prefill, decode] iters
-                key,
+            st0 = dict(
+                cache=cache,
+                d_cache=d_cache,
+                step_logits=step_logits,
+                samp_logp=samp_logp,
+                slot_req=jnp.zeros((S,), jnp.int32),
+                write_pos=jnp.zeros((S,), jnp.int32),
+                pre_rem=jnp.zeros((S,), jnp.int32),
+                slot_pos=jnp.zeros((S,), jnp.int32),
+                start=jnp.zeros((S,), jnp.int32),
+                limit=jnp.zeros((S,), jnp.int32),
+                active=jnp.zeros((S,), bool),
+                qh=jnp.zeros((), jnp.int32),
+                out_t=jnp.zeros((R, M), jnp.int32),
+                out_l=jnp.full((R, M), -jnp.inf, jnp.float32),
+                out_e=jnp.zeros((R, M), jnp.float32),
+                n_emit=jnp.zeros((R,), jnp.int32),
+                # [prefill iters, decode iters, accepted, proposed]
+                iters=jnp.zeros((4,), jnp.int32),
+                key=key,
             )
             st = jax.lax.while_loop(cond, body, st0)
-            return st[0], st[1], st[10], st[11], st[12], st[13], st[14]
+            return (st["cache"], st["d_cache"], st["step_logits"],
+                    st["samp_logp"], st["out_t"], st["out_l"], st["out_e"],
+                    st["n_emit"], st["iters"])
 
         self._fused_cache[key_] = drain
         return drain
@@ -1469,16 +1665,18 @@ class ContinuousBatchingEngine:
         interactive drain; the wider default trades that for prefill
         throughput (see ``_fused_drain_fn`` on bf16 near-tie flips).
 
-        Requires chunked-prefill mode; RAUQ collection, speculative
-        drafting, and prefix caching are interactive-drain features and
-        are rejected here.
+        Requires chunked-prefill mode. A ``draft_model`` engine drains
+        with on-device speculative rounds (greedy token-identical to the
+        interactive spec engine; stats gain ``accepted``/``proposed``).
+        RAUQ collection and prefix caching are interactive-drain features
+        and are rejected / ignored here.
         """
         if not self.prefill_chunk:
             raise ValueError("generate_all_fused requires prefill_chunk")
-        if self.draft_model is not None or self.collect_rauq:
+        if self.collect_rauq:
             raise ValueError(
                 "generate_all_fused supports the plain decode path only "
-                "(no draft model, no RAUQ collection)"
+                "(no RAUQ collection)"
             )
         if any(r is not None for r in self._slot_req) or self._queue:
             raise RuntimeError(
@@ -1498,9 +1696,10 @@ class ContinuousBatchingEngine:
         for p, b in zip(prompts, budgets):
             if not p:
                 raise ValueError("chunked prefill needs a non-empty prompt")
-            if len(p) + b > self.max_ctx:
+            if len(p) + b + self._ctx_slack > self.max_ctx:
                 raise ValueError(
-                    f"prompt of {len(p)} tokens + {b} new exceeds "
+                    f"prompt of {len(p)} tokens + {b} new "
+                    f"(+{self._ctx_slack} speculative slack) exceeds "
                     f"max_ctx={self.max_ctx}"
                 )
         P_pad = -(-max(len(p) for p in prompts) // C) * C
@@ -1514,9 +1713,10 @@ class ContinuousBatchingEngine:
 
         self._key, sub = jax.random.split(self._key)
         fn = self._fused_drain_fn(R, P_pad, M, prefill_lanes)
-        (self.cache, self.step_logits, out_t, out_l, out_e,
-         n_emit, iters) = fn(
-            self.params, self.cache, self.step_logits,
+        (self.cache, self.d_cache, self.step_logits, self.samp_logp,
+         out_t, out_l, out_e, n_emit, iters) = fn(
+            self.params, self.draft_params, self.cache, self.d_cache,
+            self.step_logits, self.samp_logp,
             jnp.asarray(req_tokens), jnp.asarray(req_len),
             jnp.asarray(req_budget), sub,
         )
@@ -1525,6 +1725,12 @@ class ContinuousBatchingEngine:
             "prefill_iters": int(iters[0]),
             "decode_iters": int(iters[1]),
         }
+        if self.draft_model is not None:
+            acc, prop = int(iters[2]), int(iters[3])
+            self._last_fused_stats.update(
+                accepted=acc, proposed=prop,
+                acceptance=round(acc / prop, 4) if prop else 0.0,
+            )
         out_t = np.asarray(out_t)
         out_l = np.asarray(out_l)
         out_e = np.asarray(out_e)

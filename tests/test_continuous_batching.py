@@ -899,6 +899,84 @@ class TestFusedDrain:
             self._engine(model, params).generate_all_fused(
                 [list(range(1, 60))], max_new_tokens=[30])
 
+    def test_spec_greedy_token_identical(self, model_and_params, prompts):
+        """Fused speculative drain (uncorrelated 1L draft): greedy output
+        must equal the plain generator exactly — acceptance only changes
+        tokens-per-verify-forward, never the stream."""
+        model, params = model_and_params
+        draft = LlamaLM(vocab_size=VOCAB, num_layers=1, num_heads=2,
+                        num_kv_heads=1, d_model=16, hidden_dim=32,
+                        max_len=128)
+        dparams = draft.init(jax.random.key(9), np.zeros((1, 8), np.int32))
+        ref = reference_outputs(model, params, prompts, eos_id=None)
+        eng = self._engine(model, params, draft_model=draft,
+                           draft_params=dparams, gamma=3, chunk_tokens=8)
+        res = eng.generate_all_fused(prompts)
+        for i, ((ref_toks, ref_lps), r) in enumerate(zip(ref, res)):
+            assert r["tokens"] == ref_toks, f"prompt {i}"
+            np.testing.assert_allclose(
+                r["log_probs"], ref_lps[: len(r["tokens"])],
+                rtol=1e-4, atol=1e-5, err_msg=f"prompt {i}",
+            )
+        stats = eng._last_fused_stats
+        assert stats["proposed"] > 0
+        assert 0.0 <= stats["acceptance"] <= 1.0
+
+    def test_spec_perfect_draft_and_interactive_parity(self,
+                                                       model_and_params,
+                                                       prompts):
+        """Draft == target (full acceptance: bonus-row bookkeeping) AND
+        fused == interactive spec engine on tokens + uncertainty."""
+        model, params = model_and_params
+        kw = dict(draft_model=model, draft_params=params, gamma=3,
+                  chunk_tokens=8)
+        a = self._engine(model, params, **kw).generate_all(prompts[:4])
+        eng = self._engine(model, params, **kw)
+        b = eng.generate_all_fused(prompts[:4])
+        assert eng._last_fused_stats["acceptance"] > 0.95
+        for ra, rb in zip(a, b):
+            assert ra["tokens"] == rb["tokens"]
+            np.testing.assert_allclose(rb["log_probs"], ra["log_probs"],
+                                       rtol=2e-4, atol=2e-5)
+            np.testing.assert_allclose(rb["generation_entropy"],
+                                       ra["generation_entropy"], rtol=2e-4)
+
+    def test_spec_eos_budgets_and_refill(self, model_and_params, prompts):
+        model, params = model_and_params
+        no_eos = reference_outputs(model, params, prompts, eos_id=None)
+        eos_id = no_eos[0][0][min(2, len(no_eos[0][0]) - 1)]
+        ref = reference_outputs(model, params, prompts, eos_id=eos_id)
+        draft = LlamaLM(vocab_size=VOCAB, num_layers=1, num_heads=2,
+                        num_kv_heads=1, d_model=16, hidden_dim=32,
+                        max_len=128)
+        dparams = draft.init(jax.random.key(9), np.zeros((1, 8), np.int32))
+        budgets = [3, MAX_NEW, 5, 2, MAX_NEW, 4, 6]
+        res = self._engine(
+            model, params, num_slots=2, eos_id=eos_id, draft_model=draft,
+            draft_params=dparams, gamma=3, chunk_tokens=8,
+        ).generate_all_fused(prompts, max_new_tokens=budgets)
+        for r, (ref_toks, _), b in zip(res, ref, budgets):
+            assert r["tokens"] == ref_toks[:b]
+            assert eos_id not in r["tokens"]
+
+    def test_spec_sampled_collapses_to_greedy_at_low_temperature(
+        self, model_and_params, prompts
+    ):
+        """Exactness smoke for the fused Leviathan path: at T->0 every
+        rejection-sampled token is the greedy token."""
+        model, params = model_and_params
+        draft = LlamaLM(vocab_size=VOCAB, num_layers=1, num_heads=2,
+                        num_kv_heads=1, d_model=16, hidden_dim=32,
+                        max_len=128)
+        dparams = draft.init(jax.random.key(9), np.zeros((1, 8), np.int32))
+        ref = reference_outputs(model, params, prompts[:4], eos_id=None)
+        res = self._engine(
+            model, params, draft_model=draft, draft_params=dparams,
+            gamma=3, chunk_tokens=8, do_sample=True, temperature=1e-4,
+        ).generate_all_fused(prompts[:4])
+        for r, (ref_toks, _) in zip(res, ref):
+            assert r["tokens"] == ref_toks
+
     def test_prefill_lanes_one_matches_default(self, model_and_params,
                                                prompts):
         """prefill_lanes=1 is the bit-identity mode (batch-1 chunk prefill

@@ -106,6 +106,68 @@ class TestServeUncertainties:
         eng.run_until_drained()
         assert eng.prefix_hits >= 3, eng.prefix_hits
 
+    def test_fused_matches_interactive_deterministics(self, model_and_params,
+                                                      prompts):
+        """fused=True greedy pass = interactive pass bit-for-bit (f32 CPU;
+        the fused drain's identity contract), so the deterministic scores
+        must be equal."""
+        model, params = model_and_params
+        requests = [{"method_name": "perplexity"},
+                    {"method_name": "generation_entropy"}]
+        kw = dict(max_new_tokens=MAX_NEW, engine_kwargs=ENGINE_KW)
+        texts_a, scores_a = serve_uncertainties(
+            model, params, None, prompts, requests, **kw)
+        texts_b, scores_b = serve_uncertainties(
+            model, params, None, prompts, requests, fused=True, **kw)
+        for ta, tb, sa, sb in zip(texts_a, texts_b, scores_a, scores_b):
+            assert list(ta) == list(tb)
+            np.testing.assert_allclose(sb["perplexity"], sa["perplexity"],
+                                       rtol=1e-6)
+            np.testing.assert_allclose(sb["generation_entropy"],
+                                       sa["generation_entropy"], rtol=1e-6)
+
+    def test_fused_sampled_collapse_at_zero_temperature(
+        self, model_and_params, prompts
+    ):
+        model, params = model_and_params
+        same = lambda a, b: list(a) == list(b)
+        _, scores = serve_uncertainties(
+            model, params, None, prompts[:2],
+            [{"method_name": "normalized_entropy"},
+             {"method_name": "semantic_entropy"},
+             {"method_name": "perplexity"}],
+            num_samples=3, max_new_tokens=MAX_NEW, temperature=1e-4,
+            entailment_model=same, engine_kwargs=ENGINE_KW, fused=True,
+        )
+        for out in scores:
+            np.testing.assert_allclose(out["normalized_entropy"],
+                                       out["perplexity"], rtol=1e-4)
+            assert out["semantic_entropy"] == 0.0
+
+    def test_fused_rejects_rauq_and_draft(self, model_and_params, prompts):
+        model, params = model_and_params
+        with pytest.raises(ValueError, match="RAUQ"):
+            serve_uncertainties(
+                model, params, None, prompts,
+                [{"method_name": "RAUQ", "token_aggregation": "original",
+                  "head_aggregation": "original"}],
+                engine_kwargs=ENGINE_KW, fused=True,
+            )
+        with pytest.raises(ValueError, match="plain decode"):
+            serve_uncertainties(
+                model, params, None, prompts,
+                [{"method_name": "perplexity"}],
+                engine_kwargs={**ENGINE_KW, "draft_model": object()},
+                fused=True,
+            )
+        with pytest.raises(ValueError, match="chunked prefill"):
+            serve_uncertainties(
+                model, params, None, prompts,
+                [{"method_name": "perplexity"}],
+                engine_kwargs={**ENGINE_KW, "prefill_chunk": None},
+                fused=True,
+            )
+
     def test_validation_fails_fast(self, model_and_params, prompts):
         model, params = model_and_params
         with pytest.raises(NotImplementedError, match="eigen_score"):
