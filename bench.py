@@ -14,7 +14,7 @@ round-2 item 1):
   - object_scorer         batched object-level path (64 imgs x 20 dets,
                           RoI-align + LaREM per detection)
   - llama1b_prefill       flash prefill, 8 x 1024 tokens on a ~1.17B Llama
-  - llama1b_decode_greedy batched KV-cache decode (16 x 64) with achieved
+  - llama1b_decode_greedy batched KV-cache decode (16 x 256) with achieved
                           HBM GB/s vs the 819 GB/s v5e peak (decode is
                           bandwidth-bound; FLOP-MFU is the wrong lens)
   - llama1b_decode_int8kv8  same with int8 weights + int8 KV cache
@@ -333,7 +333,13 @@ def _decode_leg(int8: bool):
     from runia_core_tpu.models import LlamaLM, quantize_llama_params
 
     st = _get_prod_llama()
-    b, prompt_len, max_new = 16, 64, 64
+    # 256 new tokens: the decode-phase steady state. At 64 the fixed
+    # per-pass costs (prefill + tunnel fetch, ~115 ms) eat ~35% of the
+    # window and under-report the decode engine; a decode-only 64-step
+    # scan measures 3.59 ms/step = 84% of the HBM peak
+    # (benchmarks/profile_decode.py, 2026-08-19), and 256-token
+    # generations amortize the pass overhead to <10%.
+    b, prompt_len, max_new = 16, 64, 256
     if int8:
         model = LlamaLM(**_PROD_CFG, dtype=jnp.bfloat16, use_flash=True,
                         quantized=True, quantized_kv=True)
@@ -675,8 +681,8 @@ def run_suite():
     # HBM-bound (achieved GB/s vs the 819 GB/s v5e peak); speculative uses
     # a layer-truncated correlated draft and reports measured acceptance.
     leg("llama1b_prefill_8x1024", "tok/s", measure_llm_prefill)
-    leg("llama1b_decode_greedy_16x64", "tok/s", measure_llm_decode)
-    leg("llama1b_decode_int8kv8_16x64", "tok/s", measure_llm_decode_int8)
+    leg("llama1b_decode_greedy_16x256", "tok/s", measure_llm_decode)
+    leg("llama1b_decode_int8kv8_16x256", "tok/s", measure_llm_decode_int8)
     leg("llama1b_serving_96req", "tok/s", measure_llm_continuous)
     leg("llama1b_speculative_1x32", "tok/s", measure_llm_speculative_production)
     leg("llama1b_spec_engine_24req_prefix", "tok/s", measure_llm_spec_engine)
