@@ -11,7 +11,7 @@ The "suite" key carries the wider matrix (VERDICT.md round-1 item 4 +
 round-2 item 1):
   - larex_resnet18_32px   headline config, with achieved TFLOP/s + MFU
   - larex_resnet50_224px  production-shape LaREx (entropy-2048, PCA-256)
-  - object_scorer         batched object-level path (64 imgs x 20 dets,
+  - object_scorer         batched object-level path (128 imgs x 20 dets,
                           RoI-align + LaREM per detection)
   - llama1b_prefill       flash prefill, 8 x 1024 tokens on a ~1.17B Llama
   - llama1b_decode_greedy batched KV-cache decode (16 x 256) with achieved

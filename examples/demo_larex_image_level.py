@@ -5,6 +5,13 @@ entropy -> PCA -> LaREM/LaRED -> AUROC + online scoring, on synthetic data
 (fully offline). Swap in your own flax model + datasets via the same APIs.
 """
 
+import os as _os
+import sys as _sys
+
+# Allow `python examples/<demo>.py` from a fresh checkout (the script
+# dir, not the cwd, lands on sys.path; installed packages are found).
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import numpy as np
 import jax
 import jax.numpy as jnp

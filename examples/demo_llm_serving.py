@@ -14,9 +14,23 @@ swap in ``convert_hf_llama(your_checkpoint)`` for real weights):
     python examples/demo_llm_serving.py
 """
 
+import os as _os
+import sys as _sys
+
+# Allow `python examples/<demo>.py` from a fresh checkout (the script
+# dir, not the cwd, lands on sys.path; installed packages are found).
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import numpy as np
 
 import jax
+
+# The demo asserts token identity between the engine and the single-prompt
+# decoder. Their programs batch/chunk the same math differently, and the
+# TPU's default f32 matmul precision (bf16 passes) leaves enough slack for
+# argmax near-ties to flip between program shapes — exact f32 keeps the
+# identity checks meaningful on every backend.
+jax.config.update("jax_default_matmul_precision", "highest")
 
 from runia_core_tpu.llm import (
     ContinuousBatchingEngine,

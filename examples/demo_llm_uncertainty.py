@@ -5,6 +5,13 @@ causal LM (pass --hf-model, mirrors the reference example) or the built-in
 JAX CausalLM with random weights (default, fully offline).
 """
 
+import os as _os
+import sys as _sys
+
+# Allow `python examples/<demo>.py` from a fresh checkout (the script
+# dir, not the cwd, lands on sys.path; installed packages are found).
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import argparse
 
 import numpy as np

@@ -6,6 +6,13 @@ unknown AP-P-R) against COCO-format ground truth. Fully offline; swap the
 MockDetector for a real adapted model (see extraction/adapters.py).
 """
 
+import os as _os
+import sys as _sys
+
+# Allow `python examples/<demo>.py` from a fresh checkout (the script
+# dir, not the cwd, lands on sys.path; installed packages are found).
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import json
 import tempfile
 

@@ -9,6 +9,13 @@ Two flows:
      LaREM score per image.
 """
 
+import os as _os
+import sys as _sys
+
+# Allow `python examples/<demo>.py` from a fresh checkout (the script
+# dir, not the cwd, lands on sys.path; installed packages are found).
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import numpy as np
 import jax
 import jax.numpy as jnp

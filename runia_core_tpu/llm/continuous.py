@@ -1721,10 +1721,17 @@ class ContinuousBatchingEngine:
             jnp.asarray(req_budget), sub,
         )
         iters = np.asarray(iters)
+        # The fused program rewrote cache rows under its own slot schedule;
+        # any prompts the interactive scheduler had marked resident are
+        # gone, so prefix-cache matches against them must be invalidated
+        # (a stale entry would splice unrelated KV into a new request).
+        self._slot_prompt = [None] * self.num_slots
         self._last_fused_stats = {
             "prefill_iters": int(iters[0]),
             "decode_iters": int(iters[1]),
         }
+        self._stats["prefill_chunks"] += int(iters[0])
+        self._stats["decode_chunks"] += int(iters[1])
         if self.draft_model is not None:
             acc, prop = int(iters[2]), int(iters[3])
             self._last_fused_stats.update(
@@ -1755,5 +1762,7 @@ class ContinuousBatchingEngine:
                 ),
             })
             self._stats["requests_finished"] += 1
-            self._stats["tokens_emitted"] += len(toks)
+            # Count what the device emitted (incl. any EOS token), matching
+            # the interactive drain's per-harvest accounting.
+            self._stats["tokens_emitted"] += int(n_emit[i])
         return results

@@ -102,13 +102,18 @@ def _validate(requests: Sequence[dict]) -> Tuple[bool, bool, bool]:
     return needs_sampling, needs_rauq, needs_semantic
 
 
+# Engine defaults shared by _make_engine and the fused-mode prechecks (one
+# source of truth so validation cannot drift from the engine actually built).
+_ENGINE_DEFAULTS = dict(
+    num_slots=8,
+    chunk_tokens=16,
+    prefill_chunk=64,
+)
+
+
 def _make_engine(model, params, prompts, max_new_tokens, eos_id,
                  collect_rauq, engine_kwargs, **mode):
-    kw = dict(
-        num_slots=8,
-        chunk_tokens=16,
-        prefill_chunk=64,
-    )
+    kw = dict(_ENGINE_DEFAULTS)
     kw.update(engine_kwargs or {})
     # prefix caching requires chunked prefill; default it accordingly so
     # engine_kwargs={"prefill_chunk": None} selects the bucketed path
@@ -187,7 +192,9 @@ def serve_uncertainties(
         )
     if fused and (engine_kwargs or {}).get("draft_model") is not None:
         raise ValueError("fused=True supports the plain decode path only")
-    if fused and not (engine_kwargs or {}).get("prefill_chunk", 64):
+    if fused and not (engine_kwargs or {}).get(
+        "prefill_chunk", _ENGINE_DEFAULTS["prefill_chunk"]
+    ):
         raise ValueError("fused=True requires chunked prefill")
 
     # the RAUQ dispatcher's default alpha (compute_uncertainties parity;

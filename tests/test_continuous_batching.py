@@ -997,3 +997,41 @@ class TestFusedDrain:
         b = eng.generate_all_fused(prompts[:2])  # cache rows fully rewritten
         for ra, rb in zip(a, b):
             assert ra["tokens"] == rb["tokens"]
+
+    def test_fused_invalidates_prefix_cache_residency(self, model_and_params):
+        """Interactive drain -> fused drain -> interactive submit sharing a
+        chunk-aligned prefix with the FIRST drain's prompt: the fused run
+        rewrote those cache rows, so a stale residency entry would splice
+        unrelated KV into the new request. Tokens must match a fresh
+        engine's (regression for the _slot_prompt reset)."""
+        model, params = model_and_params
+        rng = np.random.RandomState(11)
+        base = list(rng.randint(1, VOCAB, 16))  # two full chunks of 8
+        prompt_a = base + list(rng.randint(1, VOCAB, 3))
+        prompt_b = base + list(rng.randint(1, VOCAB, 5))
+        other = [list(rng.randint(1, VOCAB, 12)) for _ in range(4)]
+
+        eng = self._engine(model, params, prefix_cache=True)
+        eng.generate_all([prompt_a])          # marks prompt_a resident
+        eng.generate_all_fused(other)         # rewrites those cache rows
+        got = eng.generate_all([prompt_b])    # must NOT reuse stale rows
+
+        want = self._engine(model, params).generate_all([prompt_b])
+        assert got[0]["tokens"] == want[0]["tokens"]
+        np.testing.assert_allclose(
+            got[0]["log_probs"], want[0]["log_probs"], rtol=2e-4, atol=2e-5)
+
+    def test_fused_updates_engine_counters(self, model_and_params, prompts):
+        """stats() must account fused traffic like interactive traffic:
+        device-emitted tokens (incl. EOS) and chunk counters."""
+        model, params = model_and_params
+        eng = self._engine(model, params, eos_id=7)
+        s0 = eng.stats()
+        res = eng.generate_all_fused(prompts[:3])
+        s1 = eng.stats()
+        emitted = s1["tokens_emitted"] - s0["tokens_emitted"]
+        stripped = sum(len(r["tokens"]) for r in res)
+        assert emitted >= stripped  # EOS tokens counted, strip is host-side
+        assert s1["prefill_chunks"] > s0["prefill_chunks"]
+        assert s1["decode_chunks"] > s0["decode_chunks"]
+        assert s1["requests_finished"] - s0["requests_finished"] == 3
