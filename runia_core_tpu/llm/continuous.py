@@ -94,6 +94,171 @@ def _unpack_harvest(packed: np.ndarray, shape, num_slots):
     return sec[0].astype(np.int64), sec[1], sec[2], sec[3] > 0.5, active
 
 
+def _make_spec_round(model, draft, gamma, eos, do_sample, temperature,
+                     collect_rauq=False):
+    """ONE speculative round, shared by the interactive ``_spec_chunk`` and
+    the fused drain's spec branch (their greedy-token-identity contract
+    rides this single copy of the math).
+
+    Per round: select every slot's next token (greedy argmax of its
+    ``step_logits`` row, or a draw from its ``samp_logp`` distribution),
+    draft ``gamma`` proposals per slot (vector-clock draft cache; the extra
+    (gamma+1)-th step exists purely to write the last proposal's K/V),
+    verify the (S, gamma+1) block with ONE target forward, and compute the
+    agreeing/accepted prefix. The correction token is DEFERRED: greedy
+    carries the target's raw row at the rejection index forward (next
+    round's argmax IS the correction — token-identical to the plain
+    engine); sampled carries the Leviathan residual
+    ``max(p_target - p_draft, 0)`` as the next round's sampling
+    distribution, so every emitted token is an EXACT temperature sample of
+    the target. Rejected rows leave stale K/V that the next round's writes
+    cover before anything attends them (the row-ownership invariant).
+
+    Returns a dict with the advanced carries (``cache``/``d_cache``/
+    ``step_logits``/``samp_logp``/``slot_pos``/``active``) plus everything
+    the caller's emission sink needs: the (S, gamma+1) ``block``/``lps``/
+    ``ents``, the ``emit`` mask (EOS- and budget-truncated), per-slot
+    ``take`` counts, accepted-proposal counts ``n_acc``, and the RAUQ
+    ``att_prev`` gather (zeros unless ``collect_rauq``).
+    """
+    idxs = jnp.arange(gamma + 1)[None, :]
+
+    def spec_round(params, dparams, cache, d_cache, step_logits, samp_logp,
+                   slot_pos, active, limit, key):
+        k0, kd, kr = jax.random.split(key, 3)
+        log_soft = jax.nn.log_softmax(step_logits, axis=-1)
+        if do_sample:
+            tok0 = jax.random.categorical(
+                k0, samp_logp, axis=-1
+            ).astype(jnp.int32)
+        else:
+            tok0 = jnp.argmax(step_logits, axis=-1).astype(jnp.int32)
+        # Reported log-probs follow the engine contract: raw target
+        # log-probability of the emitted token (not the sampling
+        # distribution's).
+        lp0 = jnp.take_along_axis(log_soft, tok0[:, None], axis=-1)[:, 0]
+        ent0 = _vocab_norm_entropy(log_soft)
+
+        def draft_step(carry2, kj):
+            tok, dc, idx = carry2
+            lg, _, _, dc = draft.apply(dparams, tok[:, None], dc, idx)
+            if do_sample:
+                row = lg[:, 0, :] / temperature
+                nxt = jax.random.categorical(kj, row, axis=-1)
+            else:
+                # Greedy ignores temperature entirely (temp=0.0 is a
+                # common greedy idiom; dividing would inf the row).
+                row = lg[:, 0, :]
+                nxt = jnp.argmax(row, axis=-1)
+            nxt = nxt.astype(jnp.int32)
+            return (nxt, dc, idx + 1), (nxt, jax.nn.softmax(row))
+
+        (_, d_cache, _), (outs, dprob_x) = jax.lax.scan(
+            draft_step, (tok0, d_cache, slot_pos),
+            jax.random.split(kd, gamma + 1),
+        )
+        proposals = jnp.swapaxes(outs[:gamma], 0, 1)  # (S, gamma)
+        draft_probs = jnp.swapaxes(dprob_x[:gamma], 0, 1)
+
+        block = jnp.concatenate([tok0[:, None], proposals], axis=1)
+        lg, v_attn, _, cache = model.apply(
+            params, block, cache, slot_pos
+        )  # (S, gamma+1, V), vector clocks
+        if collect_rauq:
+            # RAUQ signal from the verify forward: emission j's query sits
+            # at clock+j and its previous position is clock+j-1 — a
+            # per-(slot, j) column gather from the (L, S, H, gamma+1, kv)
+            # attention stack.
+            prev = jnp.maximum(
+                slot_pos[:, None] + jnp.arange(gamma + 1)[None, :] - 1, 0
+            )  # (S, gamma+1)
+            att_prev = jnp.take_along_axis(
+                v_attn, prev[None, :, None, :, None], axis=-1
+            )[..., 0]  # (L, S, H, gamma+1)
+        else:
+            att_prev = jnp.zeros((), jnp.float32)
+        logp = jax.nn.log_softmax(lg, axis=-1)
+        if do_sample:
+            # Leviathan rejection sampling, vectorized over slots: accept
+            # proposal i with prob min(1, p_t/p_d); the residual at the
+            # rejection row becomes the next round's sampling distribution
+            # (deferred correction; the all-accepted bonus row has a zero
+            # draft row, so its residual is the raw target distribution).
+            t_probs = jax.nn.softmax(lg / temperature, axis=-1)
+            p_t = jnp.take_along_axis(
+                t_probs[:, :-1, :], proposals[..., None], axis=-1
+            )[..., 0]
+            p_d = jnp.take_along_axis(
+                draft_probs, proposals[..., None], axis=-1
+            )[..., 0]
+            u = jax.random.uniform(kr, p_t.shape)
+            accept = u < jnp.minimum(1.0, p_t / jnp.maximum(p_d, 1e-20))
+            agree = jnp.cumprod(accept.astype(jnp.int32), axis=1)
+            n_acc = jnp.sum(agree, axis=1)
+            draft_ext = jnp.concatenate(
+                [draft_probs, jnp.zeros_like(t_probs[:, :1, :])], axis=1
+            )
+            t_row = jnp.take_along_axis(
+                t_probs, n_acc[:, None, None], axis=1
+            )[:, 0, :]
+            d_row = jnp.take_along_axis(
+                draft_ext, n_acc[:, None, None], axis=1
+            )[:, 0, :]
+            residual = jnp.maximum(t_row - d_row, 0.0)
+            residual = jnp.where(
+                jnp.sum(residual, axis=-1, keepdims=True) > 0,
+                residual, t_row,
+            )
+            samp_logp = jnp.where(
+                active[:, None], jnp.log(residual + 1e-30), samp_logp
+            )
+        else:
+            preds = jnp.argmax(lg, axis=-1).astype(jnp.int32)
+            agree = jnp.cumprod(
+                (proposals == preds[:, :-1]).astype(jnp.int32), axis=1
+            )
+            n_acc = jnp.sum(agree, axis=1)  # (S,) accepted proposals
+
+        # Emission vector = [tok0, p1..pg]; candidate count n_acc+1.
+        lp_rest = jnp.take_along_axis(
+            logp[:, :-1, :], proposals[..., None], axis=-1
+        )[..., 0]
+        lps = jnp.concatenate([lp0[:, None], lp_rest], axis=1)
+        ent_rest = _vocab_norm_entropy(logp[:, :-1, :])
+        ents = jnp.concatenate([ent0[:, None], ent_rest], axis=1)
+
+        cand = n_acc + 1
+        if eos is not None:
+            in_r = idxs < cand[:, None]
+            is_eos = (block == eos) & in_r
+            has_eos = jnp.any(is_eos, axis=1)
+            cand = jnp.where(has_eos, jnp.argmax(is_eos, axis=1) + 1, cand)
+        emit = (
+            active[:, None]
+            & (idxs < cand[:, None])
+            & ((slot_pos[:, None] + idxs) < limit[:, None])
+        )
+        take = jnp.sum(emit.astype(jnp.int32), axis=1)
+        new_pos = slot_pos + take
+        new_active = active & (new_pos < limit)
+        if eos is not None:
+            new_active = new_active & ~has_eos
+        # Deferred correction: the target's row at the rejection index is
+        # the next round's distribution.
+        nxt_row = jnp.take_along_axis(
+            lg, n_acc[:, None, None], axis=1
+        )[:, 0, :]
+        step_logits = jnp.where(active[:, None], nxt_row, step_logits)
+        return dict(
+            cache=cache, d_cache=d_cache, step_logits=step_logits,
+            samp_logp=samp_logp, slot_pos=new_pos, active=new_active,
+            block=block, lps=lps, ents=ents, emit=emit, take=take,
+            n_acc=n_acc, att_prev=att_prev,
+        )
+
+    return spec_round
+
+
 class ContinuousBatchingEngine:
     """Fixed-slot in-flight batching over a ``LlamaLM``-style model.
 
@@ -608,12 +773,12 @@ class ContinuousBatchingEngine:
         """
         if self._spec_chunk_fn is not None:
             return self._spec_chunk_fn
-        model, draft = self.model, self.draft_model
-        gamma, eos = self.gamma, self.eos_id
-        do_sample, temp = self.do_sample, self.temperature
-        collect_rauq = self.collect_rauq
+        spec_round = _make_spec_round(
+            self.model, self.draft_model, self.gamma, self.eos_id,
+            self.do_sample, self.temperature, self.collect_rauq,
+        )
         # chunk_tokens keeps its "approx tokens per host sync" meaning.
-        rounds = max(1, self.chunk_tokens // (gamma + 1))
+        rounds = max(1, self.chunk_tokens // (self.gamma + 1))
         S = self.num_slots
 
         @partial(jax.jit, donate_argnums=(2, 3, 4, 5, 6))
@@ -629,153 +794,15 @@ class ContinuousBatchingEngine:
             def body(carry, key):
                 (t_cache, d_cache, step_logits, samp_logp, slot_pos,
                  active) = carry
-                k0, kd, kr = jax.random.split(key, 3)
-                log_soft = jax.nn.log_softmax(step_logits, axis=-1)
-                if do_sample:
-                    tok0 = jax.random.categorical(
-                        k0, samp_logp, axis=-1
-                    ).astype(jnp.int32)
-                else:
-                    tok0 = jnp.argmax(step_logits, axis=-1).astype(jnp.int32)
-                # Reported log-probs follow the engine contract: raw target
-                # log-probability of the emitted token (not the sampling
-                # distribution's).
-                lp0 = jnp.take_along_axis(
-                    log_soft, tok0[:, None], axis=-1
-                )[:, 0]
-                ent0 = _vocab_norm_entropy(log_soft)
-
-                # gamma+1 draft steps: step j consumes the stream's token at
-                # clock+j (writing its K/V) and proposes the next; the extra
-                # step exists purely to write the last proposal's K/V.
-                def draft_step(carry2, kj):
-                    tok, dc, idx = carry2
-                    lg, _, _, dc = draft.apply(dparams, tok[:, None], dc, idx)
-                    if do_sample:
-                        row = lg[:, 0, :] / temp
-                        nxt = jax.random.categorical(kj, row, axis=-1)
-                    else:
-                        # Greedy ignores temperature entirely (temp=0.0 is a
-                        # common greedy idiom; dividing would inf the row).
-                        row = lg[:, 0, :]
-                        nxt = jnp.argmax(row, axis=-1)
-                    nxt = nxt.astype(jnp.int32)
-                    return (nxt, dc, idx + 1), (nxt, jax.nn.softmax(row))
-
-                (_, d_cache, _), (outs, dprob_x) = jax.lax.scan(
-                    draft_step, (tok0, d_cache, slot_pos),
-                    jax.random.split(kd, gamma + 1),
-                )
-                proposals = jnp.swapaxes(outs[:gamma], 0, 1)  # (S, gamma)
-                draft_probs = jnp.swapaxes(dprob_x[:gamma], 0, 1)
-
-                block = jnp.concatenate([tok0[:, None], proposals], axis=1)
-                lg, v_attn, _, t_cache = model.apply(
-                    params, block, t_cache, slot_pos
-                )  # (S, gamma+1, V), vector clocks
-                if collect_rauq:
-                    # RAUQ signal from the verify forward: emission j's
-                    # query sits at clock+j and its previous position is
-                    # clock+j-1 — a per-(slot, j) column gather from the
-                    # (L, S, H, gamma+1, kv) attention stack.
-                    prev = jnp.maximum(
-                        slot_pos[:, None] + jnp.arange(gamma + 1)[None, :] - 1,
-                        0,
-                    )  # (S, gamma+1)
-                    att_prev = jnp.take_along_axis(
-                        v_attn, prev[None, :, None, :, None], axis=-1
-                    )[..., 0]  # (L, S, H, gamma+1)
-                else:
-                    att_prev = jnp.zeros((), jnp.float32)
-                logp = jax.nn.log_softmax(lg, axis=-1)
-                if do_sample:
-                    # Leviathan rejection sampling, vectorized over slots:
-                    # accept proposal i with prob min(1, p_t/p_d); the
-                    # residual at the rejection row becomes the next
-                    # round's sampling distribution (deferred correction;
-                    # the all-accepted bonus row has a zero draft row, so
-                    # its residual is the raw target distribution).
-                    t_probs = jax.nn.softmax(lg / temp, axis=-1)
-                    p_t = jnp.take_along_axis(
-                        t_probs[:, :-1, :], proposals[..., None], axis=-1
-                    )[..., 0]
-                    p_d = jnp.take_along_axis(
-                        draft_probs, proposals[..., None], axis=-1
-                    )[..., 0]
-                    u = jax.random.uniform(kr, p_t.shape)
-                    accept = u < jnp.minimum(
-                        1.0, p_t / jnp.maximum(p_d, 1e-20)
-                    )
-                    agree = jnp.cumprod(accept.astype(jnp.int32), axis=1)
-                    n_acc = jnp.sum(agree, axis=1)
-                    draft_ext = jnp.concatenate(
-                        [draft_probs, jnp.zeros_like(t_probs[:, :1, :])],
-                        axis=1,
-                    )
-                    t_row = jnp.take_along_axis(
-                        t_probs, n_acc[:, None, None], axis=1
-                    )[:, 0, :]
-                    d_row = jnp.take_along_axis(
-                        draft_ext, n_acc[:, None, None], axis=1
-                    )[:, 0, :]
-                    residual = jnp.maximum(t_row - d_row, 0.0)
-                    residual = jnp.where(
-                        jnp.sum(residual, axis=-1, keepdims=True) > 0,
-                        residual, t_row,
-                    )
-                    samp_logp = jnp.where(
-                        active[:, None],
-                        jnp.log(residual + 1e-30), samp_logp,
-                    )
-                else:
-                    preds = jnp.argmax(lg, axis=-1).astype(jnp.int32)
-                    agree = jnp.cumprod(
-                        (proposals == preds[:, :-1]).astype(jnp.int32),
-                        axis=1,
-                    )
-                    n_acc = jnp.sum(agree, axis=1)  # (S,) accepted proposals
-
-                # Emission vector = [tok0, p1..pg]; candidate count n_acc+1.
-                lp_rest = jnp.take_along_axis(
-                    logp[:, :-1, :], proposals[..., None], axis=-1
-                )[..., 0]
-                lps = jnp.concatenate([lp0[:, None], lp_rest], axis=1)
-                ent_rest = _vocab_norm_entropy(logp[:, :-1, :])
-                ents = jnp.concatenate([ent0[:, None], ent_rest], axis=1)
-
-                cand = n_acc + 1
-                idxs = jnp.arange(gamma + 1)[None, :]
-                if eos is not None:
-                    in_r = idxs < cand[:, None]
-                    is_eos = (block == eos) & in_r
-                    has_eos = jnp.any(is_eos, axis=1)
-                    cand = jnp.where(
-                        has_eos, jnp.argmax(is_eos, axis=1) + 1, cand
-                    )
-                emit = (
-                    active[:, None]
-                    & (idxs < cand[:, None])
-                    & ((slot_pos[:, None] + idxs) < limit[:, None])
-                )
-                lps = jnp.where(emit, lps, -jnp.inf)
-                emission = jnp.where(emit, block, 0)
-                take = jnp.sum(emit.astype(jnp.int32), axis=1)
-                slot_pos = slot_pos + take
-                new_active = active & (slot_pos < limit)
-                if eos is not None:
-                    new_active = new_active & ~has_eos
-                # Deferred correction: the target's row at the rejection
-                # index is the next round's sampling distribution.
-                nxt_row = jnp.take_along_axis(
-                    lg, n_acc[:, None, None], axis=1
-                )[:, 0, :]
-                step_logits = jnp.where(
-                    active[:, None], nxt_row, step_logits
-                )
+                r = spec_round(params, dparams, t_cache, d_cache,
+                               step_logits, samp_logp, slot_pos, active,
+                               limit, key)
+                lps = jnp.where(r["emit"], r["lps"], -jnp.inf)
+                emission = jnp.where(r["emit"], r["block"], 0)
                 return (
-                    (t_cache, d_cache, step_logits, samp_logp, slot_pos,
-                     new_active),
-                    (emission, lps, ents, att_prev, emit),
+                    (r["cache"], r["d_cache"], r["step_logits"],
+                     r["samp_logp"], r["slot_pos"], r["active"]),
+                    (emission, lps, r["ents"], r["att_prev"], r["emit"]),
                 )
 
             rng_key, sub = jax.random.split(rng_key)
@@ -1265,6 +1292,12 @@ class ContinuousBatchingEngine:
         # "approx tokens per scheduler check" meaning (emission timing
         # never changes a slot's token stream — slots are independent).
         spec_rounds = max(1, K // (gamma + 1))
+        # Shared round math with the interactive _spec_chunk (fused RAUQ is
+        # unsupported, so no attention gather). Only referenced when a
+        # draft model selects spec_decode_branch.
+        spec_round = _make_spec_round(
+            model, draft, gamma, eos, use_samp, temperature
+        )
 
         @partial(jax.jit, donate_argnums=(2, 3, 4, 5))
         def drain(params, dparams, cache, d_cache, step_logits, samp_logp,
@@ -1430,14 +1463,13 @@ class ContinuousBatchingEngine:
                 return st
 
             def spec_decode_branch(st):
-                """Speculative rounds with on-device scheduling: the
-                interactive ``_spec_chunk`` round body (draft gamma
-                proposals per slot, ONE (S, gamma+1) verify forward,
-                deferred correction) with emissions scattered straight
-                into the request output buffers. Greedy is token-identical
-                to the interactive spec engine (slots' token streams are
-                independent of emission timing); sampled is exact
-                temperature rejection sampling."""
+                """Speculative rounds with on-device scheduling: the shared
+                ``_make_spec_round`` body (draft gamma proposals per slot,
+                ONE (S, gamma+1) verify forward, deferred correction) with
+                emissions scattered straight into the request output
+                buffers. Greedy is token-identical to the interactive spec
+                engine (slots' token streams are independent of emission
+                timing); sampled is exact temperature rejection sampling."""
                 st = dict(st)
                 slot_req, start, limit = st["slot_req"], st["start"], st["limit"]
                 idxs = jnp.arange(gamma + 1)[None, :]
@@ -1445,142 +1477,27 @@ class ContinuousBatchingEngine:
                 def round_body(carry, kj):
                     (cache, d_cache, step_logits, samp_logp, slot_pos,
                      active, out_t, out_l, out_e, n_emit, acc) = carry
-                    k0, kd, kr = jax.random.split(kj, 3)
-                    log_soft = jax.nn.log_softmax(step_logits, axis=-1)
-                    if use_samp:
-                        tok0 = jax.random.categorical(
-                            k0, samp_logp, axis=-1
-                        ).astype(jnp.int32)
-                    else:
-                        tok0 = jnp.argmax(step_logits, axis=-1).astype(
-                            jnp.int32
-                        )
-                    lp0 = jnp.take_along_axis(
-                        log_soft, tok0[:, None], axis=-1
-                    )[:, 0]
-                    ent0 = _vocab_norm_entropy(log_soft)
-
-                    def draft_step(carry2, kj2):
-                        tok, dc, idx = carry2
-                        lg, _, _, dc = draft.apply(
-                            dparams, tok[:, None], dc, idx
-                        )
-                        if use_samp:
-                            row = lg[:, 0, :] / temperature
-                            nxt = jax.random.categorical(kj2, row, axis=-1)
-                        else:
-                            row = lg[:, 0, :]
-                            nxt = jnp.argmax(row, axis=-1)
-                        nxt = nxt.astype(jnp.int32)
-                        return (nxt, dc, idx + 1), (nxt, jax.nn.softmax(row))
-
-                    (_, d_cache, _), (outs, dprob_x) = jax.lax.scan(
-                        draft_step, (tok0, d_cache, slot_pos),
-                        jax.random.split(kd, gamma + 1),
-                    )
-                    proposals = jnp.swapaxes(outs[:gamma], 0, 1)  # (S, g)
-                    draft_probs = jnp.swapaxes(dprob_x[:gamma], 0, 1)
-                    block = jnp.concatenate(
-                        [tok0[:, None], proposals], axis=1
-                    )
-                    lg, _, _, cache = model.apply(
-                        params, block, cache, slot_pos
-                    )  # (S, gamma+1, V), vector clocks
-                    logp = jax.nn.log_softmax(lg, axis=-1)
-                    if use_samp:
-                        # Leviathan rejection sampling (same math as the
-                        # interactive _spec_chunk; see there for the
-                        # deferred-residual correctness argument).
-                        t_probs = jax.nn.softmax(lg / temperature, axis=-1)
-                        p_t = jnp.take_along_axis(
-                            t_probs[:, :-1, :], proposals[..., None],
-                            axis=-1,
-                        )[..., 0]
-                        p_d = jnp.take_along_axis(
-                            draft_probs, proposals[..., None], axis=-1
-                        )[..., 0]
-                        u = jax.random.uniform(kr, p_t.shape)
-                        accept = u < jnp.minimum(
-                            1.0, p_t / jnp.maximum(p_d, 1e-20)
-                        )
-                        agree = jnp.cumprod(accept.astype(jnp.int32), axis=1)
-                        n_acc = jnp.sum(agree, axis=1)
-                        draft_ext = jnp.concatenate(
-                            [draft_probs, jnp.zeros_like(t_probs[:, :1, :])],
-                            axis=1,
-                        )
-                        t_row = jnp.take_along_axis(
-                            t_probs, n_acc[:, None, None], axis=1
-                        )[:, 0, :]
-                        d_row = jnp.take_along_axis(
-                            draft_ext, n_acc[:, None, None], axis=1
-                        )[:, 0, :]
-                        residual = jnp.maximum(t_row - d_row, 0.0)
-                        residual = jnp.where(
-                            jnp.sum(residual, axis=-1, keepdims=True) > 0,
-                            residual, t_row,
-                        )
-                        samp_logp = jnp.where(
-                            active[:, None],
-                            jnp.log(residual + 1e-30), samp_logp,
-                        )
-                    else:
-                        preds = jnp.argmax(lg, axis=-1).astype(jnp.int32)
-                        agree = jnp.cumprod(
-                            (proposals == preds[:, :-1]).astype(jnp.int32),
-                            axis=1,
-                        )
-                        n_acc = jnp.sum(agree, axis=1)
-
-                    lp_rest = jnp.take_along_axis(
-                        logp[:, :-1, :], proposals[..., None], axis=-1
-                    )[..., 0]
-                    lps = jnp.concatenate([lp0[:, None], lp_rest], axis=1)
-                    ent_rest = _vocab_norm_entropy(logp[:, :-1, :])
-                    ents = jnp.concatenate([ent0[:, None], ent_rest], axis=1)
-                    cand = n_acc + 1
-                    if eos is not None:
-                        in_r = idxs < cand[:, None]
-                        is_eos = (block == eos) & in_r
-                        has_eos = jnp.any(is_eos, axis=1)
-                        cand = jnp.where(
-                            has_eos, jnp.argmax(is_eos, axis=1) + 1, cand
-                        )
-                    emit = (
-                        active[:, None]
-                        & (idxs < cand[:, None])
-                        & ((slot_pos[:, None] + idxs) < limit[:, None])
-                    )
-                    take = jnp.sum(emit.astype(jnp.int32), axis=1)
+                    r = spec_round(params, dparams, cache, d_cache,
+                                   step_logits, samp_logp, slot_pos,
+                                   active, limit, kj)
+                    emit, take = r["emit"], r["take"]
                     base = slot_pos - start
                     e_idx = jnp.where(emit, base[:, None] + idxs, M)
                     r_idx = jnp.where(emit, slot_req[:, None], R)
                     out_t = out_t.at[r_idx, e_idx].set(
-                        jnp.where(emit, block, 0), mode="drop"
+                        jnp.where(emit, r["block"], 0), mode="drop"
                     )
-                    out_l = out_l.at[r_idx, e_idx].set(lps, mode="drop")
-                    out_e = out_e.at[r_idx, e_idx].set(ents, mode="drop")
+                    out_l = out_l.at[r_idx, e_idx].set(r["lps"], mode="drop")
+                    out_e = out_e.at[r_idx, e_idx].set(r["ents"], mode="drop")
                     r1 = jnp.where(take > 0, slot_req, R)
                     n_emit = n_emit.at[r1].set(base + take, mode="drop")
-                    slot_pos = slot_pos + take
-                    new_active = active & (slot_pos < limit)
-                    if eos is not None:
-                        new_active = new_active & ~has_eos
-                    # Deferred correction: the target's row at the rejection
-                    # index is the next round's distribution.
-                    nxt_row = jnp.take_along_axis(
-                        lg, n_acc[:, None, None], axis=1
-                    )[:, 0, :]
-                    step_logits = jnp.where(
-                        active[:, None], nxt_row, step_logits
-                    )
                     acc = acc + jnp.stack([
-                        jnp.sum(jnp.where(active, n_acc, 0)),
+                        jnp.sum(jnp.where(active, r["n_acc"], 0)),
                         jnp.sum(jnp.where(active, gamma, 0)),
                     ])
-                    return (cache, d_cache, step_logits, samp_logp,
-                            slot_pos, new_active, out_t, out_l, out_e,
-                            n_emit, acc), None
+                    return (r["cache"], r["d_cache"], r["step_logits"],
+                            r["samp_logp"], r["slot_pos"], r["active"],
+                            out_t, out_l, out_e, n_emit, acc), None
 
                 st["key"], sub = jax.random.split(st["key"])
                 acc0 = jnp.zeros((2,), jnp.int32)
