@@ -600,6 +600,9 @@ def measure_llm_spec_engine():
         "useful_tokens": useful,
         "speedup_vs_plain_engine": round(spec_tps / plain_tps, 4),
         "prefix_hits": int(spec_eng.prefix_hits - hits0),
+        # Cumulative over warmup+timed passes (a rate, so that's fine):
+        # the engine's exact draft-acceptance counters from stats().
+        "acceptance_rate": spec_eng.stats().get("acceptance"),
     }
 
 

@@ -69,29 +69,36 @@ def _vocab_norm_entropy(log_soft: jnp.ndarray) -> jnp.ndarray:
     return -jnp.sum(terms, axis=-1) / jnp.log(log_soft.shape[-1])
 
 
-def _pack_harvest(toks, lps, ents, emitted, active):
+def _pack_harvest(toks, lps, ents, emitted, active, extra=None):
     """Flatten every host-bound per-chunk output into ONE f32 buffer.
 
     The scheduling loop must read these after every decode chunk; on a
     tunneled device each separate fetch pays a full round trip (~25 ms),
     so the chunk programs ship one buffer instead of five. Token ids ride
-    as f32 — exact for any vocab below 2**24 (f32 integer range)."""
-    return jnp.concatenate([
+    as f32 — exact for any vocab below 2**24 (f32 integer range).
+    ``extra`` appends a small trailer of counters (same f32 exactness
+    argument) without costing a second fetch."""
+    parts = [
         toks.astype(jnp.float32).ravel(),
         lps.astype(jnp.float32).ravel(),
         ents.astype(jnp.float32).ravel(),
         emitted.astype(jnp.float32).ravel(),
         active.astype(jnp.float32).ravel(),
-    ])
+    ]
+    if extra is not None:
+        parts.append(extra.astype(jnp.float32).ravel())
+    return jnp.concatenate(parts)
 
 
-def _unpack_harvest(packed: np.ndarray, shape, num_slots):
+def _unpack_harvest(packed: np.ndarray, shape, num_slots, n_extra=0):
     """Invert :func:`_pack_harvest` host-side: (toks, lps, ents, emitted,
-    active) with ``toks/lps/ents/emitted`` of ``shape``."""
+    active, extra) with ``toks/lps/ents/emitted`` of ``shape``."""
     n = int(np.prod(shape))
     sec = [packed[i * n:(i + 1) * n].reshape(shape) for i in range(4)]
     active = packed[4 * n:4 * n + num_slots] > 0.5
-    return sec[0].astype(np.int64), sec[1], sec[2], sec[3] > 0.5, active
+    extra = packed[4 * n + num_slots:4 * n + num_slots + n_extra]
+    return (sec[0].astype(np.int64), sec[1], sec[2], sec[3] > 0.5, active,
+            extra)
 
 
 def _make_spec_round(model, draft, gamma, eos, do_sample, temperature,
@@ -376,6 +383,12 @@ class ContinuousBatchingEngine:
             "t_prefill_s": 0.0,
             "t_sched_s": 0.0,
         }
+        if draft_model is not None:
+            # Interactive speculative drains account acceptance exactly
+            # (same convention as the fused drain's _last_fused_stats):
+            # proposals counted over slots live at each round's start.
+            self._stats["accepted"] = 0
+            self._stats["proposed"] = 0
         # Per-slot speculative decoding: a small draft model proposes gamma
         # tokens per slot, one (S, gamma+1) target forward verifies them,
         # and every slot advances by its own acceptance count on the vector
@@ -778,7 +791,8 @@ class ContinuousBatchingEngine:
             self.do_sample, self.temperature, self.collect_rauq,
         )
         # chunk_tokens keeps its "approx tokens per host sync" meaning.
-        rounds = max(1, self.chunk_tokens // (self.gamma + 1))
+        gamma = self.gamma
+        rounds = max(1, self.chunk_tokens // (gamma + 1))
         S = self.num_slots
 
         @partial(jax.jit, donate_argnums=(2, 3, 4, 5, 6))
@@ -799,10 +813,17 @@ class ContinuousBatchingEngine:
                                limit, key)
                 lps = jnp.where(r["emit"], r["lps"], -jnp.inf)
                 emission = jnp.where(r["emit"], r["block"], 0)
+                # Acceptance accounting over slots live this round (same
+                # convention as the fused drain's stats).
+                acc_pair = jnp.stack([
+                    jnp.sum(jnp.where(active, r["n_acc"], 0)),
+                    jnp.sum(jnp.where(active, gamma, 0)),
+                ])
                 return (
                     (r["cache"], r["d_cache"], r["step_logits"],
                      r["samp_logp"], r["slot_pos"], r["active"]),
-                    (emission, lps, r["ents"], r["att_prev"], r["emit"]),
+                    (emission, lps, r["ents"], r["att_prev"], r["emit"],
+                     acc_pair),
                 )
 
             rng_key, sub = jax.random.split(rng_key)
@@ -813,8 +834,9 @@ class ContinuousBatchingEngine:
                 (t_cache, d_cache, step_logits, samp_logp, slot_pos, active),
                 jax.random.split(sub, rounds),
             )
-            toks, lps, ents, att_prev, emit = out
-            packed = _pack_harvest(toks, lps, ents, emit, active)
+            toks, lps, ents, att_prev, emit, acc_pairs = out
+            packed = _pack_harvest(toks, lps, ents, emit, active,
+                                   extra=jnp.sum(acc_pairs, axis=0))
             new_state = jnp.concatenate(
                 [slot_pos, kv_start, limit, active.astype(jnp.int32)]
             )
@@ -1173,10 +1195,13 @@ class ContinuousBatchingEngine:
         self._stats["t_fetch_s"] += time.perf_counter() - t1
         if spec:
             rounds = max(1, self.chunk_tokens // (self.gamma + 1))
-            toks, lps, ents, emitted, active_now = _unpack_harvest(
+            toks, lps, ents, emitted, active_now, acc_pair = _unpack_harvest(
                 packed_np,
                 (rounds, self.num_slots, self.gamma + 1), self.num_slots,
+                n_extra=2,
             )
+            self._stats["accepted"] += int(acc_pair[0])
+            self._stats["proposed"] += int(acc_pair[1])
             # (R, S, gamma+1) round blocks -> (R*(gamma+1), S)
             # chronological steps, the same harvest contract as below.
             flat = lambda a: a.swapaxes(1, 2).reshape(-1, a.shape[1])
@@ -1189,7 +1214,7 @@ class ContinuousBatchingEngine:
             else:
                 atts = None
         else:
-            toks, lps, ents, emitted, active_now = _unpack_harvest(
+            toks, lps, ents, emitted, active_now, _ = _unpack_harvest(
                 packed_np,
                 (self.chunk_tokens, self.num_slots), self.num_slots,
             )
@@ -1237,8 +1262,14 @@ class ContinuousBatchingEngine:
         """Serving counters (host-side, zero device cost): requests
         finished, tokens emitted, decode/prefill chunk program launches,
         prefix-cache hits, and admissions deferred for a mid-prefill
-        donor. Cumulative over the engine's lifetime."""
-        return {**self._stats, "prefix_hits": self.prefix_hits}
+        donor. Speculative engines add ``accepted``/``proposed`` draft
+        counters and the derived ``acceptance`` rate (interactive drains;
+        the fused drain reports its own in ``_last_fused_stats``).
+        Cumulative over the engine's lifetime."""
+        out = {**self._stats, "prefix_hits": self.prefix_hits}
+        if out.get("proposed"):
+            out["acceptance"] = round(out["accepted"] / out["proposed"], 4)
+        return out
 
     def result(self, request_id: int) -> dict:
         return self._results[request_id]

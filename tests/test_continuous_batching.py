@@ -319,6 +319,30 @@ class TestSpeculativeEngine:
                 rtol=1e-4, atol=1e-5, err_msg=f"prompt {i}",
             )
 
+    def test_interactive_acceptance_counters(self, model_and_params,
+                                             prompts, draft_and_params):
+        """stats() on a speculative engine reports exact accepted/proposed
+        draft counters (riding the packed harvest — no extra fetch) plus
+        the derived acceptance rate; a perfect draft accepts everything
+        and a plain engine carries no such keys."""
+        model, params = model_and_params
+        draft, dparams = draft_and_params
+        eng, _ = self._run(model, params, draft, dparams, prompts)
+        st = eng.stats()
+        assert st["proposed"] > 0
+        assert 0 <= st["accepted"] <= st["proposed"]
+        assert st["acceptance"] == round(st["accepted"] / st["proposed"], 4)
+
+        eng2, _ = self._run(model, params, model, params, prompts[:4])
+        assert eng2.stats()["acceptance"] > 0.95
+
+        plain = ContinuousBatchingEngine(
+            model, params, num_slots=2, max_ctx=64, max_new_tokens=MAX_NEW,
+            chunk_tokens=10, prefill_chunk=8,
+        )
+        plain.generate_all(prompts[:2])
+        assert "accepted" not in plain.stats()
+
     def test_perfect_draft_matches_greedy(self, model_and_params, prompts):
         """Draft == target: every proposal accepted, the full-acceptance
         bookkeeping (bonus row, cache coverage) must still be exact."""
