@@ -606,6 +606,65 @@ def measure_llm_spec_engine():
     }
 
 
+def measure_llm_uncertainty_serving():
+    """The product metric at production size: uncertainty-scored responses
+    per second. ``llm.serve_uncertainties`` over the 1.17B engine — a
+    greedy deterministic pass with in-loop RAUQ plus a sampled pass
+    (4 samples/prompt; prefix caching shares each prompt's prefill across
+    its duplicates) — returning perplexity, generation_entropy,
+    RAUQ(original/original) and normalized_entropy per response. This is
+    the end-to-end flow the reference serves one blocking HF-generate call
+    at a time (reference llm_uncertainty/scores.py:347-524)."""
+    import jax.numpy as jnp
+
+    from runia_core_tpu.llm import serve_uncertainties
+    from runia_core_tpu.models import LlamaLM
+
+    from runia_core_tpu.llm import UncertaintyServer
+
+    st = _get_prod_llama()
+    model = LlamaLM(**_PROD_CFG, dtype=jnp.bfloat16)  # engine: no flash
+    n_prompts, n_samples, max_new = 16, 4, 32
+    requests = [
+        {"method_name": "perplexity"},
+        {"method_name": "generation_entropy"},
+        {"method_name": "RAUQ", "token_aggregation": "original",
+         "head_aggregation": "original"},
+        {"method_name": "normalized_entropy"},
+    ]
+    server = UncertaintyServer(
+        model, st["params"], None, requests,
+        num_samples=n_samples, max_new_tokens=max_new, temperature=0.9,
+        engine_kwargs=dict(num_slots=8, max_ctx=128, chunk_tokens=12,
+                           prefill_chunk=32),
+    )
+
+    def prompt_batch(seed):
+        # A fresh prompt set per pass: identical prompts would hit the
+        # server's persistent prefix cache and skip the timed passes'
+        # prefill work — measure fresh-traffic throughput instead.
+        rng = np.random.RandomState(seed)
+        return [list(rng.randint(1, 32000, int(n)))
+                for n in rng.randint(24, 65, n_prompts)]
+
+    def one_pass(seed):
+        t0 = time.perf_counter()
+        texts, scores = server.serve(prompt_batch(seed))
+        dt = time.perf_counter() - t0
+        assert len(scores) == n_prompts
+        assert all(np.isfinite(s["perplexity"]) for s in scores)
+        return dt
+
+    one_pass(11)  # compile warmup (det + sampled engine programs)
+    # Best of 2 (tunnel latency noise, see measure_llm_continuous).
+    dt = min(one_pass(12), one_pass(13))
+    return n_prompts / dt, None, {
+        "n_prompts": n_prompts, "num_samples": n_samples,
+        "max_new_tokens": max_new, "methods": len(requests),
+        "decoded_tokens_per_response": max_new * (1 + n_samples),
+    }
+
+
 def run_suite():
     """Run every leg fault-isolated: one failing leg reports an error entry
     instead of killing the whole benchmark (the headline leg runs first and
@@ -689,6 +748,8 @@ def run_suite():
     leg("llama1b_serving_96req", "tok/s", measure_llm_continuous)
     leg("llama1b_speculative_1x32", "tok/s", measure_llm_speculative_production)
     leg("llama1b_spec_engine_24req_prefix", "tok/s", measure_llm_spec_engine)
+    leg("llama1b_uncertainty_serving_16x5", "responses/s",
+        measure_llm_uncertainty_serving)
     return ips18, suite
 
 

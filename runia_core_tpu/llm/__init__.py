@@ -8,7 +8,10 @@ from runia_core_tpu.llm.attention import (
     _reconstruct_attention_matrix,
 )
 from runia_core_tpu.llm.continuous import ContinuousBatchingEngine
-from runia_core_tpu.llm.serve_uncertainty import serve_uncertainties
+from runia_core_tpu.llm.serve_uncertainty import (
+    UncertaintyServer,
+    serve_uncertainties,
+)
 from runia_core_tpu.llm.generate import JaxGenerator, run_generation, sample_logits
 from runia_core_tpu.llm.service import GenerationService
 from runia_core_tpu.llm.speculative import SpeculativeGenerator
@@ -51,6 +54,7 @@ __all__ = [
     "GenerationService",
     "ContinuousBatchingEngine",
     "serve_uncertainties",
+    "UncertaintyServer",
     "run_generation",
     "sample_logits",
     "StreamingAttentionAggregator",

@@ -1274,6 +1274,13 @@ class ContinuousBatchingEngine:
     def result(self, request_id: int) -> dict:
         return self._results[request_id]
 
+    def clear_results(self) -> None:
+        """Drop stored results. A persistent server that collects results
+        after each drain calls this so the engine's result map doesn't
+        grow without bound over its lifetime; ids keep monotonically
+        increasing, so old ids simply become unknown."""
+        self._results.clear()
+
     def generate_all(
         self, prompts: Sequence[Sequence[int]]
     ) -> List[Dict[str, Any]]:

@@ -38,7 +38,7 @@ from runia_core_tpu.llm.scores import (
     semantic_entropy,
 )
 
-__all__ = ["serve_uncertainties"]
+__all__ = ["UncertaintyServer", "serve_uncertainties"]
 
 _SEQUENCE_METHODS = {
     "perplexity": False,
@@ -111,7 +111,7 @@ _ENGINE_DEFAULTS = dict(
 )
 
 
-def _make_engine(model, params, prompts, max_new_tokens, eos_id,
+def _make_engine(model, params, max_prompt_len, max_new_tokens, eos_id,
                  collect_rauq, engine_kwargs, **mode):
     kw = dict(_ENGINE_DEFAULTS)
     kw.update(engine_kwargs or {})
@@ -121,7 +121,7 @@ def _make_engine(model, params, prompts, max_new_tokens, eos_id,
     kw.setdefault("prefix_cache", bool(kw["prefill_chunk"]))
     slack = kw.get("gamma", 4) + 1 if kw.get("draft_model") is not None else 0
     if "max_ctx" not in kw:
-        max_p = max(len(p) for p in prompts)
+        max_p = int(max_prompt_len)
         if kw["prefill_chunk"]:
             c = kw["prefill_chunk"]
             kw["max_ctx"] = -(-(max_p + max_new_tokens + slack) // c) * c
@@ -134,6 +134,182 @@ def _make_engine(model, params, prompts, max_new_tokens, eos_id,
         model, params, max_new_tokens=max_new_tokens, eos_id=eos_id,
         collect_rauq=collect_rauq, **kw, **mode,
     )
+
+
+class UncertaintyServer:
+    """Persistent batch uncertainty server: build the engines ONCE, serve
+    any number of prompt batches.
+
+    ``serve_uncertainties`` constructs fresh engines per call, which means
+    re-jitting every engine program (prefill + decode chunk) — 30-60 s per
+    shape over a tunneled TPU, fine for one offline batch, fatal for a
+    serving loop. This class owns a deterministic engine (greedy, RAUQ
+    in-loop if requested) and, when any requested method needs samples, a
+    sampled engine; both keep their compiled programs and KV caches across
+    :meth:`serve` calls, so steady-state batches run at engine speed.
+
+    The sampled engine's RNG key threads through its chunk programs, so
+    repeated batches draw fresh samples. The prefix cache (when on) also
+    persists: a prompt resubmitted in a later batch reuses its resident
+    prefill rows — cross-batch reuse is exactly what a prefix cache is for.
+
+    Capacity is fixed at construction: ``max_prompt_len`` (or an explicit
+    ``engine_kwargs["max_ctx"]``) sizes the KV caches; an over-long prompt
+    in a later batch fails fast at submit-time validation.
+    """
+
+    def __init__(
+        self,
+        model,
+        params,
+        tokenizer,
+        uncertainty_requests: Sequence[dict],
+        num_samples: int = 10,
+        max_new_tokens: int = 64,
+        eos_id: Optional[int] = None,
+        temperature: float = 1.0,
+        entailment_model=None,
+        entailment_tokenizer=None,
+        engine_kwargs: Optional[dict] = None,
+        fused: bool = False,
+        max_prompt_len: Optional[int] = None,
+    ):
+        needs_sampling, needs_rauq, needs_semantic = _validate(
+            uncertainty_requests
+        )
+        if needs_semantic and entailment_model is None:
+            raise ValueError(
+                "semantic_entropy needs entailment_model "
+                "(no implicit downloads)"
+            )
+        if fused and needs_rauq:
+            raise ValueError(
+                "fused=True cannot serve RAUQ (in-loop attention is an "
+                "interactive-drain feature); drop the RAUQ request or "
+                "fused=True"
+            )
+        if fused and (engine_kwargs or {}).get("draft_model") is not None:
+            raise ValueError("fused=True supports the plain decode path only")
+        if fused and not (engine_kwargs or {}).get(
+            "prefill_chunk", _ENGINE_DEFAULTS["prefill_chunk"]
+        ):
+            raise ValueError("fused=True requires chunked prefill")
+        if max_prompt_len is None and "max_ctx" not in (engine_kwargs or {}):
+            raise ValueError(
+                "UncertaintyServer sizes its KV caches up front: pass "
+                "max_prompt_len or engine_kwargs['max_ctx']"
+            )
+
+        self.tokenizer = tokenizer
+        self.requests = list(uncertainty_requests)
+        self.num_samples = int(num_samples)
+        self.entailment_model = entailment_model
+        self.entailment_tokenizer = entailment_tokenizer
+        self.fused = bool(fused)
+        self._needs_rauq = needs_rauq
+
+        # the RAUQ dispatcher's default alpha (compute_uncertainties
+        # parity; _validate guarantees all RAUQ requests agree on one)
+        rauq_alpha = next(
+            (float(r.get("alphas", [0.3])[0]) for r in uncertainty_requests
+             if r["method_name"] == "RAUQ"), 0.2,
+        )
+        self.det_engine = _make_engine(
+            model, params, max_prompt_len or 0, max_new_tokens, eos_id,
+            needs_rauq, engine_kwargs, rauq_alpha=rauq_alpha,
+        )
+        self.samp_engine = None
+        if needs_sampling:
+            self.samp_engine = _make_engine(
+                model, params, max_prompt_len or 0, max_new_tokens, eos_id,
+                False, engine_kwargs, do_sample=True,
+                temperature=temperature,
+            )
+
+    def serve(
+        self, prompts: Sequence[Sequence[int]]
+    ) -> Tuple[List[Any], List[Dict[str, Any]]]:
+        """Run one batch: deterministic pass, sampled pass (if any method
+        needs it), then score. Returns ``(texts, scores)`` exactly like
+        :func:`serve_uncertainties`."""
+        det = (self.det_engine.generate_all_fused(prompts) if self.fused
+               else self.det_engine.generate_all(prompts))
+        self.det_engine.clear_results()
+
+        samp: List[List[dict]] = [[] for _ in prompts]
+        if self.samp_engine is not None:
+            if self.fused:
+                flat = [p for p in prompts for _ in range(self.num_samples)]
+                res = self.samp_engine.generate_all_fused(flat)
+                for i in range(len(prompts)):
+                    samp[i] = res[
+                        i * self.num_samples: (i + 1) * self.num_samples
+                    ]
+            else:
+                # Interleave submissions so each prompt's duplicates land
+                # near each other: the first admission prefills, the rest
+                # hit the prefix cache (chunk-aligned full-prompt reuse).
+                ids = [
+                    (i, self.samp_engine.submit(p))
+                    for i, p in enumerate(prompts)
+                    for _ in range(self.num_samples)
+                ]
+                self.samp_engine.run_until_drained()
+                for i, rid in ids:
+                    samp[i].append(self.samp_engine.result(rid))
+                self.samp_engine.clear_results()
+
+        decode = (
+            (lambda t: self.tokenizer.decode(t))
+            if self.tokenizer is not None else (lambda t: list(t))
+        )
+        det_texts = [decode(r["tokens"]) for r in det]
+
+        scores: List[Dict[str, Any]] = []
+        for i, det_res in enumerate(det):
+            out: Dict[str, Any] = {}
+            for req in self.requests:
+                name = req["method_name"]
+                if name == "perplexity":
+                    out[name] = perplexity(det_res["log_probs"])
+                elif name == "generation_entropy":
+                    # computed in the decode loop; parity with
+                    # scores.generation_entropy is test-pinned
+                    out[name] = det_res["generation_entropy"]
+                elif name == "RAUQ":
+                    out["RAUQ_original_original"] = det_res["rauq"]
+                elif name == "normalized_entropy":
+                    lens = [len(r["log_probs"]) for r in samp[i]]
+                    width = max(max(lens), 1)
+                    lp = np.full(
+                        (len(samp[i]), width), -np.inf, np.float32
+                    )
+                    for j, r in enumerate(samp[i]):
+                        lp[j, : lens[j]] = r["log_probs"]
+                    out[name] = normalized_entropy(lp)
+                elif name == "semantic_entropy":
+                    texts = [decode(r["tokens"]) for r in samp[i]]
+                    ent, clusters = semantic_entropy(
+                        self.entailment_model, self.entailment_tokenizer,
+                        texts,
+                    )
+                    out[name] = ent
+                    out["clusters"] = {
+                        (tuple(t) if isinstance(t, list) else t): c
+                        for c, idxs in clusters.items()
+                        for j in idxs
+                        for t in [texts[j]]
+                    }
+            scores.append(out)
+        return det_texts, scores
+
+    def stats(self) -> dict:
+        """Cumulative engine counters: ``{"deterministic": ...,
+        "sampled": ...}`` (see :meth:`ContinuousBatchingEngine.stats`)."""
+        out = {"deterministic": self.det_engine.stats()}
+        if self.samp_engine is not None:
+            out["sampled"] = self.samp_engine.stats()
+        return out
 
 
 def serve_uncertainties(
@@ -152,6 +328,12 @@ def serve_uncertainties(
     fused: bool = False,
 ) -> Tuple[List[Any], List[Dict[str, Any]]]:
     """Score a BATCH of prompts with ``compute_uncertainties`` semantics.
+
+    One-shot convenience over :class:`UncertaintyServer` — builds the
+    engines, serves this batch, and throws them away. A serving loop that
+    scores batch after batch should hold an ``UncertaintyServer`` instead:
+    engine programs jit once per instance, and rebuilding them per batch
+    costs 30-60 s per shape over a tunneled TPU.
 
     Args:
         model/params: a ``LlamaLM``-style model (the engine contract).
@@ -178,98 +360,13 @@ def serve_uncertainties(
         (deterministic_texts, scores): one decoded text and one score dict
         per prompt, score keys matching ``compute_uncertainties``.
     """
-    needs_sampling, needs_rauq, needs_semantic = _validate(
-        uncertainty_requests
+    server = UncertaintyServer(
+        model, params, tokenizer, uncertainty_requests,
+        num_samples=num_samples, max_new_tokens=max_new_tokens,
+        eos_id=eos_id, temperature=temperature,
+        entailment_model=entailment_model,
+        entailment_tokenizer=entailment_tokenizer,
+        engine_kwargs=engine_kwargs, fused=fused,
+        max_prompt_len=max(len(p) for p in prompts),
     )
-    if needs_semantic and entailment_model is None:
-        raise ValueError(
-            "semantic_entropy needs entailment_model (no implicit downloads)"
-        )
-    if fused and needs_rauq:
-        raise ValueError(
-            "fused=True cannot serve RAUQ (in-loop attention is an "
-            "interactive-drain feature); drop the RAUQ request or fused=True"
-        )
-    if fused and (engine_kwargs or {}).get("draft_model") is not None:
-        raise ValueError("fused=True supports the plain decode path only")
-    if fused and not (engine_kwargs or {}).get(
-        "prefill_chunk", _ENGINE_DEFAULTS["prefill_chunk"]
-    ):
-        raise ValueError("fused=True requires chunked prefill")
-
-    # the RAUQ dispatcher's default alpha (compute_uncertainties parity;
-    # _validate guarantees all RAUQ requests agree on one alpha)
-    rauq_alpha = next(
-        (float(r.get("alphas", [0.3])[0]) for r in uncertainty_requests
-         if r["method_name"] == "RAUQ"), 0.2,
-    )
-    det_engine = _make_engine(
-        model, params, prompts, max_new_tokens, eos_id, needs_rauq,
-        engine_kwargs, rauq_alpha=rauq_alpha,
-    )
-    det = (det_engine.generate_all_fused(prompts) if fused
-           else det_engine.generate_all(prompts))
-
-    samp: List[List[dict]] = [[] for _ in prompts]
-    if needs_sampling:
-        s_engine = _make_engine(
-            model, params, prompts, max_new_tokens, eos_id, False,
-            engine_kwargs, do_sample=True, temperature=temperature,
-        )
-        if fused:
-            flat = [p for p in prompts for _ in range(num_samples)]
-            res = s_engine.generate_all_fused(flat)
-            for i in range(len(prompts)):
-                samp[i] = res[i * num_samples: (i + 1) * num_samples]
-        else:
-            # Interleave submissions so each prompt's duplicates land near
-            # each other: the first admission prefills, the rest hit the
-            # prefix cache (chunk-aligned full-prompt reuse).
-            ids = [
-                (i, s_engine.submit(p))
-                for i, p in enumerate(prompts)
-                for _ in range(num_samples)
-            ]
-            s_engine.run_until_drained()
-            for i, rid in ids:
-                samp[i].append(s_engine.result(rid))
-
-    decode = (lambda t: tokenizer.decode(t)) if tokenizer is not None else (
-        lambda t: list(t)
-    )
-    det_texts = [decode(r["tokens"]) for r in det]
-
-    scores: List[Dict[str, Any]] = []
-    for i, det_res in enumerate(det):
-        out: Dict[str, Any] = {}
-        for req in uncertainty_requests:
-            name = req["method_name"]
-            if name == "perplexity":
-                out[name] = perplexity(det_res["log_probs"])
-            elif name == "generation_entropy":
-                # computed in the decode loop; parity with
-                # scores.generation_entropy is test-pinned
-                out[name] = det_res["generation_entropy"]
-            elif name == "RAUQ":
-                out["RAUQ_original_original"] = det_res["rauq"]
-            elif name == "normalized_entropy":
-                lens = [len(r["log_probs"]) for r in samp[i]]
-                width = max(max(lens), 1)
-                lp = np.full((len(samp[i]), width), -np.inf, np.float32)
-                for j, r in enumerate(samp[i]):
-                    lp[j, : lens[j]] = r["log_probs"]
-                out[name] = normalized_entropy(lp)
-            elif name == "semantic_entropy":
-                texts = [decode(r["tokens"]) for r in samp[i]]
-                ent, clusters = semantic_entropy(
-                    entailment_model, entailment_tokenizer, texts
-                )
-                out[name] = ent
-                out["clusters"] = {
-                    (tuple(t) if isinstance(t, list) else t): c
-                    for c, idxs in clusters.items()
-                    for j in idxs
-                    for t in [texts[j]]
-                }
-        scores.append(out)
-    return det_texts, scores
+    return server.serve(prompts)

@@ -11,7 +11,11 @@ import pytest
 
 import jax
 
-from runia_core_tpu.llm import JaxGenerator, serve_uncertainties
+from runia_core_tpu.llm import (
+    JaxGenerator,
+    UncertaintyServer,
+    serve_uncertainties,
+)
 from runia_core_tpu.llm.scores import compute_uncertainties
 from runia_core_tpu.models import LlamaLM
 
@@ -98,7 +102,9 @@ class TestServeUncertainties:
         # chunk-aligned prefix to be reusable
         rng = np.random.RandomState(3)
         long_prompts = [list(rng.randint(1, VOCAB, 24)) for _ in range(2)]
-        eng = _make_engine(model, params, long_prompts, MAX_NEW, None, False,
+        eng = _make_engine(model, params,
+                           max(len(p) for p in long_prompts),
+                           MAX_NEW, None, False,
                            ENGINE_KW, do_sample=True, temperature=0.8)
         for p in long_prompts:
             for _ in range(3):
@@ -167,6 +173,68 @@ class TestServeUncertainties:
                 engine_kwargs={**ENGINE_KW, "prefill_chunk": None},
                 fused=True,
             )
+
+    def test_server_reuses_engines_across_batches(self, model_and_params,
+                                                  prompts):
+        """The persistent server: repeated serve() calls on ONE instance.
+        Deterministic scores are call-order independent (same batch twice
+        gives identical results — the second pass rides the persistent
+        prefix cache, so this also pins cross-batch cache correctness),
+        the sampled pass draws FRESH samples each call (the engine RNG
+        key advances; a reused key would repeat them), and the one-shot
+        wrapper built on the server still matches it."""
+        model, params = model_and_params
+        requests = [{"method_name": "perplexity"},
+                    {"method_name": "normalized_entropy"}]
+        server = UncertaintyServer(
+            model, params, None, requests, num_samples=4,
+            max_new_tokens=MAX_NEW, temperature=1.0,
+            engine_kwargs=ENGINE_KW,
+            max_prompt_len=max(len(p) for p in prompts),
+        )
+        texts_a, scores_a = server.serve(prompts)
+        texts_b, scores_b = server.serve(prompts)
+        for ta, tb, sa, sb in zip(texts_a, texts_b, scores_a, scores_b):
+            assert list(ta) == list(tb)
+            np.testing.assert_allclose(sb["perplexity"], sa["perplexity"],
+                                       rtol=1e-6)
+        # fresh samples: on a 64-vocab model at temperature 1.0, two
+        # independent 4-sample draws matching on every prompt means the
+        # RNG was reused
+        assert any(
+            not np.allclose(sa["normalized_entropy"],
+                            sb["normalized_entropy"])
+            for sa, sb in zip(scores_a, scores_b)
+        )
+        # results maps are drained after each call (no lifetime leak)
+        assert not server.det_engine._results
+        assert not server.samp_engine._results
+        # one-shot wrapper parity on a different batch
+        batch2 = prompts[:3]
+        texts_c, scores_c = server.serve(batch2)
+        texts_d, scores_d = serve_uncertainties(
+            model, params, None, batch2, requests, num_samples=4,
+            max_new_tokens=MAX_NEW, engine_kwargs=ENGINE_KW,
+        )
+        for tc, td, sc, sd in zip(texts_c, texts_d, scores_c, scores_d):
+            assert list(tc) == list(td)
+            np.testing.assert_allclose(sd["perplexity"], sc["perplexity"],
+                                       rtol=1e-6)
+
+    def test_server_capacity_validation(self, model_and_params, prompts):
+        model, params = model_and_params
+        with pytest.raises(ValueError, match="max_prompt_len"):
+            UncertaintyServer(model, params, None,
+                              [{"method_name": "perplexity"}],
+                              engine_kwargs=ENGINE_KW)
+        server = UncertaintyServer(
+            model, params, None, [{"method_name": "perplexity"}],
+            max_new_tokens=MAX_NEW, engine_kwargs=ENGINE_KW,
+            max_prompt_len=16,
+        )
+        rng = np.random.RandomState(0)
+        with pytest.raises(ValueError, match="exceeds"):
+            server.serve([list(rng.randint(1, VOCAB, 40))])
 
     def test_validation_fails_fast(self, model_and_params, prompts):
         model, params = model_and_params
