@@ -68,30 +68,36 @@ def run_serving_uncertainty_demo():
     """Serving path: a BATCH of prompts scored through the continuous
     batching engine — deterministic scores from a greedy engine (RAUQ
     gathered in the decode loop) and the sampled passes sharing each
-    prompt's prefill via the prefix cache."""
-    from runia_core_tpu.llm import serve_uncertainties
+    prompt's prefill via the prefix cache. A persistent UncertaintyServer
+    compiles the engines ONCE and serves batch after batch (one-shot
+    serve_uncertainties rebuilds + re-jits them every call)."""
+    from runia_core_tpu.llm import UncertaintyServer
     from runia_core_tpu.models import LlamaLM
 
     model = LlamaLM(vocab_size=512, num_layers=2, num_heads=4,
                     num_kv_heads=2, d_model=64, hidden_dim=128, max_len=256)
     params = jax.jit(model.init)(jax.random.key(0), np.zeros((1, 8), np.int32))
-    rng = np.random.RandomState(4)
-    prompts = [list(rng.randint(1, 512, rng.randint(6, 20)))
-               for _ in range(4)]
-    texts, scores = serve_uncertainties(
-        model, params, None, prompts,
+    server = UncertaintyServer(
+        model, params, None,
         [{"method_name": "perplexity"},
          {"method_name": "RAUQ", "token_aggregation": "original",
           "head_aggregation": "original"},
          {"method_name": "normalized_entropy"}],
         num_samples=4, max_new_tokens=12, temperature=0.9,
         engine_kwargs=dict(num_slots=4, prefill_chunk=8, chunk_tokens=8),
+        max_prompt_len=20,
     )
-    print("Batch uncertainty serving over", len(prompts), "prompts:")
-    for i, out in enumerate(scores):
-        print(f"  prompt {i}: ppl={out['perplexity']:.3f} "
-              f"rauq={out['RAUQ_original_original']:.3f} "
-              f"norm_ent={out['normalized_entropy']:.3f}")
+    rng = np.random.RandomState(4)
+    for batch_no in range(2):  # batch 2 reuses every compiled program
+        prompts = [list(rng.randint(1, 512, rng.randint(6, 20)))
+                   for _ in range(4)]
+        texts, scores = server.serve(prompts)
+        print(f"Batch {batch_no}: uncertainty serving over "
+              f"{len(prompts)} prompts:")
+        for i, out in enumerate(scores):
+            print(f"  prompt {i}: ppl={out['perplexity']:.3f} "
+                  f"rauq={out['RAUQ_original_original']:.3f} "
+                  f"norm_ent={out['normalized_entropy']:.3f}")
 
 
 def run_batched_rauq_demo():

@@ -221,6 +221,38 @@ class TestServeUncertainties:
             np.testing.assert_allclose(sd["perplexity"], sc["perplexity"],
                                        rtol=1e-6)
 
+    def test_fused_server_reuses_programs_across_batches(
+        self, model_and_params, prompts
+    ):
+        """fused=True server: the drain program is cached per workload
+        shape, so a second batch of the same size reuses it (the cache key
+        is shape-only — results must still be batch-specific) and scores
+        match the one-shot fused wrapper."""
+        model, params = model_and_params
+        requests = [{"method_name": "perplexity"}]
+        server = UncertaintyServer(
+            model, params, None, requests, max_new_tokens=MAX_NEW,
+            engine_kwargs=ENGINE_KW, fused=True,
+            max_prompt_len=max(len(p) for p in prompts),
+        )
+        batch_a, batch_b = prompts[:3], prompts[2:]
+        _, scores_a = server.serve(batch_a)
+        assert len(server.det_engine._fused_cache) == 1
+        texts_b, scores_b = server.serve(batch_b)
+        # same workload shape -> one cached drain program, two results
+        assert len(server.det_engine._fused_cache) == 1
+        _, want = serve_uncertainties(
+            model, params, None, batch_b, requests,
+            max_new_tokens=MAX_NEW, engine_kwargs=ENGINE_KW, fused=True,
+        )
+        for sb, w in zip(scores_b, want):
+            np.testing.assert_allclose(sb["perplexity"], w["perplexity"],
+                                       rtol=1e-6)
+        # different batches through the one cached program give
+        # batch-specific results (prompt 0 differs between them)
+        assert not np.allclose(scores_a[0]["perplexity"],
+                               scores_b[0]["perplexity"])
+
     def test_server_capacity_validation(self, model_and_params, prompts):
         model, params = model_and_params
         with pytest.raises(ValueError, match="max_prompt_len"):
