@@ -89,49 +89,23 @@ def _aot_compile(jitted_fn, *args):
 
 
 def _sync(out):
-    """Drain the device queue with one tiny host fetch.
+    """Drain the device queue with one tiny host fetch (the library's
+    canonical recipe — one copy of the load-bearing tunneled-TPU timing
+    logic, not a fork of it)."""
+    from runia_core_tpu.utils.profiling import sync
 
-    ``block_until_ready`` on tunneled arrays returns at ENQUEUE (verified
-    2026-08-18: 20 identical 5.6 ms matmuls "block" in 0.8 ms) — only a
-    host fetch waits for the FIFO execution queue, and a fetch of any one
-    element suffices (~4 bytes over the tunnel; the slice runs on device).
-    """
-    import jax
-
-    leaves = [l for l in jax.tree_util.tree_leaves(out) if hasattr(l, "ravel")]
-    if leaves:
-        jax.device_get(leaves[0].ravel()[:1])
-    else:
-        jax.block_until_ready(out)
+    sync(out)
 
 
 def _timed_rate(fn, per_call, iters, windows=3):
-    """Median steady-state rate (per_call units / s), marginal-window method.
+    """Median steady-state rate (per_call units / s) via the library's
+    marginal-window benchmark (fixed costs — RTT, drain latency, fetch —
+    cancel between the paired windows; the median over ``windows`` pairs
+    rides out tunnel jitter). Two warmup rounds so autotuning settles."""
+    from runia_core_tpu.utils.profiling import benchmark
 
-    Times an ``iters`` window and a ``2*iters`` window, each drained by one
-    tiny fetch, and uses the difference — fixed costs (RTT, drain latency,
-    fetch) cancel, leaving pure per-call device time. Repeated ``windows``
-    times; median marginal wins.
-    """
-    out = None
-    for _ in range(2):  # warmup / compile (two rounds so autotuning settles)
-        out = fn()
-    _sync(out)
-
-    def window(n):
-        t0 = time.perf_counter()
-        o = None
-        for _ in range(n):
-            o = fn()
-        _sync(o)
-        return time.perf_counter() - t0
-
-    rates = []
-    for _ in range(windows):
-        t1 = window(iters)
-        t2 = window(2 * iters)
-        rates.append(per_call * iters / max(t2 - t1, 1e-9))
-    return float(np.median(rates))
+    _, sec = benchmark(fn, iters=iters, warmup=2, windows=windows)
+    return float(per_call / sec)
 
 
 def build_larex(img, batch, resnet50=False, int8=False):

@@ -1041,18 +1041,12 @@ class ContinuousBatchingEngine:
             )
         self._slot_req[slot] = None
 
-    def submit(self, prompt_tokens: Sequence[int],
-               max_new_tokens: Optional[int] = None) -> int:
-        """Enqueue one prompt; returns its request id. ``max_new_tokens``
-        overrides the engine default for THIS request (real traffic has
-        per-request budgets; the slot frees as soon as its own budget or
-        EOS hits, not the longest request's).
-
-        Validation happens HERE, per request — a bad request must fail
-        fast at enqueue time, not raise mid-drain and poison every other
-        in-flight request's results.
-        """
-        prompt = list(prompt_tokens)
+    def _validate_request(
+        self, prompt: List[int], max_new_tokens: Optional[int]
+    ) -> int:
+        """Check one request against the engine's capacity; returns its
+        resolved ``max_new`` budget. Raises without mutating any state, so
+        batch submitters can validate everything before enqueuing anything."""
         p = len(prompt)
         max_new = int(
             self.max_new_tokens if max_new_tokens is None else max_new_tokens
@@ -1073,6 +1067,21 @@ class ContinuousBatchingEngine:
                     f"prompt of {p} tokens (bucketed to {p_pad}) + "
                     f"{max_new} new exceeds max_ctx={self.max_ctx}"
                 )
+        return max_new
+
+    def submit(self, prompt_tokens: Sequence[int],
+               max_new_tokens: Optional[int] = None) -> int:
+        """Enqueue one prompt; returns its request id. ``max_new_tokens``
+        overrides the engine default for THIS request (real traffic has
+        per-request budgets; the slot frees as soon as its own budget or
+        EOS hits, not the longest request's).
+
+        Validation happens HERE, per request — a bad request must fail
+        fast at enqueue time, not raise mid-drain and poison every other
+        in-flight request's results.
+        """
+        prompt = list(prompt_tokens)
+        max_new = self._validate_request(prompt, max_new_tokens)
         rid = self._next_id
         self._next_id += 1
         self._queue.append({
@@ -1189,10 +1198,18 @@ class ContinuousBatchingEngine:
 
     def _process_harvest(self, packed, atts_dev, owners, spec):
         """Fetch + unpack one chunk's harvest, advance the host mirrors,
-        append/yield emissions, and finish completed requests."""
+        append/yield emissions, and finish completed requests.
+
+        Emission events are collected first and yielded at the end so the
+        ``t_sched_s`` window times ONLY this engine's host bookkeeping —
+        a consumer pausing mid-iteration of :meth:`stream` must not bill
+        its own time to the scheduler."""
         t1 = time.perf_counter()
         packed_np = np.asarray(packed)
+        atts_np = np.asarray(atts_dev) if self.collect_rauq else None
         self._stats["t_fetch_s"] += time.perf_counter() - t1
+        t_sched = time.perf_counter()
+        events = []
         if spec:
             rounds = max(1, self.chunk_tokens // (self.gamma + 1))
             toks, lps, ents, emitted, active_now, acc_pair = _unpack_harvest(
@@ -1207,7 +1224,7 @@ class ContinuousBatchingEngine:
             flat = lambda a: a.swapaxes(1, 2).reshape(-1, a.shape[1])
             toks, lps, ents, emitted = map(flat, (toks, lps, ents, emitted))
             if self.collect_rauq:
-                a = np.asarray(atts_dev)  # (R, L, S, H, gamma+1)
+                a = atts_np  # (R, L, S, H, gamma+1)
                 atts = np.transpose(a, (0, 4, 1, 2, 3)).reshape(
                     -1, *a.shape[1:4]
                 )  # (R*(gamma+1), L, S, H)
@@ -1218,7 +1235,7 @@ class ContinuousBatchingEngine:
                 packed_np,
                 (self.chunk_tokens, self.num_slots), self.num_slots,
             )
-            atts = np.asarray(atts_dev) if self.collect_rauq else None
+            atts = atts_np
         # Advance the host mirrors exactly as the device did: each slot's
         # clock moved by its emission count (zero for non-owned slots);
         # active is shipped back in the harvest (EOS/budget stops happen
@@ -1250,13 +1267,15 @@ class ContinuousBatchingEngine:
                 visible = min(visible, req["tokens"].index(self.eos_id))
             new = req["tokens"][before:visible]
             if new:
-                yield req["id"], new
+                events.append((req["id"], new))
             done = (not active_now[slot]) or (
                 len(req["tokens"]) >= req["max_new"]
             )
             if done:
                 self.active[slot] = False
                 self._finish_slot(slot)
+        self._stats["t_sched_s"] += time.perf_counter() - t_sched
+        yield from events
 
     def stats(self) -> dict:
         """Serving counters (host-side, zero device cost): requests
@@ -1284,7 +1303,14 @@ class ContinuousBatchingEngine:
     def generate_all(
         self, prompts: Sequence[Sequence[int]]
     ) -> List[Dict[str, Any]]:
-        """Submit every prompt, drain the engine, return ordered results."""
+        """Submit every prompt, drain the engine, return ordered results.
+
+        The whole batch is validated BEFORE anything is enqueued: a bad
+        prompt mid-list must not leave its predecessors queued in a
+        persistent engine, where the next drain would silently decode them
+        as ghost work."""
+        for p in prompts:
+            self._validate_request(list(p), None)
         ids = [self.submit(p) for p in prompts]
         self.run_until_drained()
         return [self.result(i) for i in ids]

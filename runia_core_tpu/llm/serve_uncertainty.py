@@ -156,6 +156,15 @@ class UncertaintyServer:
     Capacity is fixed at construction: ``max_prompt_len`` (or an explicit
     ``engine_kwargs["max_ctx"]``) sizes the KV caches; an over-long prompt
     in a later batch fails fast at submit-time validation.
+
+    Compile-once caveat for ``fused=True``: the fused drain jits one
+    program per WORKLOAD SHAPE — (request count, padded prompt chunks,
+    max budget) — and the sampled pass multiplies the request count by
+    ``num_samples``. Batches of steady size reuse one cached program;
+    varying batch sizes each pay a fresh 30-60 s tunneled compile. The
+    interactive mode (``fused=False``) is shape-stable by construction —
+    its chunk programs depend only on engine capacity — so prefer it when
+    batch sizes vary.
     """
 
     def __init__(

@@ -35,8 +35,9 @@ from jax.experimental.pallas import tpu as pltpu
 
 __all__ = ["quant_matmul", "quant_matmul_supported"]
 
-# One (K, block_n) int8 weight block + the resident x block must fit VMEM
-# alongside double-buffering of the weight stream (~2x the weight block).
+# The resident x block, the double-buffered int8 weight stream, and the
+# output block must together fit VMEM (~16 MB physical; budget leaves
+# headroom for scales, semaphores, and compiler scratch).
 _VMEM_BUDGET = 10 * 1024 * 1024
 
 # Keep the Pallas path for the small-row regime it was built for (decode /
@@ -53,19 +54,40 @@ def _kernel(x_ref, wq_ref, s_ref, o_ref):
     o_ref[:] = (acc * s_ref[:].astype(jnp.float32)).astype(o_ref.dtype)
 
 
-def _pick_block_n(n: int, k: int) -> int:
+def _padded_rows(rows: int, x_dtype) -> int:
+    sub = 16 if x_dtype == jnp.bfloat16 else 8
+    return ((rows + sub - 1) // sub) * sub
+
+
+def _pick_block_n(n: int, k: int, rows_p: int, x_bytes: int) -> int:
+    """Largest block_n whose FULL VMEM working set fits the budget: the
+    resident (rows_p, K) x block, two in-flight (K, block_n) int8 weight
+    blocks (double-buffered stream), and the (rows_p, block_n) f32
+    accumulator/output. Counting only the weight block (the original
+    formula) admitted shapes whose real footprint blew the ~16 MB VMEM and
+    failed at Mosaic compile time with no fallback."""
+    x_cost = rows_p * k * x_bytes
     for bn in (512, 256, 128):
-        if n % bn == 0 and k * bn <= _VMEM_BUDGET // 3:
+        if n % bn != 0:
+            continue
+        weight_stream = 2 * k * bn          # int8, double-buffered
+        out_block = rows_p * bn * 4          # f32 accumulator
+        if x_cost + weight_stream + out_block <= _VMEM_BUDGET:
             return bn
     return 0
 
 
 def quant_matmul_supported(rows: int, k: int, n: int) -> bool:
-    """True if (rows, K) @ (K, N) fits this kernel's shape contract."""
+    """True if (rows, K) @ (K, N) fits this kernel's shape contract.
+
+    dtype-agnostic, so the x block is costed at its worst case (f32 bytes,
+    bf16 sublane padding); any dtype the kernel accepts fits at least as
+    comfortably as this bound."""
+    rows_p = ((rows + 15) // 16) * 16
     return (
         rows <= _MAX_ROWS
         and k % 128 == 0
-        and _pick_block_n(n, k) != 0
+        and _pick_block_n(n, k, rows_p, 4) != 0
     )
 
 
@@ -83,13 +105,12 @@ def quant_matmul(x, wq, scale, *, interpret: bool = False):
         rows *= d
     n = wq.shape[1]
     assert wq.shape[0] == k and scale.shape == (n,), (x.shape, wq.shape, scale.shape)
-    block_n = _pick_block_n(n, k)
+    # Pad rows to the sublane tile so the MXU feed is aligned.
+    rows_p = _padded_rows(rows, x.dtype)
+    block_n = _pick_block_n(n, k, rows_p, x.dtype.itemsize)
     assert rows <= _MAX_ROWS and k % 128 == 0 and block_n, (rows, k, n)
 
     x2 = x.reshape(rows, k)
-    # Pad rows to the sublane tile so the MXU feed is aligned.
-    sub = 16 if x.dtype == jnp.bfloat16 else 8
-    rows_p = ((rows + sub - 1) // sub) * sub
     if rows_p != rows:
         x2 = jnp.pad(x2, ((0, rows_p - rows), (0, 0)))
 

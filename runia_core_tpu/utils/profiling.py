@@ -20,6 +20,7 @@ from runia_core_tpu.detectors.base import record_time
 __all__ = [
     "record_time",
     "benchmark",
+    "sync",
     "tpu_profile",
     "trace_annotation",
     "profile_taps",
@@ -57,7 +58,7 @@ def enable_compilation_cache(
     return path
 
 
-def _sync(result) -> None:
+def sync(result) -> None:
     """Force completion of every enqueued device call.
 
     ``jax.block_until_ready`` on a tunneled (remote-TPU) array returns at
@@ -66,12 +67,22 @@ def _sync(result) -> None:
     "block" in 0.8 ms total). A host fetch, by contrast, drains the
     device's FIFO execution queue — even a fetch of an unrelated tiny
     buffer — so we fetch one element of one result leaf (the slice runs on
-    device; only ~4 bytes cross the tunnel)."""
-    leaves = [l for l in jax.tree_util.tree_leaves(result) if hasattr(l, "ravel")]
+    device; only ~4 bytes cross the tunnel).
+
+    Only ``jax.Array`` leaves qualify: ``device_get`` on a host numpy
+    array returns instantly without touching the device, so a result tree
+    whose first leaf is numpy would silently skip the drain and reintroduce
+    the enqueue-time bug this function exists to fix."""
+    leaves = [
+        l for l in jax.tree_util.tree_leaves(result) if isinstance(l, jax.Array)
+    ]
     if not leaves:
         jax.block_until_ready(result)
         return
     jax.device_get(leaves[0].ravel()[:1])
+
+
+_sync = sync  # internal alias, kept for existing callers
 
 
 def benchmark(
@@ -79,23 +90,37 @@ def benchmark(
     *args,
     iters: int = 10,
     warmup: int = 1,
+    windows: int = 3,
     **kwargs,
 ):
     """Steady-state timing of a jitted callable.
 
     Runs ``warmup`` untimed calls (compilation), then times two enqueue
     windows of ``iters`` and ``2*iters`` calls, each drained by a single
-    tiny host fetch (see :func:`_sync`), and reports the MARGINAL cost
+    tiny host fetch (see :func:`sync`), and reports the MARGINAL cost
     ``(t2 - t1) / iters`` — the fixed costs (RTT, queue drain latency,
-    fetch) cancel, leaving per-call device execution time. Validated
-    against a known-FLOPs bf16 matmul chain (5.97 ms measured vs 5.58 ms
-    roofline on v5e over the axon tunnel).
+    fetch) cancel, leaving per-call device execution time. The window pair
+    is repeated ``windows`` times and the MEDIAN marginal wins.
+
+    ``iters`` auto-escalates (x4, bounded) until the extra window's total
+    device work is resolvable over the tunnel: if iters x per-call time is
+    below the fetch RTT, the extra calls finish while the drain fetch is
+    still in flight and the marginal measures ~0 REGARDLESS of repeats
+    (measured: 5x an 86 us matmul -> t2 <= t1 systematically; 80x -> the
+    true per-call time). Callers pass ``iters`` as a starting point, not a
+    contract. Validated against a known-FLOPs bf16 matmul chain (5.97 ms
+    measured vs 5.58 ms roofline on v5e over the axon tunnel).
 
     Returns:
         (last_result, seconds_per_call)
+
+    ``warmup`` is clamped to >= 1: the marginal-window method needs
+    compilation to happen OUTSIDE the timed windows — with warmup=0 the
+    first window would absorb the 30-60 s tunnel compile, t2 - t1 would go
+    negative, and the clamp would report ~0 s/call.
     """
     result = None
-    for _ in range(warmup):
+    for _ in range(max(warmup, 1)):
         result = fn(*args, **kwargs)
     _sync(result)
 
@@ -107,9 +132,23 @@ def benchmark(
         _sync(res)
         return time.perf_counter() - start
 
-    t1 = window(iters)
-    t2 = window(2 * iters)
-    return result, max(t2 - t1, 1e-9) / iters
+    # The marginal is trustworthy once the extra window represents more
+    # device time than tunnel RTT jitter (~ms scale); below that floor,
+    # escalate iters instead of returning a jitter sample.
+    _RESOLVABLE_S = 4e-3
+    iters = max(iters, 1)
+    for _ in range(6):  # bounded: worst case 1024x the requested iters
+        marginals = []
+        for _ in range(max(windows, 1)):
+            t1 = window(iters)
+            t2 = window(2 * iters)
+            marginals.append(max(t2 - t1, 1e-9) / iters)
+        marginals.sort()
+        med = marginals[len(marginals) // 2]
+        if med * iters >= _RESOLVABLE_S:
+            break
+        iters *= 4
+    return result, med
 
 
 @contextlib.contextmanager

@@ -692,6 +692,26 @@ class TestPerRequestBudget:
         assert st["tokens_emitted"] == 3 * MAX_NEW
         assert st["decode_chunks"] > 0 and st["prefill_chunks"] > 0
         assert st["prefix_hits"] == (1 if len(prompts[0]) > 8 else 0)
+        # the wall-time breakdown is actually measured, not declared
+        assert st["t_fetch_s"] > 0 and st["t_sched_s"] > 0
+
+    def test_generate_all_validates_before_enqueuing(
+        self, model_and_params, prompts
+    ):
+        """A bad prompt mid-batch must not leave its predecessors queued:
+        a persistent server's next drain would decode them as ghost work."""
+        model, params = model_and_params
+        eng = ContinuousBatchingEngine(
+            model, params, num_slots=2, max_ctx=32, max_new_tokens=MAX_NEW,
+            chunk_tokens=4, prefill_chunk=8,
+        )
+        too_long = list(range(1, 64))
+        with pytest.raises(ValueError, match="exceeds"):
+            eng.generate_all([prompts[0], too_long])
+        assert not eng._queue and eng.stats()["tokens_emitted"] == 0
+        # the engine stays fully usable afterwards
+        res = eng.generate_all([prompts[0]])
+        assert len(res[0]["tokens"]) == MAX_NEW
 
     def test_zero_budget_returns_empty(self, model_and_params, prompts):
         """max_new_tokens=0 means zero tokens — not the engine default

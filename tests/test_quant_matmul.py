@@ -59,6 +59,16 @@ class TestQuantMatmulParity:
         assert not quant_matmul_supported(16, 100, 512)  # ragged K
         assert not quant_matmul_supported(16, 2048, 100)  # ragged N
 
+    def test_vmem_bound_shapes_refused(self):
+        """The budget must count the RESIDENT x block, not just the weight
+        stream: max rows x a huge K make the x block alone exceed VMEM,
+        which used to pass the check and fail at Mosaic compile time."""
+        assert not quant_matmul_supported(256, 24576, 4096)
+        # same K with few rows fits (x block shrinks to ~1.5 MB)
+        assert quant_matmul_supported(8, 24576, 4096)
+        # same rows with a moderate K fits (x block ~2 MB)
+        assert quant_matmul_supported(256, 2048, 4096)
+
 
 class TestQDenseIntegration:
     def test_qdense_cpu_fallback_matches_manual(self, nprng):

@@ -91,6 +91,29 @@ class TestUtils:
         out, dt = benchmark(f, jnp.ones(128), iters=3)
         assert dt > 0 and out.shape == (128,)
 
+    def test_benchmark_warmup_zero_still_returns_result(self):
+        """warmup=0 is clamped to 1: without the clamp the result stayed
+        None and the first timed window absorbed compilation, reporting
+        ~0 s/call."""
+        f = jax.jit(lambda x: x + 1)
+        out, dt = benchmark(f, jnp.ones(16), iters=2, warmup=0)
+        assert out is not None and out.shape == (16,) and dt > 0
+
+    def test_sync_skips_numpy_leaves(self):
+        """sync must drain via a jax.Array leaf: device_get on a host numpy
+        array is a no-op, so a numpy-first result tree used to skip the
+        device-queue drain entirely (enqueue-time timings)."""
+        import numpy as np
+
+        from runia_core_tpu.utils.profiling import sync
+
+        dev = jax.jit(lambda x: x * 2)(jnp.ones(8))
+        # numpy leaf sorts first in the tree; the jax leaf must be chosen
+        sync((np.ones(4), dev))
+        # all-numpy and empty trees fall back without error
+        sync(np.ones(4))
+        sync(None)
+
     def test_trace_annotation_context(self):
         with trace_annotation("test-region"):
             _ = jnp.ones(8) + 1
