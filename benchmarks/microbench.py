@@ -22,16 +22,13 @@ import jax.numpy as jnp
 
 
 def _rate(fn, *args, iters=20, warmup=2):
-    """Pipelined steady-state seconds per call."""
-    out = None
-    for _ in range(warmup):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / iters
+    """Pipelined steady-state seconds per call via the library's
+    marginal-window benchmark — block_until_ready returns at ENQUEUE on
+    tunneled devices, so a block-timed loop here would measure dispatch."""
+    from runia_core_tpu.utils.profiling import benchmark
+
+    _, sec = benchmark(fn, *args, iters=iters, warmup=warmup)
+    return sec
 
 
 def bench_entropy():
