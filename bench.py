@@ -591,10 +591,8 @@ def measure_llm_uncertainty_serving():
     at a time (reference llm_uncertainty/scores.py:347-524)."""
     import jax.numpy as jnp
 
-    from runia_core_tpu.llm import serve_uncertainties
-    from runia_core_tpu.models import LlamaLM
-
     from runia_core_tpu.llm import UncertaintyServer
+    from runia_core_tpu.models import LlamaLM
 
     st = _get_prod_llama()
     model = LlamaLM(**_PROD_CFG, dtype=jnp.bfloat16)  # engine: no flash

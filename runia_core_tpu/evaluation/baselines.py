@@ -10,7 +10,7 @@ MSP (baselines.py:395-425), and the per-baseline cfg hyperparameter keys.
 
 from __future__ import annotations
 
-from typing import Dict, List, Tuple, Union
+from typing import Dict, List, Optional, Tuple, Union
 
 import numpy as np
 
@@ -232,49 +232,48 @@ def get_ddu_score_from_features(
                          ood_baselines_dict, "ddu")
 
 
+def _argmax_labels(logits) -> Optional[np.ndarray]:
+    """Argmax class labels from a logits array, or None if not computable.
+
+    21- and 11-wide logits are RCNN-style (VOC20/BDD10 + trailing background
+    column); the background column is dropped before the argmax so labels
+    index real classes (reference baselines.py:645-655). Empty lists (a
+    dataset with zero detections) yield an empty int label array.
+    """
+    if isinstance(logits, np.ndarray):
+        if logits.ndim == 2 and logits.shape[1] in (11, 21):
+            logits = logits[:, :-1]
+        return logits.argmax(axis=-1)
+    if isinstance(logits, list) and not logits:
+        return np.empty(0, dtype=int)
+    return None
+
+
 def get_labels_from_logits(
     id_data: Dict[str, np.ndarray], ood_data: Dict[str, np.ndarray], ood_names: List[str]
 ) -> Tuple[Dict[str, np.ndarray], Dict[str, np.ndarray]]:
-    """Argmax labels from logits, stripping the RCNN background class for
-    21/11-dim logits (reference baselines.py:614-683)."""
-    id_train_logits = id_data.pop("train logits", None) if "train logits" in id_data else None
-    id_valid_logits = id_data.pop("valid logits", None) if "valid logits" in id_data else None
-    if isinstance(id_train_logits, np.ndarray) or isinstance(id_valid_logits, np.ndarray):
-        if id_train_logits is not None:
-            if id_train_logits.shape[1] == 21 or id_train_logits.shape[1] == 11:
-                id_train_logits = id_train_logits[:, :-1]
-            id_train_labels = np.argmax(id_train_logits, axis=-1)
-        else:
-            id_train_labels = np.asarray([], dtype=int)
-        if id_valid_logits is not None:
-            if id_valid_logits.shape[1] == 21 or id_valid_logits.shape[1] == 11:
-                id_valid_logits = id_valid_logits[:, :-1]
-            id_valid_labels = np.argmax(id_valid_logits, axis=-1)
-        else:
-            id_valid_labels = np.asarray([], dtype=int)
-        id_data["train labels"] = id_train_labels
-        id_data["valid labels"] = id_valid_labels
-    elif (
-        isinstance(id_train_logits, list)
-        and len(id_train_logits) == 0
-        and isinstance(id_valid_logits, list)
-        and len(id_valid_logits) == 0
-    ):
-        id_data["train labels"] = np.asarray([], dtype=int)
-        id_data["valid labels"] = np.asarray([], dtype=int)
-    else:
-        raise NotImplementedError
+    """Replace "... logits" entries with "... labels" argmax predictions.
+
+    Consumes (pops) the logits arrays; missing splits get empty label arrays
+    as long as at least one in-distribution split carried logits.
+    """
+    train_labels = _argmax_labels(id_data.pop("train logits", None))
+    valid_labels = _argmax_labels(id_data.pop("valid logits", None))
+    if train_labels is None and valid_labels is None:
+        raise NotImplementedError(
+            "in-distribution logits must be numpy arrays or empty lists"
+        )
+    empty = np.empty(0, dtype=int)
+    id_data["train labels"] = train_labels if train_labels is not None else empty
+    id_data["valid labels"] = valid_labels if valid_labels is not None else empty
 
     for ood_name in ood_names:
-        ood_logits = ood_data.pop(f"{ood_name} logits", None)
-        if isinstance(ood_logits, np.ndarray):
-            if ood_logits.shape[1] == 21 or ood_logits.shape[1] == 11:
-                ood_logits = ood_logits[:, :-1]
-            ood_data[f"{ood_name} labels"] = np.argmax(ood_logits, axis=-1)
-        elif isinstance(ood_logits, list) and len(ood_logits) == 0:
-            ood_data[f"{ood_name} labels"] = np.asarray([], dtype=int)
-        else:
-            raise NotImplementedError
+        labels = _argmax_labels(ood_data.pop(f"{ood_name} logits", None))
+        if labels is None:
+            raise NotImplementedError(
+                f"OoD logits for {ood_name!r} must be a numpy array or an empty list"
+            )
+        ood_data[f"{ood_name} labels"] = labels
     return id_data, ood_data
 
 

@@ -148,7 +148,11 @@ def yolo_get_logits(
         scores = x[:, 4]
         boxes = x[:, :4] + c
         keep = nms_indices(boxes, scores, iou_thres, max_det=max_det)
-        output[xi] = np.log(cls_rows[keep])
+        # Zero class probabilities intentionally map to -inf logits (the
+        # reference's torch.log does the same, silently); suppress only the
+        # divide-by-zero warning so real warnings stay visible.
+        with np.errstate(divide="ignore"):
+            output[xi] = np.log(cls_rows[keep])
     return np.concatenate(output, axis=0)
 
 

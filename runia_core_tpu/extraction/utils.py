@@ -1,7 +1,10 @@
 """Aggregation utilities for object-level extraction results.
 
-numpy equivalents of reference runia_core/feature_extraction/utils.py:127-244
-operating on the per-image dicts produced by BoxFeaturesExtractor.
+Flattens the per-image dicts produced by ``BoxFeaturesExtractor`` into the
+flat ``"{dataset} features|logits|latent_space_means"`` arrays the baseline
+harness consumes, and re-attaches flat per-detection baseline scores onto the
+per-image dicts. Behavioral parity with reference
+``runia_core/feature_extraction/utils.py:127-244``.
 """
 
 from __future__ import annotations
@@ -16,6 +19,15 @@ __all__ = [
 ]
 
 
+def _nonempty_blocks(per_image: Dict, field: str) -> List[np.ndarray]:
+    """The per-image arrays for one field, skipping images with no detections."""
+    return [
+        np.asarray(result[field])
+        for result in per_image.values()
+        if len(result[field]) > 0
+    ]
+
+
 def get_aggregated_data_dict(
     data_dict: Dict,
     dataset_name: str,
@@ -24,46 +36,40 @@ def get_aggregated_data_dict(
     non_empty_predictions_ids: Dict[str, List],
     probs_as_logits: bool,
 ) -> Tuple[Dict, Dict, Dict]:
-    """Flatten per-image extraction dicts into big arrays keyed
-    "{dataset} features|logits|latent_space_means" (reference utils.py:127-192).
+    """Flatten one dataset's per-image extraction dicts into big arrays.
 
-    ``probs_as_logits`` applies log(p + 1e-10) when the architecture emits
-    probabilities instead of logits.
+    ``probs_as_logits`` converts probability outputs to log space
+    (``log(p + 1e-10)``) so downstream logit-based scorers see logits.
+    Also records, per dataset, the image id owning each flattened row
+    (``non_empty_predictions_ids``) and any ``no_obj`` bookkeeping entry.
     """
-    if "no_obj" in data_dict[dataset_name].keys():
-        no_obj_dict[dataset_name] = data_dict[dataset_name].pop("no_obj")
+    per_image = data_dict[dataset_name]
+    if "no_obj" in per_image:
+        no_obj_dict[dataset_name] = per_image.pop("no_obj")
 
-    all_features = []
-    for im_results in data_dict[f"{dataset_name}"].values():
-        if len(im_results["features"]) > 0:
-            all_features.append(np.asarray(im_results["features"]))
-    if len(all_features) > 0:
-        aggregated_data_dict[f"{dataset_name} features"] = np.concatenate(
-            all_features, axis=0
-        )
+    features = _nonempty_blocks(per_image, "features")
+    if features:
+        aggregated_data_dict[f"{dataset_name} features"] = np.concatenate(features)
 
-    all_logits = []
-    for im_results in data_dict[f"{dataset_name}"].values():
-        if len(im_results["logits"]) > 0:
-            logits = np.asarray(im_results["logits"])
-            if probs_as_logits:
-                all_logits.append(np.log(logits + 1e-10))
-            else:
-                all_logits.append(logits)
-    if len(all_logits) > 0:
-        aggregated_data_dict[f"{dataset_name} logits"] = np.concatenate(all_logits, axis=0)
+    logits = _nonempty_blocks(per_image, "logits")
+    if logits:
+        stacked = np.concatenate(logits)
+        if probs_as_logits:
+            stacked = np.log(stacked + 1e-10)
+        aggregated_data_dict[f"{dataset_name} logits"] = stacked
 
-    all_latent_space_means = []
-    non_empty_predictions_ids[dataset_name] = []
-    for im_id, im_results in data_dict[f"{dataset_name}"].items():
-        if len(im_results["latent_space_means"]) > 0:
-            all_latent_space_means.append(np.asarray(im_results["latent_space_means"]))
-            non_empty_predictions_ids[dataset_name].extend(
-                [im_id] * len(im_results["latent_space_means"])
-            )
-    aggregated_data_dict[f"{dataset_name} latent_space_means"] = np.concatenate(
-        all_latent_space_means, axis=0
-    )
+    # Latent means carry row ownership: one im_id per flattened detection row.
+    owners: List = []
+    means: List[np.ndarray] = []
+    for im_id, result in per_image.items():
+        n_rows = len(result["latent_space_means"])
+        if n_rows == 0:
+            continue
+        means.append(np.asarray(result["latent_space_means"]))
+        owners.extend([im_id] * n_rows)
+    non_empty_predictions_ids[dataset_name] = owners
+    aggregated_data_dict[f"{dataset_name} latent_space_means"] = np.concatenate(means)
+
     return aggregated_data_dict, no_obj_dict, non_empty_predictions_ids
 
 
@@ -75,18 +81,16 @@ def associate_precalculated_baselines_with_raw_predictions(
     non_empty_ids: List[str],
     is_ood: bool,
 ) -> Dict[str, Dict]:
-    """Attach flat per-detection baseline scores back onto the per-image dicts
-    (reference utils.py:195-244)."""
-    for idx, im_id in enumerate(non_empty_ids):
-        for baseline_name in baselines_names:
-            if baseline_name not in data_dict[im_id].keys():
-                data_dict[im_id][baseline_name] = []
-            if is_ood:
-                data_dict[im_id][baseline_name].append(
-                    ood_baselines_dict[f"{dataset_name} {baseline_name}"][idx]
-                )
-            else:
-                data_dict[im_id][baseline_name].append(
-                    ood_baselines_dict[f"{baseline_name}"][idx]
-                )
+    """Scatter flat per-detection baseline scores back onto per-image dicts.
+
+    ``non_empty_ids[i]`` names the image that owns flattened row ``i`` (the
+    ownership list produced by :func:`get_aggregated_data_dict`); each image's
+    dict grows one list per baseline, in row order. OoD score arrays are keyed
+    ``"{dataset} {baseline}"``, in-distribution ones just ``"{baseline}"``.
+    """
+    key_prefix = f"{dataset_name} " if is_ood else ""
+    for baseline_name in baselines_names:
+        flat_scores = ood_baselines_dict[f"{key_prefix}{baseline_name}"]
+        for row, im_id in enumerate(non_empty_ids):
+            data_dict[im_id].setdefault(baseline_name, []).append(flat_scores[row])
     return data_dict

@@ -1,53 +1,65 @@
-"""Optional-dependency import helper (reference runia_core/import_helper_functions.py)."""
+"""Optional-dependency probing.
+
+Behavioral parity with reference ``runia_core/import_helper_functions.py:5-73``
+(raise/warn/ignore policy, module-or-None return), implemented as a
+``find_spec`` existence check followed by a single import pass.
+"""
 
 from __future__ import annotations
 
 import importlib
+import importlib.util
 import types
-from typing import Dict, List, Optional, Tuple, Union
+import warnings
+from typing import Optional, Tuple, Union
 
 __all__ = ["module_exists"]
 
+# Modules we already warned about (warn-once semantics unless warn_every_time).
+_ALREADY_WARNED: set = set()
+
+
+def _is_importable(name: str) -> bool:
+    try:
+        return importlib.util.find_spec(name) is not None
+    except (ImportError, AttributeError, ValueError):
+        # find_spec raises for dotted names whose parent package is missing.
+        return False
+
 
 def module_exists(
-    *names: Union[List[str], str],
+    *names: str,
     error: str = "ignore",
     warn_every_time: bool = False,
-    __INSTALLED_OPTIONAL_MODULES: Dict[str, bool] = {},
-) -> Optional[Union[Tuple[types.ModuleType, ...], types.ModuleType]]:
-    """Try to import optional dependencies with a raise/warn/ignore policy.
+) -> Optional[Union[types.ModuleType, Tuple[types.ModuleType, ...]]]:
+    """Probe optional dependencies and import them if all are present.
 
-    Same contract as the reference (import_helper_functions.py:5-73): returns
-    the module (or tuple of modules) if all are importable, else None (or
-    raises / warns once per module, per the ``error`` policy).
+    Returns the imported module (a tuple when several names are given), or
+    ``None`` when any is missing. The ``error`` policy controls what happens
+    for missing modules: ``"raise"`` raises ImportError, ``"warn"`` emits one
+    warning per module (once per process unless ``warn_every_time``), and
+    ``"ignore"`` stays silent.
     """
-    assert error in {"raise", "warn", "ignore"}
-    name_list: List[str] = list(names)
-    modules = []
-    for name in name_list:
-        try:
-            modules.append(importlib.import_module(name))
-            __INSTALLED_OPTIONAL_MODULES[name] = True
-        except ImportError:
-            modules.append(None)
+    if error not in ("raise", "warn", "ignore"):
+        raise ValueError(f"error policy must be 'raise', 'warn' or 'ignore', got {error!r}")
 
-    def error_msg(missing):
-        if not isinstance(missing, (list, tuple)):
-            missing = [missing]
-        missing_str = " ".join(f'"{name}"' for name in missing)
-        dep_str = "dependency" if len(missing) == 1 else "dependencies"
-        return f"Missing optional {dep_str} {missing_str}. Use pip or conda to install."
-
-    missing_modules = [name for name, module in zip(name_list, modules) if module is None]
-    if missing_modules:
+    missing = [n for n in names if not _is_importable(n)]
+    if missing:
+        joined = ", ".join(repr(n) for n in missing)
+        plural = "modules" if len(missing) > 1 else "module"
+        message = f"Optional {plural} {joined} not installed; install to enable this feature."
         if error == "raise":
-            raise ImportError(error_msg(missing_modules))
+            raise ImportError(message)
         if error == "warn":
-            for name in missing_modules:
-                if warn_every_time or name not in __INSTALLED_OPTIONAL_MODULES:
-                    print(f"Warning: {error_msg(name)}")
-                    __INSTALLED_OPTIONAL_MODULES[name] = False
+            for name in missing:
+                if warn_every_time or name not in _ALREADY_WARNED:
+                    warnings.warn(
+                        f"Optional module {name!r} not installed; "
+                        "install to enable this feature.",
+                        stacklevel=2,
+                    )
+                    _ALREADY_WARNED.add(name)
         return None
-    if len(modules) == 1:
-        return modules[0]
-    return tuple(modules)
+
+    modules = tuple(importlib.import_module(n) for n in names)
+    return modules[0] if len(modules) == 1 else modules

@@ -1719,6 +1719,11 @@ class ContinuousBatchingEngine:
                 accepted=acc, proposed=prop,
                 acceptance=round(acc / prop, 4) if prop else 0.0,
             )
+            # Keep stats() symmetric with the interactive drain: fused
+            # draft counters fold into the same accumulators so the derived
+            # acceptance rate covers ALL speculative traffic.
+            self._stats["accepted"] += acc
+            self._stats["proposed"] += prop
         out_t = np.asarray(out_t)
         out_l = np.asarray(out_l)
         out_e = np.asarray(out_e)

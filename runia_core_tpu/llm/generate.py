@@ -21,6 +21,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+import math
 import warnings
 
 from runia_core_tpu.models.transformer import CausalLM, init_cache
@@ -756,8 +757,30 @@ def _speculative_generation(spec, tokenizer, prompt, gen_config, num_samples,
 
     Note: as on all JAX backends, ``gen_config`` is ignored here — sampling
     settings (temperature/do_sample) come from the SpeculativeGenerator's
-    construction, not from a caller-supplied HF GenerationConfig."""
+    construction, not from a caller-supplied HF GenerationConfig. A
+    gen_config whose knobs CONFLICT with the generator's settings triggers
+    a warning so the silent override is visible."""
     validate_generation_request(spec, needs_sampling, needs_hiddens)
+    requested = _sampling_kwargs(gen_config)
+    if needs_sampling and requested:
+        conflicts = []
+        if "temperature" in requested and not math.isclose(
+            requested["temperature"], spec.temperature, rel_tol=1e-6
+        ):
+            conflicts.append(
+                f"temperature={requested['temperature']} "
+                f"(generator uses {spec.temperature})"
+            )
+        for k in ("top_k", "top_p"):
+            if k in requested:
+                conflicts.append(f"{k}={requested[k]} (unsupported on the "
+                                 "speculative backend)")
+        if conflicts:
+            warnings.warn(
+                "gen_config is ignored on the speculative backend; "
+                "conflicting settings: " + ", ".join(conflicts),
+                stacklevel=3,
+            )
     det_gen = getattr(spec, "_uncertainty_det_gen", None)
     if det_gen is None:
         det_gen = JaxGenerator(

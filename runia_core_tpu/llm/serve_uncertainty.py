@@ -254,6 +254,9 @@ class UncertaintyServer:
                     samp[i] = res[
                         i * self.num_samples: (i + 1) * self.num_samples
                     ]
+                # generate_all_fused never touches _results today, but keep
+                # every pass on the same clear lifecycle (cheap no-op).
+                self.samp_engine.clear_results()
             else:
                 # Interleave submissions so each prompt's duplicates land
                 # near each other: the first admission prefills, the rest

@@ -133,9 +133,14 @@ def benchmark(
         return time.perf_counter() - start
 
     # The marginal is trustworthy once the extra window represents more
-    # device time than tunnel RTT jitter (~ms scale); below that floor,
-    # escalate iters instead of returning a jitter sample.
-    _RESOLVABLE_S = 4e-3
+    # device time than sync-fetch jitter; below that floor, escalate iters
+    # instead of returning a jitter sample. The floor scales with the
+    # measured drain RTT so a fast local/CPU backend (RTT ~us) doesn't pay
+    # the tunnel's ~ms floor via a 1024x iters escalation.
+    rtt_start = time.perf_counter()
+    _sync(result)
+    fetch_rtt = time.perf_counter() - rtt_start
+    resolvable_s = min(max(20.0 * fetch_rtt, 2e-4), 4e-3)
     iters = max(iters, 1)
     for _ in range(6):  # bounded: worst case 1024x the requested iters
         marginals = []
@@ -145,9 +150,19 @@ def benchmark(
             marginals.append(max(t2 - t1, 1e-9) / iters)
         marginals.sort()
         med = marginals[len(marginals) // 2]
-        if med * iters >= _RESOLVABLE_S:
+        if med * iters >= resolvable_s:
             break
         iters *= 4
+    else:
+        import warnings
+
+        warnings.warn(
+            f"benchmark(): timed window never reached the resolvability "
+            f"floor ({med * iters:.2e} s < {resolvable_s:.2e} s after "
+            f"escalating to iters={iters}); the returned per-call time is "
+            f"jitter-dominated and likely overstated.",
+            stacklevel=2,
+        )
     return result, med
 
 
