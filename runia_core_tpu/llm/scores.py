@@ -92,8 +92,11 @@ def semantic_entropy(
     With an HF model the O(n^2) NLI pairs ride ONE padded batched forward
     (``_semantic_clustering_batched``) instead of the reference's sequential
     per-pair calls; the pairwise callable path stays sequential and is the
-    parity oracle."""
-    if tokenizer is not None:
+    parity oracle. A callable carrying ``is_batch_labels=True`` (e.g.
+    ``models.deberta.wrap_jax_nli`` — the TPU-native entailment path) is
+    treated as a batched ``(premises, hypotheses) -> labels`` function and
+    rides the batched clustering too."""
+    if tokenizer is not None or getattr(model, "is_batch_labels", False):
         clusters = _semantic_clustering_batched(model, tokenizer, texts)
     else:
         clusters = _semantic_clustering(model, tokenizer, texts)

@@ -25,6 +25,11 @@ from runia_core_tpu.models.quant_vision import (
     quantize_resnet,
     quantize_resnet_params,
 )
+from runia_core_tpu.models.deberta import (
+    DebertaV2Classifier,
+    convert_hf_deberta,
+    wrap_jax_nli,
+)
 from runia_core_tpu.models.torch_convert import convert_hf_vit, convert_torch_resnet
 from runia_core_tpu.models.neox import NeoXLM, convert_hf_gpt_neox
 from runia_core_tpu.models.transformer import CausalLM, convert_hf_gpt2
@@ -58,6 +63,9 @@ __all__ = [
     "quantize_llama_params",
     "convert_torch_resnet",
     "convert_hf_vit",
+    "DebertaV2Classifier",
+    "convert_hf_deberta",
+    "wrap_jax_nli",
     "YoloV8",
     "YoloV8JaxAdapter",
     "convert_ultralytics_yolov8",
