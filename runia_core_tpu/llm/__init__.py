@@ -7,7 +7,10 @@ from runia_core_tpu.llm.attention import (
     _get_recurent_attention,
     _reconstruct_attention_matrix,
 )
-from runia_core_tpu.llm.continuous import ContinuousBatchingEngine
+from runia_core_tpu.llm.continuous import (
+    ContinuousBatchingEngine,
+    speculative_breakeven,
+)
 from runia_core_tpu.llm.serve_uncertainty import (
     UncertaintyServer,
     serve_uncertainties,
@@ -53,6 +56,7 @@ __all__ = [
     "SpeculativeGenerator",
     "GenerationService",
     "ContinuousBatchingEngine",
+    "speculative_breakeven",
     "serve_uncertainties",
     "UncertaintyServer",
     "run_generation",

@@ -46,6 +46,7 @@ is the serving-throughput story for the TPU rebuild.
 from __future__ import annotations
 
 import time
+import warnings
 from collections import deque
 from functools import partial
 from typing import Any, Dict, List, Optional, Sequence
@@ -99,6 +100,43 @@ def _unpack_harvest(packed: np.ndarray, shape, num_slots, n_extra=0):
     extra = packed[4 * n + num_slots:4 * n + num_slots + n_extra]
     return (sec[0].astype(np.int64), sec[1], sec[2], sec[3] > 0.5, active,
             extra)
+
+
+def speculative_breakeven(cost_ratio: float, gamma: int,
+                          overhead: float = 0.0) -> float:
+    """Minimum per-token draft acceptance at which one speculative round
+    beats plain decode, under the bandwidth-bound round model the engine
+    actually executes: a round costs ``(gamma+1) * cost_ratio + 1 +
+    overhead`` target steps (gamma+1 draft forwards, one verify forward,
+    plus any measured per-round fixed cost in target-step units) and emits
+    ``E(a) = (1 - a^(gamma+1)) / (1 - a)`` tokens at per-token acceptance
+    ``a`` (accepted prefix + the always-emitted correction/bonus token).
+    Solved by bisection; returns 1.0 when no acceptance can pay for the
+    draft. The round-3 bench regression is the cautionary instance: the
+    full-depth int8 self-draft (cost_ratio ~0.55, gamma 4) has an ideal
+    floor of 0.856 and measured acceptance 0.866 — 1% of headroom, which
+    the real per-round overhead consumed, shipping 0.87x of plain. A
+    draft must clear this floor with MARGIN (or ``overhead`` must carry
+    the measured fixed cost) for speculation to pay.
+    """
+    c, g = float(cost_ratio), int(gamma)
+    cost = (g + 1) * c + 1.0 + float(overhead)
+
+    def emitted(a):
+        if a >= 1.0:
+            return float(g + 1)
+        return (1.0 - a ** (g + 1)) / (1.0 - a)
+
+    if emitted(1.0) <= cost:
+        return 1.0
+    lo, hi = 0.0, 1.0
+    for _ in range(60):
+        mid = 0.5 * (lo + hi)
+        if emitted(mid) < cost:
+            lo = mid
+        else:
+            hi = mid
+    return hi
 
 
 def _make_spec_round(model, draft, gamma, eos, do_sample, temperature,
@@ -306,6 +344,9 @@ class ContinuousBatchingEngine:
         gamma: int = 4,
         collect_rauq: bool = False,
         rauq_alpha: float = 0.2,
+        collect_hidden: Optional[int] = None,
+        spec_min_acceptance: Optional[float] = None,
+        admission: str = "fifo",
     ):
         if getattr(model, "use_flash", False):
             # Flash prefill needs the plain causal case (no pad mask); the
@@ -363,6 +404,46 @@ class ContinuousBatchingEngine:
         # signal is gathered from the verify forward's attention rows.
         self.collect_rauq = bool(collect_rauq)
         self.rauq_alpha = float(rauq_alpha)
+        # In-loop EigenScore signal: keep, per slot, the chosen-layer hidden
+        # vector of the forward that produced the request's FINAL token —
+        # the `hidden_states[-1][layer]` entry of the HF protocol (reference
+        # llm_uncertainty/utils.py:102-117) — streamed into two (S, d_model)
+        # device buffers updated inside the decode scan. Completion costs
+        # one (S, d) fetch; the decode loop itself ships nothing extra.
+        self.collect_hidden: Optional[int] = None
+        if collect_hidden is not None:
+            if draft_model is not None:
+                raise NotImplementedError(
+                    "collect_hidden is not supported on the speculative "
+                    "engine (block emission makes the final-token forward "
+                    "ambiguous); use the plain engine"
+                )
+            n_hiddens = int(model.num_layers) + 1
+            li = int(collect_hidden)
+            if li < 0:
+                li += n_hiddens
+            if not 0 <= li < n_hiddens:
+                # Same failure the HF protocol's hidden_states[layer] hits,
+                # but at construction time instead of mid-decode.
+                raise ValueError(
+                    f"collect_hidden={collect_hidden} out of range for a "
+                    f"model with {n_hiddens} hidden-state entries"
+                )
+            self.collect_hidden = li
+        self._hid_prev = None
+        self._hid_last = None
+        # Admission policy. "fifo" (default) preserves arrival order — the
+        # latency-fairness choice for online traffic. "lpt" admits the
+        # longest remaining budget first (longest-processing-time
+        # scheduling): for offline/batch drains it packs the long requests
+        # early so the short ones backfill the tail instead of one straggler
+        # slot decoding alone while the rest idle — fewer total decode
+        # chunks for the same useful tokens (decode chunks cost a full
+        # weight read whether 1 slot or all of them emit).
+        if admission not in ("fifo", "lpt"):
+            raise ValueError(f"admission must be 'fifo' or 'lpt', got "
+                             f"{admission!r}")
+        self.admission = admission
         self._copy_row_fn = None
         self.prefix_hits = 0  # observability: admissions served from cache
         # Serving observability (host counters, zero device cost): see
@@ -400,6 +481,20 @@ class ContinuousBatchingEngine:
         self.draft_model = draft_model
         self.draft_params = draft_params
         self.gamma = int(gamma)
+        # Measured break-even guard: speculation only pays when the
+        # acceptance rate clears the draft's cost ratio (see
+        # speculative_breakeven). When set, the engine checks its exact
+        # accepted/proposed counters at every drain start (after enough
+        # evidence) and permanently falls back to the plain decode path if
+        # the measured acceptance sits below this floor — shipping a
+        # speculative config can then never run slower than the plain
+        # engine for more than the first drain.
+        self.spec_min_acceptance = (
+            float(spec_min_acceptance) if spec_min_acceptance is not None
+            else None
+        )
+        self._spec_disabled = False
+        self._SPEC_EVIDENCE = 256  # proposals before the guard may fire
         self.d_cache = None
         self.samp_logp = None  # sampled-spec: per-slot log sampling dist
         self._seed_samp_fn = None
@@ -428,6 +523,10 @@ class ContinuousBatchingEngine:
         vocab = model.vocab_size
         self.cache = init_cache(model, self.num_slots, self.max_ctx)
         self.step_logits = jnp.zeros((self.num_slots, vocab), jnp.float32)
+        if self.collect_hidden is not None:
+            d = int(model.d_model)
+            self._hid_prev = jnp.zeros((self.num_slots, d), jnp.float32)
+            self._hid_last = jnp.zeros((self.num_slots, d), jnp.float32)
         # Per-slot scheduling state lives on the HOST (numpy) and rides to
         # the device as one packed (4*S,) int32 upload per decode chunk.
         # Keeping it device-resident would mean one tiny dispatched program
@@ -472,15 +571,16 @@ class ContinuousBatchingEngine:
         if (F, p_pad) in self._prefill_cache:
             return self._prefill_cache[(F, p_pad)]
         model, max_ctx = self.model, self.max_ctx
+        collect_hid = self.collect_hidden
         S = self.num_slots
 
         # Donate the big buffers: the cache row updates happen in place
         # instead of allocating a second full cache. The scheduling-state
         # edits ride this same program (the device copy stays authoritative
         # for the lookahead pipeline without extra dispatches).
-        @partial(jax.jit, donate_argnums=(1, 2, 3))
+        @partial(jax.jit, donate_argnums=(1, 2, 3, 10))
         def prefill(params, cache, step_logits, slot_state, slots, tokens,
-                    valid, new_pos, new_kv, new_limit):
+                    valid, new_pos, new_kv, new_limit, hid_prev):
             slot_state = slot_state.at[slots].set(new_pos)
             slot_state = slot_state.at[slots + S].set(new_kv)
             slot_state = slot_state.at[slots + 2 * S].set(new_limit)
@@ -493,10 +593,15 @@ class ContinuousBatchingEngine:
             positions = jnp.maximum(
                 jnp.cumsum(valid.astype(jnp.int32), axis=1) - 1, 0
             )
-            logits, _, _, local = model.apply(
+            logits, _, hiddens, local = model.apply(
                 params, tokens, local, jnp.int32(0),
                 token_valid=kv_valid, positions=positions,
             )
+            if collect_hid is not None:
+                # Left-padded prompts: the last REAL token sits at p_pad-1.
+                hid_prev = hid_prev.at[slots].set(
+                    hiddens[collect_hid, :, -1, :].astype(jnp.float32)
+                )
 
             for i in range(F):
                 def splice(g, l, i=i):
@@ -510,7 +615,7 @@ class ContinuousBatchingEngine:
                 step_logits = jax.lax.dynamic_update_slice(
                     step_logits, logits[i:i + 1, -1, :], (slots[i], 0)
                 )
-            return cache, step_logits, slot_state
+            return cache, step_logits, slot_state, hid_prev
 
         self._prefill_cache[(F, p_pad)] = prefill
         return prefill
@@ -529,7 +634,9 @@ class ContinuousBatchingEngine:
         """
         if self._prefill_chunk_fn is not None:
             return self._prefill_chunk_fn
-        model, draft = self.model, self.draft_model
+        model = self.model
+        draft = None if self._spec_disabled else self.draft_model
+        collect_hid = self.collect_hidden
         S = self.num_slots
 
         def slice_row(cache, slot):
@@ -546,10 +653,10 @@ class ContinuousBatchingEngine:
 
             return jax.tree_util.tree_map(splice, cache, row)
 
-        @partial(jax.jit, donate_argnums=(2, 3, 4, 5))
+        @partial(jax.jit, donate_argnums=(2, 3, 4, 5, 13))
         def chunk_prefill(params, dparams, cache, d_cache, step_logits,
                           slot_state, slot, tokens, write_pos, last_idx,
-                          is_last, parked_pos, limit):
+                          is_last, parked_pos, limit, hid_prev):
             # Scheduling-state edits ride this program (device copy stays
             # authoritative for the lookahead pipeline): park the clock at
             # the next write position, pin limit/kv_start, and activate the
@@ -561,8 +668,21 @@ class ContinuousBatchingEngine:
                 is_last.astype(jnp.int32)
             )
             row = slice_row(cache, slot)
-            logits, _, _, row = model.apply(params, tokens, row, write_pos)
+            logits, _, hiddens, row = model.apply(
+                params, tokens, row, write_pos
+            )
             cache = splice_row(cache, row, slot)
+            if collect_hid is not None:
+                # Seed the slot's "previous forward" hidden with the final
+                # chunk's last REAL token — the prefill forward is what
+                # produces the request's first generated token.
+                hvec = jax.lax.dynamic_slice_in_dim(
+                    hiddens[collect_hid, 0], last_idx, 1, axis=0
+                ).astype(jnp.float32)
+                seeded = jax.lax.dynamic_update_slice(
+                    hid_prev, hvec, (slot, 0)
+                )
+                hid_prev = jnp.where(is_last, seeded, hid_prev)
             if draft is not None:
                 # The draft tracks the same token stream on its own cache
                 # (its KV is what the speculative rounds attend).
@@ -576,7 +696,7 @@ class ContinuousBatchingEngine:
                 step_logits, sel, (slot, 0)
             )
             step_logits = jnp.where(is_last, updated, step_logits)
-            return cache, d_cache, step_logits, slot_state
+            return cache, d_cache, step_logits, slot_state, hid_prev
 
         self._prefill_chunk_fn = chunk_prefill
         return chunk_prefill
@@ -677,16 +797,18 @@ class ContinuousBatchingEngine:
         do_sample, temperature = self.do_sample, self.temperature
         top_k, top_p = self.top_k, self.top_p
         collect_rauq = self.collect_rauq
+        collect_hid = self.collect_hidden
         S = self.num_slots
 
-        @partial(jax.jit, donate_argnums=(1, 2, 3))
-        def chunk(params, cache, step_logits, slot_state, rng_key):
+        @partial(jax.jit, donate_argnums=(1, 2, 3, 5, 6))
+        def chunk(params, cache, step_logits, slot_state, rng_key,
+                  hid_prev, hid_last):
             slot_pos, kv_start, limit, active = (
                 slot_state[:S], slot_state[S:2 * S],
                 slot_state[2 * S:3 * S], slot_state[3 * S:] > 0,
             )
             def body(carry, _):
-                cache, step_logits, slot_pos, active, key = carry
+                cache, step_logits, slot_pos, active, key, hp, hl = carry
                 key, sub = jax.random.split(key)
                 log_soft = jax.nn.log_softmax(step_logits, axis=-1)
                 if do_sample:
@@ -720,10 +842,20 @@ class ContinuousBatchingEngine:
                     jnp.arange(max_ctx)[None, :] >= kv_start[:, None]
                 )
                 positions = (slot_pos - kv_start)[:, None]
-                new_logits, attn, _, cache = model.apply(
+                new_logits, attn, hiddens, cache = model.apply(
                     params, next_tok[:, None], cache, slot_pos,
                     token_valid=kv_valid, positions=positions,
                 )
+                if collect_hid is not None:
+                    # An emission's producing forward ran BEFORE this step
+                    # (prefill, or the previous step's apply) — so commit
+                    # hp into hl first, then absorb this forward's vector.
+                    hl = jnp.where(emitted[:, None], hp, hl)
+                    hp = jnp.where(
+                        emitted[:, None],
+                        hiddens[collect_hid, :, 0, :].astype(jnp.float32),
+                        hp,
+                    )
                 if collect_rauq:
                     # RAUQ's per-step signal: the consumed token's attention
                     # to the immediately-previous position (column -2 of the
@@ -746,12 +878,15 @@ class ContinuousBatchingEngine:
                     emitted[:, None], new_logits[:, 0, :], step_logits
                 )
                 return (
-                    (cache, step_logits, slot_pos, active, key),
+                    (cache, step_logits, slot_pos, active, key, hp, hl),
                     (next_tok, lp, ent, att_prev, emitted),
                 )
 
-            (cache, step_logits, slot_pos, active, rng_key), out = jax.lax.scan(
-                body, (cache, step_logits, slot_pos, active, rng_key),
+            (cache, step_logits, slot_pos, active, rng_key, hid_prev,
+             hid_last), out = jax.lax.scan(
+                body,
+                (cache, step_logits, slot_pos, active, rng_key, hid_prev,
+                 hid_last),
                 None, length=K,
             )
             toks, lps, ents, att_prev, emitted = out
@@ -762,7 +897,8 @@ class ContinuousBatchingEngine:
             new_state = jnp.concatenate(
                 [slot_pos, kv_start, limit, active.astype(jnp.int32)]
             )
-            return cache, step_logits, new_state, rng_key, packed, att_prev
+            return (cache, step_logits, new_state, rng_key, packed, att_prev,
+                    hid_prev, hid_last)
 
         self._chunk_fn = chunk
         return chunk
@@ -858,6 +994,11 @@ class ContinuousBatchingEngine:
             self._stats["t_prefill_s"] += time.perf_counter() - t0
 
     def _refill_inner(self) -> None:
+        if self.admission == "lpt" and len(self._queue) > 1:
+            # Stable sort: equal budgets keep arrival order.
+            self._queue = deque(
+                sorted(self._queue, key=lambda r: -r["max_new"])
+            )
         free = [
             s for s in range(self.num_slots) if self._slot_req[s] is None
         ]
@@ -947,12 +1088,12 @@ class ContinuousBatchingEngine:
             slots[i] = slot
             kvs[i] = p_pad - p
             lims[i] = min(p_pad + req["max_new"], self.max_ctx)
-        (self.cache, self.step_logits,
-         self._slot_state_dev) = self._prefill_many_fn(F, p_pad)(
+        (self.cache, self.step_logits, self._slot_state_dev,
+         self._hid_prev) = self._prefill_many_fn(F, p_pad)(
             self.params, self.cache, self.step_logits, self._slot_state_dev,
             jnp.asarray(slots), jnp.asarray(tokens), jnp.asarray(valid),
             jnp.full((F,), p_pad, jnp.int32), jnp.asarray(kvs),
-            jnp.asarray(lims),
+            jnp.asarray(lims), self._hid_prev,
         )
         for slot, req, p, _ in group:
             self.slot_pos[slot] = p_pad
@@ -978,7 +1119,7 @@ class ContinuousBatchingEngine:
             is_last = not req["pending"]
             limit = min(len(req["prompt"]) + req["max_new"], self.max_ctx)
             (self.cache, self.d_cache, self.step_logits,
-             self._slot_state_dev) = fn(
+             self._slot_state_dev, self._hid_prev) = fn(
                 self.params, self.draft_params,
                 self.cache, self.d_cache, self.step_logits,
                 self._slot_state_dev,
@@ -986,6 +1127,7 @@ class ContinuousBatchingEngine:
                 jnp.int32(req["write_pos"]),
                 jnp.int32(len(take) - 1), jnp.asarray(is_last),
                 jnp.int32(req["write_pos"] + len(take)), jnp.int32(limit),
+                self._hid_prev,
             )
             req["write_pos"] += len(take)
             self._stats["prefill_chunks"] += 1
@@ -1000,7 +1142,7 @@ class ContinuousBatchingEngine:
                         self.samp_logp, self.step_logits, jnp.int32(slot)
                     )
 
-    def _finish_slot(self, slot: int) -> None:
+    def _finish_slot(self, slot: int, hid_np=None) -> None:
         req = self._slot_req[slot]
         toks, lps, ents = req["tokens"], req["lps"], req["ents"]
         atts = req["atts"]
@@ -1025,6 +1167,18 @@ class ContinuousBatchingEngine:
             ),
         }
         self._stats["requests_finished"] += 1
+        if self.collect_hidden is not None:
+            # hidden_states[-1][layer] of the HF protocol: the chosen-layer
+            # hidden vector of the forward that produced the final kept
+            # token. Unlike HF generate (which reports the final decode
+            # STEP, including post-EOS garbage rows for short sequences in
+            # a batch), each request's vector here belongs to its OWN last
+            # token — identical when no EOS fires, strictly better when one
+            # does. None for zero-token results.
+            self._results[req["id"]]["hidden"] = (
+                hid_np[slot].copy()
+                if hid_np is not None and len(toks) else None
+            )
         if self.collect_rauq:
             from runia_core_tpu.llm.scores import rauq_uncertainty
 
@@ -1112,7 +1266,8 @@ class ContinuousBatchingEngine:
         that a slot freed during chunk k idles through chunk k+1 before its
         refill decodes — on a tunneled device the hidden round trips win.
         """
-        spec = self.draft_model is not None
+        self._maybe_disable_spec()
+        spec = self.draft_model is not None and not self._spec_disabled
         chunk = self._spec_chunk() if spec else self._chunk()
         # Fresh device copy of the scheduling state for this drain; from
         # here on the prefill/decode programs edit it in place and the
@@ -1145,6 +1300,29 @@ class ContinuousBatchingEngine:
                 yield from self._process_harvest(*inflight, spec=spec)
             inflight = nxt
             self._refill()
+
+    def _maybe_disable_spec(self) -> None:
+        """Drain-boundary break-even check (see ``spec_min_acceptance``).
+        Only at drain boundaries: sampled-mode exactness rides the per-slot
+        residual distribution between rounds, so the decode path must not
+        change mid-drain. Disabling recompiles one prefill program (the
+        draft-cache branch drops out); the draft cache stays allocated."""
+        if (
+            self.spec_min_acceptance is None or self._spec_disabled
+            or self.draft_model is None
+            or self._stats.get("proposed", 0) < self._SPEC_EVIDENCE
+        ):
+            return
+        acc = self._stats["accepted"] / self._stats["proposed"]
+        if acc < self.spec_min_acceptance:
+            warnings.warn(
+                f"speculative decoding disabled: measured acceptance "
+                f"{acc:.3f} < break-even {self.spec_min_acceptance:.3f} "
+                f"(gamma={self.gamma}); continuing on the plain decode path"
+            )
+            self._spec_disabled = True
+            self._stats["spec_disabled"] = 1
+            self._prefill_chunk_fn = None  # rebuild without the draft leg
 
     def _tail_drain(self) -> bool:
         """True when the in-flight chunk plausibly completes every live
@@ -1183,9 +1361,10 @@ class ContinuousBatchingEngine:
             )
         else:
             (self.cache, self.step_logits, self._slot_state_dev, self._key,
-             packed, atts_dev) = chunk(
+             packed, atts_dev, self._hid_prev, self._hid_last) = chunk(
                 self.params, self.cache, self.step_logits,
-                self._slot_state_dev, self._key,
+                self._slot_state_dev, self._key, self._hid_prev,
+                self._hid_last,
             )
         # Start the device->host copies NOW: they ride the device queue
         # right behind this chunk, so by the time the host blocks on
@@ -1210,6 +1389,7 @@ class ContinuousBatchingEngine:
         self._stats["t_fetch_s"] += time.perf_counter() - t1
         t_sched = time.perf_counter()
         events = []
+        hid_np = None
         if spec:
             rounds = max(1, self.chunk_tokens // (self.gamma + 1))
             toks, lps, ents, emitted, active_now, acc_pair = _unpack_harvest(
@@ -1273,7 +1453,13 @@ class ContinuousBatchingEngine:
             )
             if done:
                 self.active[slot] = False
-                self._finish_slot(slot)
+                if self.collect_hidden is not None and hid_np is None:
+                    # One (S, d) fetch covers every completion in this
+                    # harvest. Safe under the lookahead pipeline: a slot
+                    # that went inactive during chunk k is emission-gated
+                    # in chunk k+1, so its row is frozen until refill.
+                    hid_np = np.asarray(self._hid_last)
+                self._finish_slot(slot, hid_np)
         self._stats["t_sched_s"] += time.perf_counter() - t_sched
         yield from events
 
@@ -1658,6 +1844,11 @@ class ContinuousBatchingEngine:
             raise ValueError(
                 "generate_all_fused supports the plain decode path only "
                 "(no RAUQ collection)"
+            )
+        if self.collect_hidden is not None:
+            raise ValueError(
+                "generate_all_fused does not stream hidden states "
+                "(collect_hidden is an interactive-drain feature)"
             )
         if any(r is not None for r in self._slot_req) or self._queue:
             raise RuntimeError(

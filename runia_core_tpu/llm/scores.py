@@ -39,6 +39,7 @@ __all__ = [
     "RAUQ",
     "batched_rauq",
     "compute_uncertainties",
+    "eigen_score_from_embeddings",
 ]
 
 
@@ -58,9 +59,19 @@ def eigen_score(hidden_states, alpha: float = 1e-3, layer_index: int = 15) -> fl
     reference's hardcoded layer 15 crashes on models shallower than 15
     layers; 15 stays the default for reference parity.
     """
-    embedding_matrix = _np(
-        _construct_embedding_matrix(hidden_states, layer_index=layer_index)
-    ).astype(float)
+    return eigen_score_from_embeddings(
+        _construct_embedding_matrix(hidden_states, layer_index=layer_index),
+        alpha=alpha,
+    )
+
+
+def eigen_score_from_embeddings(embeddings, alpha: float = 1e-3) -> float:
+    """EigenScore from an already-built (num_samples, d) embedding matrix —
+    the covariance log-determinant core of :func:`eigen_score`, split out so
+    the serving engine (which streams each sample's final-token hidden
+    vector directly, see ``ContinuousBatchingEngine(collect_hidden=...)``)
+    can score without reconstructing the HF hidden_states protocol."""
+    embedding_matrix = _np(embeddings).astype(float)
     cov_matrix = np.cov(embedding_matrix.T)
     _, singular_values, _ = np.linalg.svd(
         cov_matrix + alpha * np.eye(cov_matrix.shape[0])

@@ -15,9 +15,11 @@ uncertainty surface for a BATCH of prompts through
   - scores are computed with the SAME ``llm.scores`` functions the
     single-prompt path dispatches to, so semantics are identical.
 
-Methods needing artifacts the engine does not stream stay on
-``compute_uncertainties``: ``eigen_score`` (hidden states) and RAUQ
-aggregations other than original/original (full attention history).
+``eigen_score`` is served through the engine's in-loop hidden-state
+signal (``collect_hidden``: each sample's final-token layer hidden vector,
+reference llm_uncertainty/utils.py:102-117) in interactive mode; fused
+mode and RAUQ aggregations other than original/original (full attention
+history) stay on ``compute_uncertainties``.
 
 ``fused=True`` drains both passes as single on-device programs
 (``generate_all_fused``) — the offline batch-scoring mode: zero per-chunk
@@ -33,6 +35,7 @@ import numpy as np
 
 from runia_core_tpu.llm.continuous import ContinuousBatchingEngine
 from runia_core_tpu.llm.scores import (
+    eigen_score_from_embeddings,
     normalized_entropy,
     perplexity,
     semantic_entropy,
@@ -46,6 +49,7 @@ _SEQUENCE_METHODS = {
     "RAUQ": False,
     "normalized_entropy": True,
     "semantic_entropy": True,
+    "eigen_score": True,
 }
 
 
@@ -56,14 +60,19 @@ def _validate(requests: Sequence[dict]) -> Tuple[bool, bool, bool]:
         if r["method_name"] not in _SEQUENCE_METHODS
     ]
     if unknown:
-        if "eigen_score" in unknown:
-            raise NotImplementedError(
-                "eigen_score needs per-layer hidden states, which the "
-                "engine does not stream; use compute_uncertainties"
-            )
         raise KeyError(
             f"unknown uncertainty method(s) {unknown}; valid: "
             f"{sorted(_SEQUENCE_METHODS)}"
+        )
+    eigen_layers = {
+        int(r.get("layer_index", 15)) for r in requests
+        if r["method_name"] == "eigen_score"
+    }
+    if len(eigen_layers) > 1:
+        raise NotImplementedError(
+            "engine-served eigen_score streams ONE hidden layer per run; "
+            f"got layer_index values {sorted(eigen_layers)} — use "
+            "compute_uncertainties for multi-layer scoring"
         )
     rauq_alphas = set()
     for r in requests:
@@ -99,7 +108,8 @@ def _validate(requests: Sequence[dict]) -> Tuple[bool, bool, bool]:
     needs_semantic = any(
         r["method_name"] == "semantic_entropy" for r in requests
     )
-    return needs_sampling, needs_rauq, needs_semantic
+    eigen_layer = eigen_layers.pop() if eigen_layers else None
+    return needs_sampling, needs_rauq, needs_semantic, eigen_layer
 
 
 # Engine defaults shared by _make_engine and the fused-mode prechecks (one
@@ -183,7 +193,7 @@ class UncertaintyServer:
         fused: bool = False,
         max_prompt_len: Optional[int] = None,
     ):
-        needs_sampling, needs_rauq, needs_semantic = _validate(
+        needs_sampling, needs_rauq, needs_semantic, eigen_layer = _validate(
             uncertainty_requests
         )
         if needs_semantic and entailment_model is None:
@@ -196,6 +206,12 @@ class UncertaintyServer:
                 "fused=True cannot serve RAUQ (in-loop attention is an "
                 "interactive-drain feature); drop the RAUQ request or "
                 "fused=True"
+            )
+        if fused and eigen_layer is not None:
+            raise ValueError(
+                "fused=True cannot serve eigen_score (in-loop hidden-state "
+                "collection is an interactive-drain feature); drop the "
+                "eigen_score request or fused=True"
             )
         if fused and (engine_kwargs or {}).get("draft_model") is not None:
             raise ValueError("fused=True supports the plain decode path only")
@@ -229,10 +245,13 @@ class UncertaintyServer:
         )
         self.samp_engine = None
         if needs_sampling:
+            mode: Dict[str, Any] = dict(do_sample=True,
+                                        temperature=temperature)
+            if eigen_layer is not None:
+                mode["collect_hidden"] = eigen_layer
             self.samp_engine = _make_engine(
                 model, params, max_prompt_len or 0, max_new_tokens, eos_id,
-                False, engine_kwargs, do_sample=True,
-                temperature=temperature,
+                False, engine_kwargs, **mode,
             )
 
     def serve(
@@ -299,6 +318,15 @@ class UncertaintyServer:
                     for j, r in enumerate(samp[i]):
                         lp[j, : lens[j]] = r["log_probs"]
                     out[name] = normalized_entropy(lp)
+                elif name == "eigen_score":
+                    embs = [
+                        r["hidden"] for r in samp[i]
+                        if r.get("hidden") is not None
+                    ]
+                    out[name] = (
+                        eigen_score_from_embeddings(np.stack(embs))
+                        if len(embs) >= 2 else float("nan")
+                    )
                 elif name == "semantic_entropy":
                     texts = [decode(r["tokens"]) for r in samp[i]]
                     ent, clusters = semantic_entropy(

@@ -170,10 +170,17 @@ class _LlamaBlock(nn.Module):
             )
             return jax.vmap(per_row)(buf, val, cache_index)
 
+        kv_scales = None
         if cache is not None and "k_scale" in cache:
-            # KV8 cache: insert int8 values + per-(B, pos, G) scales, then
-            # dequantize on read (the cast*scale fuses into the attention
-            # einsum — the cache is only ever touched at int8 width).
+            # KV8 cache: insert int8 values + per-(B, pos, G) scales. The
+            # scales are NOT applied to the cache tensors — that would
+            # materialize a full bf16 cache copy per step (measured 1.93 GB
+            # program bytes vs 0.78 restructured at the production decode
+            # geometry, benchmarks/exp_kv8_fusion.py). Instead the raw int8
+            # values feed the attention dots (int8->bf16 is exact) and the
+            # O(K) per-position scales are applied to the logits (k side)
+            # and the attention probabilities (v side) below — the same
+            # numbers, one cache-sized elementwise pass cheaper.
             def quant(x):
                 s = jnp.maximum(
                     jnp.max(jnp.abs(x), axis=-1), 1e-8
@@ -191,12 +198,9 @@ class _LlamaBlock(nn.Module):
                 "k_scale": cache_write(cache["k_scale"], k_s),
                 "v_scale": cache_write(cache["v_scale"], v_s),
             }
-            k_all = new_kv["k"].astype(self.dtype) * new_kv["k_scale"][
-                ..., None
-            ].astype(self.dtype)
-            v_all = new_kv["v"].astype(self.dtype) * new_kv["v_scale"][
-                ..., None
-            ].astype(self.dtype)
+            k_all = new_kv["k"].astype(self.dtype)
+            v_all = new_kv["v"].astype(self.dtype)
+            kv_scales = (new_kv["k_scale"], new_kv["v_scale"])
         elif cache is not None:
             k_cache = cache_write(cache["k"], k)
             v_cache = cache_write(cache["v"], v)
@@ -257,16 +261,22 @@ class _LlamaBlock(nn.Module):
             logits = jnp.einsum("bqgrd,bkgd->bgrqk", qg, k_all) / jnp.sqrt(
                 self.head_dim * 1.0
             )
+            if kv_scales is not None:
+                # (B, K, G) -> (B, G, 1, 1, K): per-key dequant scale on the
+                # O(K) logits instead of the O(K*D) cache.
+                logits = logits * kv_scales[0].transpose(0, 2, 1)[
+                    :, :, None, None, :
+                ]
             logits = logits.reshape(b, self.num_heads, t, k_all.shape[1])
             logits = jnp.where(mask, logits.astype(jnp.float32), -1e30)
             attn = jax.nn.softmax(logits, axis=-1)  # f32 regardless of dtype
             attn = jnp.where(mask, attn, 0.0)
-            ag = attn.astype(self.dtype).reshape(
-                b, self.num_kv_heads, rep, t, k_all.shape[1]
-            )
-            out = jnp.einsum("bgrqk,bkgd->bqgrd", ag, v_all).reshape(
-                b, t, self.num_heads * self.head_dim
-            )
+            ag = attn.reshape(b, self.num_kv_heads, rep, t, k_all.shape[1])
+            if kv_scales is not None:
+                ag = ag * kv_scales[1].transpose(0, 2, 1)[:, :, None, None, :]
+            out = jnp.einsum(
+                "bgrqk,bkgd->bqgrd", ag.astype(self.dtype), v_all
+            ).reshape(b, t, self.num_heads * self.head_dim)
         x = x + dense(self.d_model, "o")(out)
 
         h2 = nn.RMSNorm(epsilon=self.rms_eps, name="post_attn_norm")(

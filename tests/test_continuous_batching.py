@@ -1079,3 +1079,113 @@ class TestFusedDrain:
         assert s1["prefill_chunks"] > s0["prefill_chunks"]
         assert s1["decode_chunks"] > s0["decode_chunks"]
         assert s1["requests_finished"] - s0["requests_finished"] == 3
+
+
+class TestSpeculativeBreakeven:
+    """The measured break-even guard: a draft whose acceptance sits below
+    speculative_breakeven's floor must auto-fall-back to the plain path —
+    with token-identical greedy results before AND after the switch."""
+
+    def test_breakeven_model(self):
+        from runia_core_tpu.llm.continuous import speculative_breakeven
+
+        # Full-depth int8 self-draft (round-3 regression): the ideal floor
+        # is 0.856 — the measured 0.866 acceptance had ~1% headroom, which
+        # per-round overhead consumed. With the measured fixed cost in the
+        # model, no acceptance pays.
+        assert speculative_breakeven(0.55, 4) > 0.85
+        assert speculative_breakeven(0.55, 4, overhead=1.5) == 1.0
+        # Distillation-grade draft: the floor is where expected emitted
+        # tokens E(a) = (1-a^(g+1))/(1-a) equals the round cost.
+        for c, g in [(0.2, 4), (0.1, 6), (0.3, 2)]:
+            a = speculative_breakeven(c, g)
+            assert 0.0 < a < 1.0
+            cost = (g + 1) * c + 1.0
+            np.testing.assert_allclose(
+                (1 - a ** (g + 1)) / (1 - a), cost, rtol=1e-6
+            )
+        # Cheaper drafts break even at lower acceptance; overhead raises
+        # the floor.
+        assert speculative_breakeven(0.1, 4) < speculative_breakeven(0.3, 4)
+        assert (speculative_breakeven(0.2, 4, overhead=0.5)
+                > speculative_breakeven(0.2, 4))
+
+    def test_auto_disable_falls_back_token_identically(
+        self, model_and_params, prompts
+    ):
+        model, params = model_and_params
+        draft = LlamaLM(vocab_size=VOCAB, num_layers=1, num_heads=2,
+                        num_kv_heads=1, d_model=16, hidden_dim=32,
+                        max_len=128)
+        dparams = draft.init(jax.random.key(9), np.zeros((1, 8), np.int32))
+        eng = ContinuousBatchingEngine(
+            model, params, num_slots=2, max_ctx=64, max_new_tokens=MAX_NEW,
+            chunk_tokens=10, prefill_chunk=8,
+            draft_model=draft, draft_params=dparams, gamma=3,
+            spec_min_acceptance=1.0,  # uncorrelated draft: always below
+        )
+        eng._SPEC_EVIDENCE = 1
+        ref = reference_outputs(model, params, prompts, eos_id=None)
+        # Drain 1: speculative (no evidence yet at entry), gathers counters.
+        res_a = eng.generate_all(prompts)
+        assert not eng._spec_disabled
+        # Drain 2: guard fires at entry; runs on the plain chunk path.
+        with pytest.warns(UserWarning, match="break-even"):
+            res_b = eng.generate_all(prompts)
+        assert eng._spec_disabled
+        assert eng.stats()["spec_disabled"] == 1
+        for (ref_toks, _), ra, rb in zip(ref, res_a, res_b):
+            assert ra["tokens"] == ref_toks
+            assert rb["tokens"] == ref_toks
+
+    def test_healthy_draft_stays_enabled(self, model_and_params, prompts):
+        """A self-draft (acceptance 1.0) with any finite floor never
+        trips the guard."""
+        model, params = model_and_params
+        eng = ContinuousBatchingEngine(
+            model, params, num_slots=2, max_ctx=64, max_new_tokens=MAX_NEW,
+            chunk_tokens=10, prefill_chunk=8,
+            draft_model=model, draft_params=params, gamma=3,
+            spec_min_acceptance=0.9,
+        )
+        eng._SPEC_EVIDENCE = 1
+        eng.generate_all(prompts)
+        eng.generate_all(prompts)
+        assert not eng._spec_disabled
+        assert eng.stats()["acceptance"] == 1.0
+
+
+class TestLPTAdmission:
+    """Longest-budget-first admission: same per-request results as FIFO
+    (greedy decoding is order-independent per slot), fewer decode chunks
+    on a straggler-shaped workload."""
+
+    def _drain(self, model, params, prompts, budgets, admission):
+        eng = ContinuousBatchingEngine(
+            model, params, num_slots=2, max_ctx=64, max_new_tokens=16,
+            chunk_tokens=4, admission=admission,
+        )
+        rids = [eng.submit(p, b) for p, b in zip(prompts, budgets)]
+        eng.run_until_drained()
+        return eng, [eng.result(r) for r in rids]
+
+    def test_results_match_fifo_and_chunks_shrink(self, model_and_params):
+        model, params = model_and_params
+        rng = np.random.RandomState(11)
+        # Straggler shape: one long request submitted LAST — FIFO decodes
+        # it alone at the tail while the other slot idles.
+        prompts = [list(rng.randint(1, VOCAB, 6)) for _ in range(5)]
+        budgets = [2, 2, 2, 2, 16]
+        eng_f, res_f = self._drain(model, params, prompts, budgets, "fifo")
+        eng_l, res_l = self._drain(model, params, prompts, budgets, "lpt")
+        for a, b in zip(res_f, res_l):
+            assert a["tokens"] == b["tokens"]
+            np.testing.assert_allclose(a["log_probs"], b["log_probs"],
+                                       rtol=1e-5, atol=1e-6)
+        assert (eng_l.stats()["decode_chunks"]
+                < eng_f.stats()["decode_chunks"])
+
+    def test_bad_policy_rejected(self, model_and_params):
+        model, params = model_and_params
+        with pytest.raises(ValueError, match="admission"):
+            ContinuousBatchingEngine(model, params, admission="sjf")

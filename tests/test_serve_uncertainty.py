@@ -270,9 +270,23 @@ class TestServeUncertainties:
 
     def test_validation_fails_fast(self, model_and_params, prompts):
         model, params = model_and_params
-        with pytest.raises(NotImplementedError, match="eigen_score"):
+        # layer_index 15 on a 2-layer model: the engine rejects at
+        # construction (the HF protocol would IndexError mid-score).
+        with pytest.raises(ValueError, match="collect_hidden"):
             serve_uncertainties(model, params, None, prompts,
                                 [{"method_name": "eigen_score"}])
+        with pytest.raises(NotImplementedError, match="ONE hidden layer"):
+            serve_uncertainties(
+                model, params, None, prompts,
+                [{"method_name": "eigen_score", "layer_index": -1},
+                 {"method_name": "eigen_score", "layer_index": 1}],
+            )
+        with pytest.raises(ValueError, match="eigen_score"):
+            serve_uncertainties(
+                model, params, None, prompts,
+                [{"method_name": "eigen_score", "layer_index": -1}],
+                fused=True,
+            )
         with pytest.raises(NotImplementedError, match="aggregations"):
             serve_uncertainties(
                 model, params, None, prompts,
@@ -284,3 +298,94 @@ class TestServeUncertainties:
         with pytest.raises(ValueError, match="entailment"):
             serve_uncertainties(model, params, None, prompts,
                                 [{"method_name": "semantic_entropy"}])
+
+
+class TestEngineServedEigenScore:
+    """eigen_score through the engine's in-loop hidden-state signal."""
+
+    def test_streamed_hidden_is_the_final_token_forward(
+        self, model_and_params, prompts
+    ):
+        """Each result's ``hidden`` must equal the chosen-layer hidden of a
+        fresh full forward over prompt + tokens[:-1] at its last position —
+        the forward that produced the final token (HF hidden_states[-1])."""
+        model, params = model_and_params
+        from runia_core_tpu.llm.serve_uncertainty import _make_engine
+
+        layer = -1  # post-final-norm entry
+        eng = _make_engine(
+            model, params, max(len(p) for p in prompts), MAX_NEW, None,
+            False, ENGINE_KW, do_sample=True, temperature=0.8,
+            collect_hidden=layer,
+        )
+        rids = [eng.submit(p) for p in prompts]
+        eng.run_until_drained()
+        for p, rid in zip(prompts, rids):
+            res = eng.result(rid)
+            toks = list(res["tokens"])
+            assert res["hidden"].shape == (model.d_model,)
+            seq = np.asarray([list(p) + toks[:-1]], np.int32)
+            _, _, hiddens, _ = model.apply(params, seq)
+            want = np.asarray(hiddens[layer, 0, -1, :])
+            np.testing.assert_allclose(res["hidden"], want,
+                                       rtol=2e-4, atol=2e-5)
+
+    def test_classic_prefill_mode_streams_hidden_too(self, model_and_params):
+        model, params = model_and_params
+        from runia_core_tpu.llm.continuous import ContinuousBatchingEngine
+
+        eng = ContinuousBatchingEngine(
+            model, params, num_slots=2, max_ctx=64, max_new_tokens=4,
+            chunk_tokens=4, do_sample=True, temperature=0.8,
+            collect_hidden=1,
+        )
+        rng = np.random.RandomState(5)
+        p = list(rng.randint(1, VOCAB, 9))
+        rid = eng.submit(p)
+        eng.run_until_drained()
+        res = eng.result(rid)
+        toks = list(res["tokens"])
+        seq = np.asarray([p + toks[:-1]], np.int32)
+        _, _, hiddens, _ = model.apply(params, seq)
+        np.testing.assert_allclose(
+            res["hidden"], np.asarray(hiddens[1, 0, -1, :]),
+            rtol=2e-4, atol=2e-5,
+        )
+
+    def test_eigen_score_parity_with_compute_uncertainties(
+        self, model_and_params, prompts
+    ):
+        """Zero-temperature collapse: every sample is the greedy trace, so
+        the embedding rows are identical, the covariance vanishes, and BOTH
+        paths must score exactly mean(log(alpha)) = log(1e-3)."""
+        model, params = model_and_params
+        requests = [{"method_name": "eigen_score", "layer_index": -1}]
+        _, scores = serve_uncertainties(
+            model, params, None, prompts[:2], requests,
+            num_samples=3, max_new_tokens=MAX_NEW, temperature=1e-4,
+            engine_kwargs=ENGINE_KW,
+        )
+        gen = JaxGenerator(model, params, max_new_tokens=MAX_NEW)
+        for p, out in zip(prompts[:2], scores):
+            _, want = compute_uncertainties(
+                gen, None, p, requests, num_samples=3,
+                gen_config={"temperature": 1e-4},
+            )
+            np.testing.assert_allclose(out["eigen_score"],
+                                       want["eigen_score"], rtol=1e-6)
+            np.testing.assert_allclose(out["eigen_score"], np.log(1e-3),
+                                       rtol=1e-6)
+
+    def test_eigen_score_spreads_at_real_temperature(
+        self, model_and_params, prompts
+    ):
+        """Real sampling temperature: distinct samples must push the score
+        above the degenerate log(alpha) floor."""
+        model, params = model_and_params
+        _, scores = serve_uncertainties(
+            model, params, None, prompts[:1],
+            [{"method_name": "eigen_score", "layer_index": -1}],
+            num_samples=4, max_new_tokens=MAX_NEW, temperature=1.0,
+            engine_kwargs=ENGINE_KW,
+        )
+        assert scores[0]["eigen_score"] > np.log(1e-3) + 1e-3
