@@ -733,6 +733,11 @@ def measure_llm_spec_engine():
     return spec_tps, None, {
         "useful_tokens": useful,
         "speedup_vs_plain_engine": round(spec_tps / plain_tps, 4),
+        # The target is surgically modified for distillation-grade
+        # draft/target agreement (see _distilled_draft_pair); its token
+        # streams are NOT a real production model's. tok/s and speedup are
+        # real (identical HBM traffic); acceptance is real for THIS pair.
+        "synthetic_target": True,
         "prefix_hits": int(spec_eng.prefix_hits - hits0),
         # Cumulative over warmup+timed passes (a rate, so that's fine):
         # the engine's exact draft-acceptance counters from stats().

@@ -236,19 +236,25 @@ def save_scores_plots(
     import seaborn as sns
 
     assert post_processor_name in postprocessors_dict.keys()
-    df_scores_ind = pd.DataFrame(scores_ind, columns=[f"{post_processor_name} score"])
-    df_scores_ind.insert(0, "Dataset", "")
-    df_scores_ind.loc[:, "Dataset"] = ind_dataset_name
+    score_col = f"{post_processor_name} score"
+
+    def labeled(scores, dataset):
+        # Dataset column first so the hue legend lists it ahead of the
+        # score values in DataFrame reprs / debug dumps.
+        return pd.DataFrame({
+            "Dataset": dataset, score_col: np.ravel(scores),
+        })
+
+    ind_frame = labeled(scores_ind, ind_dataset_name)
     plots_dict = {}
     for ood_dataset_name in ood_datasets_list:
-        df_ood = pd.DataFrame(
-            ood_scores_dict[ood_dataset_name], columns=[f"{post_processor_name} score"]
+        both = pd.concat(
+            [ind_frame, labeled(ood_scores_dict[ood_dataset_name],
+                                ood_dataset_name)],
+            ignore_index=True,
         )
-        df_ood.insert(0, "Dataset", "")
-        df_ood.loc[:, "Dataset"] = ood_dataset_name
-        df_h_z_scores = pd.concat([df_scores_ind, df_ood]).reset_index(drop=True)
         plots_dict[f"{ood_dataset_name}_{post_processor_name}_scores"] = sns.displot(
-            df_h_z_scores, x=f"{post_processor_name} score", hue="Dataset", kind="hist", fill=True
+            both, x=score_col, hue="Dataset", kind="hist", fill=True
         )
     return plots_dict
 
@@ -260,21 +266,19 @@ def get_pred_scores_plots(
     import matplotlib.pyplot as plt
     import seaborn as sns
 
-    df_ind = pd.DataFrame(experiment["InD"], columns=[experiment["x_axis"]])
-    df_ind.insert(0, "Dataset", "")
-    df_ind.loc[:, "Dataset"] = ind_dataset_name
-    all_dfs = [df_ind]
-    for ood_dataset_name in ood_datasets_list:
-        df_ood = pd.DataFrame(experiment[ood_dataset_name], columns=[experiment["x_axis"]])
-        df_ood.insert(0, "Dataset", "")
-        df_ood.loc[:, "Dataset"] = ood_dataset_name
-        all_dfs.append(df_ood)
-    df_all = pd.concat(all_dfs).reset_index(drop=True)
+    x_axis = experiment["x_axis"]
+    frames = [
+        pd.DataFrame({"Dataset": name, x_axis: np.ravel(experiment[key])})
+        for key, name in [("InD", ind_dataset_name)]
+        + [(d, d) for d in ood_datasets_list]
+    ]
+    # displot draws its own hue legend; an extra plt.legend() call would
+    # only warn about missing labeled artists.
     ax = sns.displot(
-        df_all, x=experiment["x_axis"], hue="Dataset", kind="hist", fill=True
+        pd.concat(frames, ignore_index=True), x=x_axis, hue="Dataset",
+        kind="hist", fill=True,
     ).set(title=title)
     plt.tight_layout()
-    plt.legend(loc="best")
     return ax
 
 

@@ -801,6 +801,34 @@ def convert_osod_results_for_mlflow_logging(
     return results_for_mlflow
 
 
+def _osod_bar_figure(group_labels, series, title, figsize, legend_cols=1):
+    """Shared grouped-bar scaffold for the two OSOD comparison figures.
+
+    ``series`` is an ordered ``{legend_label: values}`` mapping with one
+    value per group. Groups sit at integer x positions; the bars of a group
+    are packed side by side starting at the group position, the tick label
+    centered under the pack. Percent values are printed above each bar.
+    """
+    import matplotlib.pyplot as plt
+
+    n_series = len(series)
+    bar_w = 1.0 / (n_series + 1)  # leave one bar-width gap between groups
+    base = np.arange(len(group_labels), dtype=float)
+    fig, ax = plt.subplots(layout="constrained", figsize=figsize)
+    ax.grid(axis="y", linestyle="--")
+    for pos, (label, values) in enumerate(series.items()):
+        bars = ax.bar(base + pos * bar_w, np.asarray(values, float),
+                      bar_w, label=label)
+        for rect, v in zip(bars, np.asarray(values, float)):
+            ax.annotate(f"{v:.2f}", fontsize=8, ha="center",
+                        xytext=(0, 3), textcoords="offset points",
+                        xy=(rect.get_x() + rect.get_width() / 2, v))
+    ax.set_xticks(base + bar_w * (n_series - 1) / 2, group_labels)
+    ax.set(ylabel="Percentage", ylim=(0, 100), title=title)
+    ax.legend(ncols=legend_cols)
+    return fig
+
+
 def plot_two_osod_datasets_metrics(
     osod_results_a,
     osod_results_b,
@@ -809,27 +837,24 @@ def plot_two_osod_datasets_metrics(
     metrics_to_plot: List[str],
     show_plot: bool,
 ):
-    """Grouped bar chart across metrics (reference :1530-1600)."""
+    """Grouped bar chart across metrics (reference :1530-1600): one bar per
+    (method, dataset) pair in every metric group."""
     import matplotlib.pyplot as plt
 
-    x = np.arange(len(metrics_to_plot))
-    width = 1 / (len(methods_names) * 2 + 1)
-    multiplier = 0
-    fig, ax = plt.subplots(layout="constrained", figsize=(4 * len(methods_names), 6))
-    for method in methods_names:
-        for table, name in ((osod_results_a, datasets_names[0]), (osod_results_b, datasets_names[1])):
-            offset = width * multiplier
-            rects = ax.bar(
-                x + offset, table.loc[method][metrics_to_plot], width,
-                label=f"{method} {name}",
-            )
-            ax.bar_label(rects, padding=3, fontsize=8, fmt="%.2f")
-            multiplier += 1
-    ax.set_ylabel("Percentage")
-    ax.set_title(f"OSOD metrics for {datasets_names[0]} and {datasets_names[1]}")
-    ax.set_xticks(x + 0.5 - 0.5 * width, metrics_to_plot)
-    ax.legend(ncols=max(1, int(len(methods_names) / 3)))
-    ax.set_ylim(0, 100)
+    series = {
+        f"{method} {ds_name}": np.asarray(
+            table.loc[method][metrics_to_plot], float
+        )
+        for method in methods_names
+        for table, ds_name in zip((osod_results_a, osod_results_b),
+                                  datasets_names)
+    }
+    fig = _osod_bar_figure(
+        metrics_to_plot, series,
+        title=f"OSOD metrics for {datasets_names[0]} and {datasets_names[1]}",
+        figsize=(4 * len(methods_names), 6),
+        legend_cols=max(1, len(methods_names) // 3),
+    )
     if show_plot:  # pragma: no cover
         plt.show()
     return fig
@@ -843,24 +868,21 @@ def plot_two_osod_datasets_per_metric(
     metric_to_plot: str,
     show_plot: bool,
 ):
-    """Bar chart for one metric across methods (reference :1603-1668)."""
+    """Bar chart for one metric across methods (reference :1603-1668): one
+    bar per dataset in every method group."""
     import matplotlib.pyplot as plt
 
-    x = np.arange(len(methods_names))
-    width = 1 / (len(datasets_names) + 1)
-    multiplier = 0
-    fig, ax = plt.subplots(layout="constrained", figsize=(1.5 * len(methods_names), 5))
-    ax.grid(axis="y", linestyle="--")
-    for dataset, dataset_name in zip([osod_results_a, osod_results_b], datasets_names):
-        offset = width * multiplier
-        rects = ax.bar(x + offset, dataset[metric_to_plot], width, label=f"{dataset_name}")
-        ax.bar_label(rects, padding=3, fontsize=8, fmt="%.2f")
-        multiplier += 1
-    ax.set_ylabel("Percentage")
-    ax.set_title(f"OSOD {metric_to_plot} for {datasets_names[0]} and {datasets_names[1]}")
-    ax.set_xticks(x + 0.5 - width, methods_names)
-    ax.legend()
-    ax.set_ylim(0, 100)
+    series = {
+        ds_name: np.asarray(table[metric_to_plot], float)
+        for table, ds_name in zip((osod_results_a, osod_results_b),
+                                  datasets_names)
+    }
+    fig = _osod_bar_figure(
+        methods_names, series,
+        title=(f"OSOD {metric_to_plot} for {datasets_names[0]} "
+               f"and {datasets_names[1]}"),
+        figsize=(1.5 * len(methods_names), 5),
+    )
     if show_plot:  # pragma: no cover
         plt.show()
     return fig

@@ -53,8 +53,15 @@ _SEQUENCE_METHODS = {
 }
 
 
-def _validate(requests: Sequence[dict]) -> Tuple[bool, bool, bool]:
-    """Fail before ANY decode work (compute_uncertainties' contract)."""
+def _validate(
+    requests: Sequence[dict], num_layers: Optional[int] = None
+) -> Tuple[bool, bool, bool, Optional[int]]:
+    """Fail before ANY decode work (compute_uncertainties' contract).
+
+    ``num_layers`` (when known) normalizes negative eigen_score layer
+    indices the same way the engine constructor does (hidden-state entry
+    ``li + num_layers + 1``), so requests naming one layer in two notations
+    (e.g. ``-1`` and ``num_layers``) are recognized as a single stream."""
     unknown = [
         r["method_name"] for r in requests
         if r["method_name"] not in _SEQUENCE_METHODS
@@ -64,8 +71,14 @@ def _validate(requests: Sequence[dict]) -> Tuple[bool, bool, bool]:
             f"unknown uncertainty method(s) {unknown}; valid: "
             f"{sorted(_SEQUENCE_METHODS)}"
         )
+
+    def norm_layer(li: int) -> int:
+        if li < 0 and num_layers is not None:
+            li += int(num_layers) + 1
+        return li
+
     eigen_layers = {
-        int(r.get("layer_index", 15)) for r in requests
+        norm_layer(int(r.get("layer_index", 15))) for r in requests
         if r["method_name"] == "eigen_score"
     }
     if len(eigen_layers) > 1:
@@ -194,7 +207,7 @@ class UncertaintyServer:
         max_prompt_len: Optional[int] = None,
     ):
         needs_sampling, needs_rauq, needs_semantic, eigen_layer = _validate(
-            uncertainty_requests
+            uncertainty_requests, num_layers=getattr(model, "num_layers", None)
         )
         if needs_semantic and entailment_model is None:
             raise ValueError(
@@ -387,14 +400,17 @@ def serve_uncertainties(
             model for speculative serving, ...).
         fused: drain each pass with
             :meth:`ContinuousBatchingEngine.generate_all_fused` — the
-            on-device scheduler, zero per-chunk host round trips (measured
-            3.9x the interactive drain on a tunneled v5e). Offline batch
-            scoring should set this. Trade-offs: RAUQ is interactive-only
-            (in-loop attention collection — requesting it here raises), a
-            draft model is rejected, and the sampled pass re-prefills each
-            duplicate instead of hitting the prefix cache (host latency
-            usually dwarfs the repeated prefill; profile if prompts are
-            long and ``num_samples`` large).
+            on-device scheduler, zero per-chunk host round trips. Which
+            drain is faster is workload-dependent: fused wins when host
+            round trips dominate (small models, many tiny chunks over a
+            high-latency tunnel); at production size the lookahead-
+            pipelined interactive drain already hides the round trips and
+            measures FASTER (BENCH r4: 1735 vs 2273 tok/s on the 96-request
+            1.17B leg) — profile both on your workload. Trade-offs: RAUQ
+            is interactive-only (in-loop attention collection — requesting
+            it here raises), a draft model is rejected, and the sampled
+            pass re-prefills each duplicate instead of hitting the prefix
+            cache.
 
     Returns:
         (deterministic_texts, scores): one decoded text and one score dict

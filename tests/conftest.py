@@ -24,6 +24,38 @@ import numpy as np
 import pytest
 
 
+def _ensure_native_built() -> None:
+    """Build the in-repo C++ extensions once if they aren't importable.
+
+    The 10 native-path tests (data loader + OSOD matcher) otherwise skip
+    silently on a fresh checkout — a clean local run must exercise the
+    in-repo C++, not just CI. One `build_ext --inplace` costs ~10 s and is
+    skipped entirely when the modules already import."""
+    import importlib.util
+    import subprocess
+    import sys
+    from pathlib import Path
+
+    missing = [
+        m for m in ("runia_core_tpu._native", "runia_core_tpu._native_osod")
+        if importlib.util.find_spec(m) is None
+    ]
+    if not missing:
+        return
+    repo = Path(__file__).resolve().parent.parent
+    try:
+        subprocess.run(
+            [sys.executable, "setup.py", "build_ext", "--inplace"],
+            cwd=repo, check=True, capture_output=True, timeout=300,
+        )
+    except Exception as exc:  # no compiler / sandbox: tests then skip as before
+        print(f"conftest: native extension build failed ({exc}); "
+              "native-path tests will skip", file=sys.stderr)
+
+
+_ensure_native_built()
+
+
 @pytest.fixture
 def rng():
     return np.random.RandomState(1)
