@@ -348,14 +348,12 @@ class ContinuousBatchingEngine:
         spec_min_acceptance: Optional[float] = None,
         admission: str = "fifo",
     ):
-        if getattr(model, "use_flash", False):
-            # Flash prefill needs the plain causal case (no pad mask); the
-            # engine left-pads prompts into slots, so require the standard
-            # attention path.
-            raise ValueError(
-                "ContinuousBatchingEngine needs use_flash=False (slot "
-                "prefill uses padded masks)"
-            )
+        # use_flash models are fully supported: chunked prefill rides the
+        # valid-length flash kernel (ops/flash_prefill.py — the chunk's
+        # queries attend the slot's cache prefix, key blocks past the
+        # written window skipped), engaging on TPU for chunks >= 128
+        # tokens; the bucketed path and decode steps use the dense masked
+        # attention as before (the model routes per-call, models/llama.py).
         self.model = model
         self.params = params
         self.num_slots = int(num_slots)
@@ -800,7 +798,11 @@ class ContinuousBatchingEngine:
         collect_hid = self.collect_hidden
         S = self.num_slots
 
-        @partial(jax.jit, donate_argnums=(1, 2, 3, 5, 6))
+        # hid_last is NOT donated: its input buffer (chunk k's output) must
+        # stay readable after chunk k+1 is dispatched — _process_harvest
+        # fetches completions' hidden vectors from the captured handle
+        # under the lookahead pipeline. (S, d) f32 per chunk is noise.
+        @partial(jax.jit, donate_argnums=(1, 2, 3, 5))
         def chunk(params, cache, step_logits, slot_state, rng_key,
                   hid_prev, hid_last):
             slot_pos, kv_start, limit, active = (
@@ -1352,6 +1354,7 @@ class ContinuousBatchingEngine:
             for s, req in enumerate(self._slot_req)
         ]
         t0 = time.perf_counter()
+        hid_dev = None
         if spec:
             (self.cache, self.d_cache, self.step_logits, self.samp_logp,
              self._slot_state_dev, self._key, packed, atts_dev) = chunk(
@@ -1366,16 +1369,24 @@ class ContinuousBatchingEngine:
                 self._slot_state_dev, self._key, self._hid_prev,
                 self._hid_last,
             )
+            # THIS chunk's hid_last handle rides the inflight tuple: by the
+            # time its harvest is processed, self._hid_last already points
+            # at the lookahead chunk's output, and fetching that instead
+            # would block the host on chunk k+1 finishing (correct — rows
+            # are emission-gated/frozen — but it forfeits the pipelining).
+            hid_dev = self._hid_last
         # Start the device->host copies NOW: they ride the device queue
         # right behind this chunk, so by the time the host blocks on
         # np.asarray the transfer is already in flight (or done).
         packed.copy_to_host_async()
         if self.collect_rauq:
             atts_dev.copy_to_host_async()
+        if self.collect_hidden is not None and hid_dev is not None:
+            hid_dev.copy_to_host_async()
         self._stats["t_dispatch_s"] += time.perf_counter() - t0
-        return packed, atts_dev, owners
+        return packed, atts_dev, owners, hid_dev
 
-    def _process_harvest(self, packed, atts_dev, owners, spec):
+    def _process_harvest(self, packed, atts_dev, owners, hid_dev, spec):
         """Fetch + unpack one chunk's harvest, advance the host mirrors,
         append/yield emissions, and finish completed requests.
 
@@ -1455,10 +1466,10 @@ class ContinuousBatchingEngine:
                 self.active[slot] = False
                 if self.collect_hidden is not None and hid_np is None:
                     # One (S, d) fetch covers every completion in this
-                    # harvest. Safe under the lookahead pipeline: a slot
-                    # that went inactive during chunk k is emission-gated
-                    # in chunk k+1, so its row is frozen until refill.
-                    hid_np = np.asarray(self._hid_last)
+                    # harvest — from THIS chunk's output handle (captured
+                    # at dispatch), so completions never block on the
+                    # lookahead chunk finishing.
+                    hid_np = np.asarray(hid_dev)
                 self._finish_slot(slot, hid_np)
         self._stats["t_sched_s"] += time.perf_counter() - t_sched
         yield from events

@@ -256,6 +256,44 @@ class _LlamaBlock(nn.Module):
                 b, t, self.num_heads * self.head_dim
             )
             attn = jnp.zeros((b, self.num_heads, 0, k_all.shape[1]), jnp.float32)
+        elif (
+            self.use_flash and flash_ok and _flash_available(t)
+            and cache is not None
+        ):
+            # Chunked prefill over a LIVE cache (the serving engine's
+            # prefill path): the chunk's queries sit at global positions
+            # cache_index + i and attend the cache prefix [0, ...] — the
+            # valid-length flash kernel skips key blocks past each row's
+            # window, so work scales with the written prefix, not max_ctx.
+            # Emits the zero-width attention placeholder like the pure
+            # prefill branch (decode steps still produce real rows).
+            from runia_core_tpu.ops.flash_prefill import (
+                flash_prefix_attention,
+            )
+
+            starts = jnp.broadcast_to(
+                jnp.atleast_1d(cache_index).astype(jnp.int32), (b,)
+            )
+            if kv_scales is not None:
+                # KV8: feed the raw int8 cache + per-key scales; the
+                # kernel applies them on the logits / probabilities (the
+                # same O(K) restructure as the dense path below).
+                ksrc, vsrc = new_kv["k"], new_kv["v"]
+                ks, vs = kv_scales
+            else:
+                ksrc, vsrc = k_all, v_all
+                ks = vs = None
+            ctx = flash_prefix_attention(
+                jnp.moveaxis(q, 1, 2),            # (B, H, t, d)
+                jnp.swapaxes(ksrc, 1, 2),         # (B, G, K, d)
+                jnp.swapaxes(vsrc, 1, 2),
+                starts, None, ks, vs,
+                sm_scale=1.0 / float(np.sqrt(self.head_dim)),
+            )
+            out = jnp.moveaxis(ctx, 1, 2).reshape(
+                b, t, self.num_heads * self.head_dim
+            )
+            attn = jnp.zeros((b, self.num_heads, 0, k_all.shape[1]), jnp.float32)
         else:
             qg = q.reshape(b, t, self.num_kv_heads, rep, self.head_dim)
             logits = jnp.einsum("bqgrd,bkgd->bgrqk", qg, k_all) / jnp.sqrt(

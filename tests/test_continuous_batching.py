@@ -111,13 +111,35 @@ class TestContinuousBatching:
         with pytest.raises(ValueError, match="max_ctx"):
             eng.submit(list(range(1, 20)))
 
-    def test_flash_model_rejected(self, model_and_params):
-        _, params = model_and_params
+    def test_flash_model_chunked_prefill_token_identical(
+        self, model_and_params, prompts, monkeypatch
+    ):
+        """use_flash engines are served through the valid-length flash
+        kernel on their chunked-prefill path (ops/flash_prefill.py);
+        greedy results must match the dense engine. The kernel normally
+        engages at chunk >= 128 on TPU — the size gate is lowered here so
+        the tiny CPU configuration actually exercises it (interpret
+        mode)."""
+        from runia_core_tpu.models import llama as llama_mod
+
+        model, params = model_and_params
+        monkeypatch.setattr(llama_mod, "_flash_available", lambda t: t >= 8)
         flash = LlamaLM(vocab_size=VOCAB, num_layers=2, num_heads=4,
                         num_kv_heads=2, d_model=32, hidden_dim=64,
                         max_len=128, use_flash=True)
-        with pytest.raises(ValueError, match="use_flash"):
-            ContinuousBatchingEngine(flash, params)
+        kw = dict(num_slots=3, max_ctx=64, max_new_tokens=MAX_NEW,
+                  chunk_tokens=4, prefill_chunk=8)
+        dense_res = ContinuousBatchingEngine(
+            model, params, **kw
+        ).generate_all(prompts)
+        flash_res = ContinuousBatchingEngine(
+            flash, params, **kw
+        ).generate_all(prompts)
+        for i, (d, f) in enumerate(zip(dense_res, flash_res)):
+            assert f["tokens"] == d["tokens"], f"prompt {i}"
+            np.testing.assert_allclose(
+                f["log_probs"], d["log_probs"], rtol=1e-4, atol=1e-5,
+            )
 
 
 class TestServedUncertainty:
