@@ -438,6 +438,60 @@ def measure_llm_7b_int8():
     }
 
 
+def measure_llm_engine_prefill_ctx2048():
+    """Engine-served long-context prefill through the valid-length flash
+    kernel (ops/flash_prefill.py): 8 requests with ~1.9k-token prompts at
+    max_ctx 2048 drain through a use_flash engine with 512-token chunked
+    prefill and the open-loop scheduler. The metric is PROMPT tok/s — the
+    engine-side counterpart of the bare ``llama1b_prefill_8x1024`` leg
+    (VERDICT r4 item 1: engine prefill within 20% of the bare rate). The
+    kernel's key-block clamp makes chunk cost scale with the written
+    prefix, so the whole drain does the true P^2/2 attention work."""
+    import jax.numpy as jnp
+
+    from runia_core_tpu.llm import ContinuousBatchingEngine
+    from runia_core_tpu.models import LlamaLM
+
+    st = _get_prod_llama()
+    model = LlamaLM(**_PROD_CFG, dtype=jnp.bfloat16, use_flash=True)
+    rng = np.random.RandomState(9)
+    n_req, budget = 8, 4
+    C = int(os.environ.get("RUNIA_PREFILL_CHUNK", 512))
+    lengths = rng.randint(1700, 2048 - budget, n_req)
+    prompts = [list(rng.randint(1, 32000, int(n))) for n in lengths]
+    prompt_tokens = int(lengths.sum())
+    eng = ContinuousBatchingEngine(
+        model, st["params"], num_slots=4, max_ctx=2048,
+        max_new_tokens=budget, chunk_tokens=budget, prefill_chunk=C,
+        defer_fetch=True,
+        prefill_lanes=int(os.environ.get("RUNIA_PREFILL_LANES", 4)),
+    )
+
+    def drain():
+        t0 = time.perf_counter()
+        eng.generate_all(prompts)
+        eng.clear_results()
+        return prompt_tokens / (time.perf_counter() - t0)
+
+    drain()  # compile warmup (prefill-chunk + decode-chunk programs)
+    tps = max(drain(), drain())
+    # Analytic prefill FLOPs: 2*N_params per token + causal attention over
+    # each prompt's true length (the kernel skips past-the-window blocks).
+    cfg = _PROD_CFG
+    attn = sum(
+        2 * 2 * cfg["num_layers"] * (int(n) ** 2) * cfg["d_model"] / 2
+        for n in lengths
+    )
+    flops = 2 * st["n_params"] * prompt_tokens + attn
+    achieved = tps / prompt_tokens * flops
+    return tps, achieved / 1e12, {
+        "mfu": round(achieved / V5E_BF16_PEAK_FLOPS, 4),
+        "prefill_chunk": C,
+        "n_requests": n_req,
+        "prompt_tokens": prompt_tokens,
+    }
+
+
 def measure_llm_continuous():
     """Continuous in-flight batching vs static batched decode on a mixed
     serving workload: 96 requests, prompt lengths 16-192, per-request
@@ -456,7 +510,10 @@ def measure_llm_continuous():
     from runia_core_tpu.models import LlamaLM
 
     st = _get_prod_llama()
-    model = LlamaLM(**_PROD_CFG, dtype=jnp.bfloat16)  # engine: no flash
+    # Prompts are 16-192 tokens: the engine's batched bucketed prefill is
+    # the right path (flash engages on >=128-token chunked prefills — see
+    # the ctx-2048 leg), so the engine model runs dense attention.
+    model = LlamaLM(**_PROD_CFG, dtype=jnp.bfloat16)
     rng = np.random.RandomState(5)
     n_req, n_slots = 96, 32
     lengths = rng.randint(16, 193, n_req)
@@ -465,17 +522,20 @@ def measure_llm_continuous():
     useful = int(budgets.sum())
 
     # chunk_tokens trades refill granularity (occupancy) against per-chunk
-    # dispatch cost; measured on the tunneled v5e with the lookahead
-    # pipeline: 8 -> 0.88x static, 12 -> 1.03x, 16 -> 0.96x, 24 -> 0.91x.
+    # launch cost. The open-loop drain (defer_fetch) has no fetch RTT on
+    # the critical path, so smaller chunks pay only dispatch overhead.
     # Env knob for re-scanning.
-    chunk_tokens = int(os.environ.get("RUNIA_CHUNK_TOKENS", 12))
+    chunk_tokens = int(os.environ.get("RUNIA_CHUNK_TOKENS", 8))
     eng = ContinuousBatchingEngine(
         model, st["params"], num_slots=n_slots, max_ctx=320,
         max_new_tokens=64, chunk_tokens=chunk_tokens, prompt_bucket=64,
         # Offline drain: longest-budget-first admission packs the tail
         # (decode chunks cost a full weight read regardless of how many
-        # slots emit, so fewer chunks == more tok/s).
+        # slots emit, so fewer chunks == more tok/s), and the open-loop
+        # drain dispatches every chunk without a single mid-drain fetch
+        # (budget-bound workload: the emission schedule is deterministic).
         admission=os.environ.get("RUNIA_ADMISSION", "lpt"),
+        defer_fetch=os.environ.get("RUNIA_DEFER_FETCH", "1") == "1",
     )
 
     def engine_pass():
@@ -521,10 +581,14 @@ def measure_llm_continuous():
         model, st["params"], num_slots=n_slots, max_ctx=320,
         max_new_tokens=64, prompt_bucket=64, prefill_chunk=64,
         chunk_tokens=int(os.environ.get("RUNIA_FUSED_CHUNK", 4)),
+        admission="lpt",  # device queue in longest-budget-first order
     )
     budget_list = [int(b_) for b_ in budgets]
-    feng.generate_all_fused(prompts, budget_list)  # compile warmup
-    fused_tps = best_of(lambda: feng.generate_all_fused(prompts, budget_list))
+    lanes = int(os.environ.get("RUNIA_FUSED_LANES", 8))
+    feng.generate_all_fused(prompts, budget_list, prefill_lanes=lanes)
+    fused_tps = best_of(lambda: feng.generate_all_fused(
+        prompts, budget_list, prefill_lanes=lanes
+    ))
 
     return max(fused_tps, engine_tps), None, {
         "useful_tokens": useful,
@@ -883,6 +947,8 @@ def run_suite():
     # HBM-bound (achieved GB/s vs the 819 GB/s v5e peak); speculative uses
     # a layer-truncated correlated draft and reports measured acceptance.
     leg("llama1b_prefill_8x1024", "tok/s", measure_llm_prefill)
+    leg("llama1b_engine_prefill_ctx2048", "tok/s",
+        measure_llm_engine_prefill_ctx2048)
     leg("llama1b_decode_greedy_16x256", "tok/s", measure_llm_decode)
     leg("llama1b_decode_int8kv8_16x256", "tok/s", measure_llm_decode_int8)
     leg("llama7b_int8_decode_8x128", "tok/s", measure_llm_7b_int8)

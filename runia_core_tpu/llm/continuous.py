@@ -347,6 +347,8 @@ class ContinuousBatchingEngine:
         collect_hidden: Optional[int] = None,
         spec_min_acceptance: Optional[float] = None,
         admission: str = "fifo",
+        defer_fetch: bool = False,
+        prefill_lanes: int = 1,
     ):
         # use_flash models are fully supported: chunked prefill rides the
         # valid-length flash kernel (ops/flash_prefill.py — the chunk's
@@ -442,6 +444,40 @@ class ContinuousBatchingEngine:
             raise ValueError(f"admission must be 'fifo' or 'lpt', got "
                              f"{admission!r}")
         self.admission = admission
+        # Open-loop scheduling: with no EOS and no draft model, every
+        # chunk's per-slot emission count is a pure function of the budgets
+        # the host already knows — so the drain can dispatch chunk after
+        # chunk WITHOUT fetching any harvest mid-drain, advancing its
+        # mirrors by simulation and parsing all harvests once at the end.
+        # This removes the per-chunk host round trip (the tunneled-TPU
+        # drain's dominant cost) AND the lookahead refill penalty (a slot
+        # is known to be free the moment its last chunk is dispatched, so
+        # its refill rides the very next chunk). Token streaming still
+        # works but arrives in one burst at drain end — leave this off for
+        # latency-sensitive interactive traffic.
+        # Chunked-prefill lane batching: advance up to this many
+        # mid-prefill slots per program call (one (W, C) forward instead of
+        # W (1, C) forwards). Over a tunneled device each program launch
+        # and its argument uploads cost host milliseconds, so lane batching
+        # is what keeps long-context prefill device-bound. lanes=1 keeps
+        # the per-slot program (bit-identical to the batch-1 forward; wider
+        # lanes can flip greedy argmax on near-tie logits, same trade the
+        # fused drain documents for its prefill lanes).
+        self.prefill_lanes = max(1, int(prefill_lanes))
+        self._prefill_many_chunk_cache: Dict[int, Any] = {}
+        self.defer_fetch = bool(defer_fetch)
+        if self.defer_fetch:
+            if eos_id is not None:
+                raise ValueError(
+                    "defer_fetch needs eos_id=None: EOS stops are data-"
+                    "dependent, so the emission schedule would not be "
+                    "host-predictable"
+                )
+            if draft_model is not None:
+                raise ValueError(
+                    "defer_fetch is not supported with speculative "
+                    "decoding (acceptance makes emission data-dependent)"
+                )
         self._copy_row_fn = None
         self.prefix_hits = 0  # observability: admissions served from cache
         # Serving observability (host counters, zero device cost): see
@@ -538,6 +574,12 @@ class ContinuousBatchingEngine:
         self.kv_start = np.zeros((self.num_slots,), np.int32)   # pad offset
         self.limit = np.zeros((self.num_slots,), np.int32)      # phys cap
         self.active = np.zeros((self.num_slots,), bool)
+        # Per-slot sampling flags (do_sample engines only): a slot whose
+        # request was submitted with sample=False decodes greedily inside
+        # the SAME chunk program (a where-select on the step's tokens).
+        # This is what lets one engine serve a deterministic pass and its
+        # sampled duplicates in one drain (UncertaintyServer merged mode).
+        self.samp_flags = np.zeros((self.num_slots,), np.int32)
 
         # Device-resident copy of the packed scheduling state, carried
         # chunk-to-chunk and edited in place by the prefill programs — the
@@ -578,11 +620,12 @@ class ContinuousBatchingEngine:
         # for the lookahead pipeline without extra dispatches).
         @partial(jax.jit, donate_argnums=(1, 2, 3, 10))
         def prefill(params, cache, step_logits, slot_state, slots, tokens,
-                    valid, new_pos, new_kv, new_limit, hid_prev):
+                    valid, new_pos, new_kv, new_limit, hid_prev, samp):
             slot_state = slot_state.at[slots].set(new_pos)
             slot_state = slot_state.at[slots + S].set(new_kv)
             slot_state = slot_state.at[slots + 2 * S].set(new_limit)
             slot_state = slot_state.at[slots + 3 * S].set(1)
+            slot_state = slot_state.at[slots + 4 * S].set(samp)
             # Fresh F-row cache for these prompts, then splice each row in.
             local = init_cache(model, F, max_ctx)
             kv_valid = jnp.concatenate(
@@ -654,7 +697,7 @@ class ContinuousBatchingEngine:
         @partial(jax.jit, donate_argnums=(2, 3, 4, 5, 13))
         def chunk_prefill(params, dparams, cache, d_cache, step_logits,
                           slot_state, slot, tokens, write_pos, last_idx,
-                          is_last, parked_pos, limit, hid_prev):
+                          is_last, parked_pos, limit, hid_prev, samp):
             # Scheduling-state edits ride this program (device copy stays
             # authoritative for the lookahead pipeline): park the clock at
             # the next write position, pin limit/kv_start, and activate the
@@ -665,6 +708,7 @@ class ContinuousBatchingEngine:
             slot_state = slot_state.at[slot + 3 * S].set(
                 is_last.astype(jnp.int32)
             )
+            slot_state = slot_state.at[slot + 4 * S].set(samp)
             row = slice_row(cache, slot)
             logits, _, hiddens, row = model.apply(
                 params, tokens, row, write_pos
@@ -698,6 +742,67 @@ class ContinuousBatchingEngine:
 
         self._prefill_chunk_fn = chunk_prefill
         return chunk_prefill
+
+    def _prefill_chunk_many_prog(self, W: int):
+        """Jitted: advance ``W`` slots' prefills by one chunk each in ONE
+        program — the lane-batched form of :meth:`_prefill_chunk_prog`.
+
+        One (W, C) forward serves W chunks of prompt; each lane's rows are
+        gathered from / scattered back to its own slot, and the vector
+        cache-index path gives every lane its own physical clock. Compiled
+        once per distinct lane count (bounded by ``prefill_lanes``)."""
+        fn = self._prefill_many_chunk_cache.get(W)
+        if fn is not None:
+            return fn
+        model = self.model
+        draft = None if self._spec_disabled else self.draft_model
+        collect_hid = self.collect_hidden
+        S = self.num_slots
+
+        @partial(jax.jit, donate_argnums=(2, 3, 4, 5, 13))
+        def chunk_prefill_many(params, dparams, cache, d_cache, step_logits,
+                               slot_state, slots, tokens, write_pos,
+                               last_idx, is_last, limit, samp, hid_prev,
+                               parked):
+            slot_state = slot_state.at[slots].set(parked)
+            slot_state = slot_state.at[slots + S].set(0)
+            slot_state = slot_state.at[slots + 2 * S].set(limit)
+            slot_state = slot_state.at[slots + 3 * S].set(is_last)
+            slot_state = slot_state.at[slots + 4 * S].set(samp)
+            rows = jax.tree_util.tree_map(lambda g: g[slots], cache)
+            logits, _, hiddens, rows = model.apply(
+                params, tokens, rows, write_pos
+            )
+            cache = jax.tree_util.tree_map(
+                lambda g, l: g.at[slots].set(l.astype(g.dtype)), cache, rows
+            )
+            if draft is not None:
+                d_rows = jax.tree_util.tree_map(
+                    lambda g: g[slots], d_cache
+                )
+                d_rows = draft.apply(dparams, tokens, d_rows, write_pos)[3]
+                d_cache = jax.tree_util.tree_map(
+                    lambda g, l: g.at[slots].set(l.astype(g.dtype)),
+                    d_cache, d_rows,
+                )
+            # Final-chunk lanes: capture next-token logits at the last REAL
+            # token; non-final lanes scatter out of bounds and drop.
+            sel = jnp.take_along_axis(
+                logits, last_idx[:, None, None], axis=1
+            )[:, 0, :]
+            tgt = jnp.where(is_last > 0, slots, S)
+            step_logits = step_logits.at[tgt].set(
+                sel.astype(step_logits.dtype), mode="drop"
+            )
+            if collect_hid is not None:
+                hvec = jnp.take_along_axis(
+                    hiddens[collect_hid], last_idx[:, None, None], axis=1
+                )[:, 0, :].astype(jnp.float32)
+                hid_prev = hid_prev.at[tgt].set(hvec, mode="drop")
+            return cache, d_cache, step_logits, slot_state, hid_prev
+
+        self._prefill_many_chunk_cache[W] = chunk_prefill_many
+        return chunk_prefill_many
 
     def _seed_samp(self):
         """Jitted: seed one slot's sampling distribution from its freshly
@@ -780,10 +885,11 @@ class ContinuousBatchingEngine:
         return best_slot, best_len
 
     def _slot_state(self) -> jnp.ndarray:
-        """The host scheduling mirrors as ONE (4*S,) int32 device upload."""
+        """The host scheduling mirrors as ONE (5*S,) int32 device upload:
+        [slot_pos | kv_start | limit | active | sample_flag]."""
         return jnp.asarray(np.concatenate([
             self.slot_pos, self.kv_start, self.limit,
-            self.active.astype(np.int32),
+            self.active.astype(np.int32), self.samp_flags,
         ]))
 
     def _chunk(self):
@@ -807,8 +913,9 @@ class ContinuousBatchingEngine:
                   hid_prev, hid_last):
             slot_pos, kv_start, limit, active = (
                 slot_state[:S], slot_state[S:2 * S],
-                slot_state[2 * S:3 * S], slot_state[3 * S:] > 0,
+                slot_state[2 * S:3 * S], slot_state[3 * S:4 * S] > 0,
             )
+            samp_flag = slot_state[4 * S:5 * S] > 0
             def body(carry, _):
                 cache, step_logits, slot_pos, active, key, hp, hl = carry
                 key, sub = jax.random.split(key)
@@ -816,8 +923,15 @@ class ContinuousBatchingEngine:
                 if do_sample:
                     from runia_core_tpu.llm.generate import sample_logits
 
-                    next_tok = sample_logits(
-                        sub, step_logits, temperature, top_k, top_p
+                    # Per-request decoding mode: slots whose request was
+                    # submitted with sample=False take the argmax instead
+                    # of the draw (one where — both are computed anyway).
+                    next_tok = jnp.where(
+                        samp_flag,
+                        sample_logits(
+                            sub, step_logits, temperature, top_k, top_p
+                        ),
+                        jnp.argmax(step_logits, axis=-1),
                     )
                 else:
                     next_tok = jnp.argmax(step_logits, axis=-1)
@@ -897,7 +1011,8 @@ class ContinuousBatchingEngine:
             # NEXT chunk can launch from it without waiting for the host to
             # see this chunk's harvest (the lookahead pipeline).
             new_state = jnp.concatenate(
-                [slot_pos, kv_start, limit, active.astype(jnp.int32)]
+                [slot_pos, kv_start, limit, active.astype(jnp.int32),
+                 slot_state[4 * S:]]
             )
             return (cache, step_logits, new_state, rng_key, packed, att_prev,
                     hid_prev, hid_last)
@@ -940,7 +1055,7 @@ class ContinuousBatchingEngine:
             kv_start = slot_state[S:2 * S]
             slot_pos, limit, active = (
                 slot_state[:S], slot_state[2 * S:3 * S],
-                slot_state[3 * S:] > 0,
+                slot_state[3 * S:4 * S] > 0,
             )
 
             def body(carry, key):
@@ -976,7 +1091,8 @@ class ContinuousBatchingEngine:
             packed = _pack_harvest(toks, lps, ents, emit, active,
                                    extra=jnp.sum(acc_pairs, axis=0))
             new_state = jnp.concatenate(
-                [slot_pos, kv_start, limit, active.astype(jnp.int32)]
+                [slot_pos, kv_start, limit, active.astype(jnp.int32),
+                 slot_state[4 * S:]]
             )
             return (t_cache, d_cache, step_logits, samp_logp, new_state,
                     rng_key, packed, att_prev)
@@ -1051,6 +1167,7 @@ class ContinuousBatchingEngine:
                 self.slot_pos[slot] = req["write_pos"]
                 self.limit[slot] = min(p + req["max_new"], self.max_ctx)
                 self.active[slot] = False
+                self.samp_flags[slot] = int(req["sample"])
                 self._slot_req[slot] = req
                 continue
             p_pad = -(-max(p, 1) // self.prompt_bucket) * self.prompt_bucket
@@ -1084,30 +1201,43 @@ class ContinuousBatchingEngine:
         slots = np.zeros((F,), np.int32)
         kvs = np.zeros((F,), np.int32)
         lims = np.zeros((F,), np.int32)
+        samp = np.zeros((F,), np.int32)
         for i, (slot, req, p, _) in enumerate(group):
             tokens[i, p_pad - p:] = np.asarray(req["prompt"], np.int32)
             valid[i, p_pad - p:] = True
             slots[i] = slot
             kvs[i] = p_pad - p
             lims[i] = min(p_pad + req["max_new"], self.max_ctx)
+            samp[i] = int(req["sample"])
         (self.cache, self.step_logits, self._slot_state_dev,
          self._hid_prev) = self._prefill_many_fn(F, p_pad)(
             self.params, self.cache, self.step_logits, self._slot_state_dev,
             jnp.asarray(slots), jnp.asarray(tokens), jnp.asarray(valid),
             jnp.full((F,), p_pad, jnp.int32), jnp.asarray(kvs),
-            jnp.asarray(lims), self._hid_prev,
+            jnp.asarray(lims), self._hid_prev, jnp.asarray(samp),
         )
         for slot, req, p, _ in group:
             self.slot_pos[slot] = p_pad
             self.kv_start[slot] = p_pad - p
             self.limit[slot] = min(p_pad + req["max_new"], self.max_ctx)
             self.active[slot] = True
+            self.samp_flags[slot] = int(req["sample"])
             self._slot_req[slot] = req
 
     def _advance_prefills(self) -> None:
         """Advance every mid-prefill slot by one chunk; on a slot's final
-        chunk, capture its next-token logits and activate it for decode."""
+        chunk, capture its next-token logits and activate it for decode.
+        With ``prefill_lanes > 1`` the pending slots ride lane-batched
+        programs (one (W, C) forward per group)."""
         if not self.prefill_chunk:
+            return
+        if self.prefill_lanes > 1:
+            pend = [
+                (s, r) for s, r in enumerate(self._slot_req)
+                if r is not None and not r.get("prefill_done", True)
+            ]
+            for i in range(0, len(pend), self.prefill_lanes):
+                self._advance_lane_group(pend[i:i + self.prefill_lanes])
             return
         C = self.prefill_chunk
         fn = self._prefill_chunk_prog()
@@ -1129,7 +1259,7 @@ class ContinuousBatchingEngine:
                 jnp.int32(req["write_pos"]),
                 jnp.int32(len(take) - 1), jnp.asarray(is_last),
                 jnp.int32(req["write_pos"] + len(take)), jnp.int32(limit),
-                self._hid_prev,
+                self._hid_prev, jnp.int32(req["sample"]),
             )
             req["write_pos"] += len(take)
             self._stats["prefill_chunks"] += 1
@@ -1144,8 +1274,60 @@ class ContinuousBatchingEngine:
                         self.samp_logp, self.step_logits, jnp.int32(slot)
                     )
 
+    def _advance_lane_group(self, group: List[tuple]) -> None:
+        """Advance one lane group's prefills by one chunk via the batched
+        program (see ``_prefill_chunk_many_prog``)."""
+        C = self.prefill_chunk
+        W = len(group)
+        toks = np.zeros((W, C), np.int32)
+        slots = np.zeros((W,), np.int32)
+        wpos = np.zeros((W,), np.int32)
+        last_idx = np.zeros((W,), np.int32)
+        is_last = np.zeros((W,), np.int32)
+        lims = np.zeros((W,), np.int32)
+        samp = np.zeros((W,), np.int32)
+        parked = np.zeros((W,), np.int32)
+        for i, (slot, req) in enumerate(group):
+            take = req["pending"][:C]
+            req["pending"] = req["pending"][C:]
+            toks[i, : len(take)] = take
+            slots[i] = slot
+            wpos[i] = req["write_pos"]
+            last_idx[i] = len(take) - 1
+            is_last[i] = not req["pending"]
+            lims[i] = min(len(req["prompt"]) + req["max_new"], self.max_ctx)
+            samp[i] = int(req["sample"])
+            parked[i] = req["write_pos"] + len(take)
+        fn = self._prefill_chunk_many_prog(W)
+        (self.cache, self.d_cache, self.step_logits, self._slot_state_dev,
+         self._hid_prev) = fn(
+            self.params, self.draft_params, self.cache, self.d_cache,
+            self.step_logits, self._slot_state_dev, jnp.asarray(slots),
+            jnp.asarray(toks), jnp.asarray(wpos), jnp.asarray(last_idx),
+            jnp.asarray(is_last), jnp.asarray(lims), jnp.asarray(samp),
+            self._hid_prev, jnp.asarray(parked),
+        )
+        self._stats["prefill_chunks"] += 1
+        for i, (slot, req) in enumerate(group):
+            req["write_pos"] = int(parked[i])
+            self.slot_pos[slot] = req["write_pos"]
+            if is_last[i]:
+                req["prefill_done"] = True
+                self.active[slot] = True
+                if self.samp_logp is not None:
+                    self.samp_logp = self._seed_samp()(
+                        self.samp_logp, self.step_logits, jnp.int32(slot)
+                    )
+
     def _finish_slot(self, slot: int, hid_np=None) -> None:
         req = self._slot_req[slot]
+        self._slot_req[slot] = None
+        self._finish_req(req, hid_np[slot] if hid_np is not None else None)
+
+    def _finish_req(self, req: dict, hid_row=None) -> None:
+        """Record one finished request's result (slot-independent so the
+        open-loop drain can finish a request whose slot was already
+        reassigned by the time its harvest is parsed)."""
         toks, lps, ents = req["tokens"], req["lps"], req["ents"]
         atts = req["atts"]
         if self.eos_id is not None and self.eos_id in toks:
@@ -1178,8 +1360,8 @@ class ContinuousBatchingEngine:
             # token — identical when no EOS fires, strictly better when one
             # does. None for zero-token results.
             self._results[req["id"]]["hidden"] = (
-                hid_np[slot].copy()
-                if hid_np is not None and len(toks) else None
+                hid_row.copy()
+                if hid_row is not None and len(toks) else None
             )
         if self.collect_rauq:
             from runia_core_tpu.llm.scores import rauq_uncertainty
@@ -1195,7 +1377,6 @@ class ContinuousBatchingEngine:
                 )
                 if len(toks) >= 2 else float("nan")
             )
-        self._slot_req[slot] = None
 
     def _validate_request(
         self, prompt: List[int], max_new_tokens: Optional[int]
@@ -1226,11 +1407,19 @@ class ContinuousBatchingEngine:
         return max_new
 
     def submit(self, prompt_tokens: Sequence[int],
-               max_new_tokens: Optional[int] = None) -> int:
+               max_new_tokens: Optional[int] = None,
+               sample: Optional[bool] = None) -> int:
         """Enqueue one prompt; returns its request id. ``max_new_tokens``
         overrides the engine default for THIS request (real traffic has
         per-request budgets; the slot frees as soon as its own budget or
         EOS hits, not the longest request's).
+
+        ``sample`` overrides the engine's decoding mode for THIS request:
+        a ``do_sample=True`` engine serves ``sample=False`` requests
+        greedily in the same chunk programs (per-slot flag select), so one
+        engine can drain a deterministic pass and its sampled duplicates
+        together. ``sample=True`` on a greedy engine raises — its compiled
+        programs have no sampling path.
 
         Validation happens HERE, per request — a bad request must fail
         fast at enqueue time, not raise mid-drain and poison every other
@@ -1238,12 +1427,24 @@ class ContinuousBatchingEngine:
         """
         prompt = list(prompt_tokens)
         max_new = self._validate_request(prompt, max_new_tokens)
+        if sample is None:
+            sample = self.do_sample
+        elif sample and not self.do_sample:
+            raise ValueError(
+                "sample=True on a greedy engine (construct with "
+                "do_sample=True to serve mixed decoding modes)"
+            )
+        elif self.draft_model is not None and sample != self.do_sample:
+            raise NotImplementedError(
+                "per-request decoding modes are not supported on the "
+                "speculative engine (the verify path is mode-global)"
+            )
         rid = self._next_id
         self._next_id += 1
         self._queue.append({
             "id": rid, "prompt": prompt, "tokens": [],
             "lps": [], "ents": [], "atts": [],
-            "max_new": max_new,
+            "max_new": max_new, "sample": bool(sample),
         })
         return rid
 
@@ -1267,7 +1468,14 @@ class ContinuousBatchingEngine:
         dispatches all overlap chunk k+1's device execution. The price is
         that a slot freed during chunk k idles through chunk k+1 before its
         refill decodes — on a tunneled device the hidden round trips win.
+
+        ``defer_fetch=True`` engines run OPEN-LOOP instead (see
+        :meth:`_stream_deferred`): no mid-drain fetches at all, all events
+        yielded in one burst at drain end.
         """
+        if self.defer_fetch:
+            yield from self._stream_deferred()
+            return
         self._maybe_disable_spec()
         spec = self.draft_model is not None and not self._spec_disabled
         chunk = self._spec_chunk() if spec else self._chunk()
@@ -1303,6 +1511,107 @@ class ContinuousBatchingEngine:
             inflight = nxt
             self._refill()
 
+    def _stream_deferred(self):
+        """Open-loop drain (``defer_fetch=True``): dispatch every chunk and
+        prefill WITHOUT fetching a single harvest mid-drain.
+
+        With no EOS and no draft, each chunk's per-slot emission count is
+        ``min(chunk_tokens, remaining budget)`` — a pure function of state
+        the host already holds — so the scheduling mirrors advance by
+        simulation, refills ride the very next chunk (no lookahead idle),
+        and the drain's wall-clock is the DEVICE's: prefills and decode
+        chunks queue back to back while every harvest's device->host copy
+        streams in the background. One fetch pass at the end parses the
+        harvests into results (and asserts they match the simulation).
+        """
+        chunk = self._chunk()
+        self._slot_state_dev = self._slot_state()
+        self._refill()
+        pending: List[tuple] = []
+        while any(r is not None for r in self._slot_req):
+            t0 = time.perf_counter()
+            self._advance_prefills()
+            self._stats["t_prefill_s"] += time.perf_counter() - t0
+            if self.active.any():
+                packed, atts_dev, owners, hid_dev = self._dispatch_chunk(
+                    chunk, False
+                )
+                owner_reqs = {
+                    s: self._slot_req[s]
+                    for s in range(self.num_slots) if owners[s] is not None
+                }
+                finished = self._simulate_chunk(owner_reqs)
+                pending.append(
+                    (packed, atts_dev, hid_dev, owner_reqs, finished)
+                )
+            self._refill()
+        yield from self._flush_deferred(pending)
+
+    def _simulate_chunk(self, owner_reqs: Dict[int, dict]) -> List[dict]:
+        """Advance the host mirrors exactly as the dispatched chunk will:
+        each owned slot emits ``min(chunk_tokens, limit - clock)`` tokens
+        (deterministic — no EOS). Returns the requests that finish in this
+        chunk and frees their slots immediately."""
+        finished = []
+        self._stats["decode_chunks"] += 1
+        for slot, req in owner_reqs.items():
+            n = max(0, min(self.chunk_tokens,
+                           int(self.limit[slot]) - int(self.slot_pos[slot])))
+            self.slot_pos[slot] += n
+            req["sim_len"] = req.get("sim_len", 0) + n
+            if (self.slot_pos[slot] >= self.limit[slot]
+                    or req["sim_len"] >= req["max_new"]):
+                self.active[slot] = False
+                self._slot_req[slot] = None
+                finished.append(req)
+        return finished
+
+    def _flush_deferred(self, pending: List[tuple]):
+        """Fetch + parse every deferred harvest in dispatch order, append
+        emissions to their (simulation-tracked) requests, and finish the
+        requests the simulation marked done in each chunk."""
+        t1 = time.perf_counter()
+        events = []
+        K = self.chunk_tokens
+        for packed, atts_dev, hid_dev, owner_reqs, finished in pending:
+            packed_np = np.asarray(packed)
+            atts_np = np.asarray(atts_dev) if self.collect_rauq else None
+            toks, lps, ents, emitted, _, _ = _unpack_harvest(
+                packed_np, (K, self.num_slots), self.num_slots
+            )
+            self._stats["tokens_emitted"] += int(emitted.sum())
+            hid_np = None
+            for slot, req in owner_reqs.items():
+                before = len(req["tokens"])
+                for k in range(K):
+                    if emitted[k, slot]:
+                        req["tokens"].append(int(toks[k, slot]))
+                        req["lps"].append(float(lps[k, slot]))
+                        req["ents"].append(float(ents[k, slot]))
+                        if atts_np is not None:
+                            req["atts"].append(atts_np[k, :, slot, :].copy())
+                new = req["tokens"][before:]
+                if new:
+                    events.append((req["id"], new))
+            for req in finished:
+                if len(req["tokens"]) != req["sim_len"]:
+                    raise RuntimeError(
+                        f"open-loop schedule diverged from the device for "
+                        f"request {req['id']}: simulated {req['sim_len']} "
+                        f"emissions, harvested {len(req['tokens'])}"
+                    )
+                hid_row = None
+                if self.collect_hidden is not None:
+                    if hid_np is None:
+                        hid_np = np.asarray(hid_dev)
+                    # The slot the request occupied when this chunk ran:
+                    # recover it from owner_reqs (id-stable mapping).
+                    slot = next(s for s, r in owner_reqs.items() if r is req)
+                    hid_row = hid_np[slot]
+                self._finish_req(req, hid_row)
+        self._stats["t_fetch_s"] += time.perf_counter() - t1
+        yield from events
+
     def _maybe_disable_spec(self) -> None:
         """Drain-boundary break-even check (see ``spec_min_acceptance``).
         Only at drain boundaries: sampled-mode exactness rides the per-slot
@@ -1324,7 +1633,9 @@ class ContinuousBatchingEngine:
             )
             self._spec_disabled = True
             self._stats["spec_disabled"] = 1
-            self._prefill_chunk_fn = None  # rebuild without the draft leg
+            # rebuild the prefill programs without the draft leg
+            self._prefill_chunk_fn = None
+            self._prefill_many_chunk_cache.clear()
 
     def _tail_drain(self) -> bool:
         """True when the in-flight chunk plausibly completes every live
@@ -1875,6 +2186,16 @@ class ContinuousBatchingEngine:
             budgets = [int(b) for b in max_new_tokens]
             if len(budgets) != R:
                 raise ValueError("one budget per prompt")
+        # LPT admission (engine policy) applies to the on-device queue too:
+        # longest budgets admitted first pack the drain's tail with short
+        # backfills instead of one straggler slot decoding alone. The
+        # device sees the reordered table; results are returned in the
+        # caller's order.
+        order = list(range(R))
+        if self.admission == "lpt":
+            order.sort(key=lambda i: -budgets[i])
+            prompts = [prompts[i] for i in order]
+            budgets = [budgets[i] for i in order]
         C = self.prefill_chunk
         for p, b in zip(prompts, budgets):
             if not p:
@@ -1953,4 +2274,9 @@ class ContinuousBatchingEngine:
             # Count what the device emitted (incl. any EOS token), matching
             # the interactive drain's per-harvest accounting.
             self._stats["tokens_emitted"] += int(n_emit[i])
+        if self.admission == "lpt":
+            undo = [0] * R
+            for pos, i in enumerate(order):
+                undo[i] = pos
+            results = [results[undo[i]] for i in range(R)]
         return results

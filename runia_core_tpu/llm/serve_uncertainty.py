@@ -6,12 +6,12 @@ The reference scores ONE prompt per call through a blocking HF ``generate``
 uncertainty surface for a BATCH of prompts through
 :class:`~runia_core_tpu.llm.continuous.ContinuousBatchingEngine`:
 
-  - the deterministic pass runs all prompts through one greedy engine
-    (RAUQ's attention signal gathered in-loop via ``collect_rauq``);
-  - the sampled pass submits each prompt ``num_samples`` times to a sampled
-    engine with automatic prefix caching ON — the N samples of a prompt
-    share its prefill through chunk-aligned KV row copies, so the sampled
-    pass costs ~one prefill per prompt instead of N;
+  - interactive mode runs ONE merged drain: each prompt's deterministic
+    request (``sample=False`` — greedy via the engine's per-request
+    decoding modes, RAUQ's attention signal gathered in-loop) and its
+    ``num_samples`` sampled duplicates are submitted together, sharing one
+    admission wave, one prefix-cached prefill (chunk-aligned KV row
+    copies), and one drain tail;
   - scores are computed with the SAME ``llm.scores`` functions the
     single-prompt path dispatches to, so semantics are identical.
 
@@ -142,6 +142,14 @@ def _make_engine(model, params, max_prompt_len, max_new_tokens, eos_id,
     # engine_kwargs={"prefill_chunk": None} selects the bucketed path
     # without also having to know to disable the cache.
     kw.setdefault("prefix_cache", bool(kw["prefill_chunk"]))
+    # Budget-bound serving (no EOS, no draft) has a deterministic emission
+    # schedule: run those engines open-loop (no mid-drain harvest fetches —
+    # see ContinuousBatchingEngine.defer_fetch). Batch scoring consumes
+    # whole results anyway, so the burst-streaming trade costs nothing.
+    kw.setdefault(
+        "defer_fetch",
+        eos_id is None and kw.get("draft_model") is None,
+    )
     slack = kw.get("gamma", 4) + 1 if kw.get("draft_model") is not None else 0
     if "max_ctx" not in kw:
         max_p = int(max_prompt_len)
@@ -252,20 +260,41 @@ class UncertaintyServer:
             (float(r.get("alphas", [0.3])[0]) for r in uncertainty_requests
              if r["method_name"] == "RAUQ"), 0.2,
         )
-        self.det_engine = _make_engine(
-            model, params, max_prompt_len or 0, max_new_tokens, eos_id,
-            needs_rauq, engine_kwargs, rauq_alpha=rauq_alpha,
+        # Interactive mode with sampling merges BOTH passes into ONE
+        # engine drain: the deterministic scoring pass is just a
+        # sample=False request riding the sampled engine's chunk programs
+        # (per-request decoding modes), so a prompt's det pass and its N
+        # samples share one admission wave, one prefix-cached prefill, and
+        # one drain tail — and only one engine's programs ever compile.
+        # Fused mode and speculative engines keep the two-engine layout.
+        self._merged = (
+            not fused and needs_sampling
+            and (engine_kwargs or {}).get("draft_model") is None
         )
         self.samp_engine = None
-        if needs_sampling:
+        if self._merged:
             mode: Dict[str, Any] = dict(do_sample=True,
-                                        temperature=temperature)
+                                        temperature=temperature,
+                                        rauq_alpha=rauq_alpha)
             if eigen_layer is not None:
                 mode["collect_hidden"] = eigen_layer
-            self.samp_engine = _make_engine(
+            self.det_engine = _make_engine(
                 model, params, max_prompt_len or 0, max_new_tokens, eos_id,
-                False, engine_kwargs, **mode,
+                needs_rauq, engine_kwargs, **mode,
             )
+        else:
+            self.det_engine = _make_engine(
+                model, params, max_prompt_len or 0, max_new_tokens, eos_id,
+                needs_rauq, engine_kwargs, rauq_alpha=rauq_alpha,
+            )
+            if needs_sampling:
+                mode = dict(do_sample=True, temperature=temperature)
+                if eigen_layer is not None:
+                    mode["collect_hidden"] = eigen_layer
+                self.samp_engine = _make_engine(
+                    model, params, max_prompt_len or 0, max_new_tokens,
+                    eos_id, False, engine_kwargs, **mode,
+                )
 
     def serve(
         self, prompts: Sequence[Sequence[int]]
@@ -273,6 +302,26 @@ class UncertaintyServer:
         """Run one batch: deterministic pass, sampled pass (if any method
         needs it), then score. Returns ``(texts, scores)`` exactly like
         :func:`serve_uncertainties`."""
+        if self._merged:
+            # One drain serves the deterministic pass AND the samples:
+            # submissions interleave per prompt so a prompt's duplicates
+            # sit adjacent (the first admission prefills, the rest hit the
+            # prefix cache).
+            eng = self.det_engine
+            det_ids = []
+            samp_ids: List[List[int]] = []
+            for p in prompts:
+                det_ids.append(eng.submit(p, sample=False))
+                samp_ids.append([
+                    eng.submit(p, sample=True)
+                    for _ in range(self.num_samples)
+                ])
+            eng.run_until_drained()
+            det = [eng.result(r) for r in det_ids]
+            samp = [[eng.result(r) for r in rs] for rs in samp_ids]
+            eng.clear_results()
+            return self._score(prompts, det, samp)
+
         det = (self.det_engine.generate_all_fused(prompts) if self.fused
                else self.det_engine.generate_all(prompts))
         self.det_engine.clear_results()
@@ -303,6 +352,13 @@ class UncertaintyServer:
                     samp[i].append(self.samp_engine.result(rid))
                 self.samp_engine.clear_results()
 
+        return self._score(prompts, det, samp)
+
+    def _score(
+        self, prompts, det: List[dict], samp: List[List[dict]]
+    ) -> Tuple[List[Any], List[Dict[str, Any]]]:
+        """Turn one batch's engine results into (texts, score dicts) —
+        shared by the merged, two-engine, and fused drains."""
         decode = (
             (lambda t: self.tokenizer.decode(t))
             if self.tokenizer is not None else (lambda t: list(t))
@@ -357,8 +413,10 @@ class UncertaintyServer:
         return det_texts, scores
 
     def stats(self) -> dict:
-        """Cumulative engine counters: ``{"deterministic": ...,
-        "sampled": ...}`` (see :meth:`ContinuousBatchingEngine.stats`)."""
+        """Cumulative engine counters (see
+        :meth:`ContinuousBatchingEngine.stats`): ``{"deterministic": ...}``
+        — the merged engine when both passes share one drain —
+        plus ``"sampled"`` when a separate sampled engine exists."""
         out = {"deterministic": self.det_engine.stats()}
         if self.samp_engine is not None:
             out["sampled"] = self.samp_engine.stats()

@@ -797,6 +797,131 @@ class TestBatchedAdmissionWave:
             assert res["tokens"] == ref_toks, f"prompt {i}"
 
 
+class TestDeferredFetch:
+    """Open-loop drain (defer_fetch=True): no mid-drain harvest fetches —
+    the host simulates the (deterministic, EOS-free) emission schedule and
+    parses every harvest at drain end. Results must be identical to the
+    fetch-based drain in every mode that supports it."""
+
+    def _both(self, model, params, prompts, budgets=None, **kw):
+        base = ContinuousBatchingEngine(model, params, **kw)
+        open_loop = ContinuousBatchingEngine(model, params,
+                                             defer_fetch=True, **kw)
+        if budgets is None:
+            return (base.generate_all(prompts),
+                    open_loop.generate_all(prompts))
+        outs = []
+        for eng in (base, open_loop):
+            ids = [eng.submit(p, b) for p, b in zip(prompts, budgets)]
+            eng.run_until_drained()
+            outs.append([eng.result(i) for i in ids])
+        return outs
+
+    def test_matches_fetch_drain_classic_mode(self, model_and_params,
+                                              prompts):
+        model, params = model_and_params
+        ref, res = self._both(
+            model, params, prompts, num_slots=3, max_ctx=64,
+            max_new_tokens=MAX_NEW, chunk_tokens=4,
+        )
+        for i, (r, o) in enumerate(zip(ref, res)):
+            assert o["tokens"] == r["tokens"], f"prompt {i}"
+            np.testing.assert_allclose(o["log_probs"], r["log_probs"])
+
+    def test_matches_fetch_drain_chunked_prefix_budgets(
+        self, model_and_params, prompts
+    ):
+        """Chunked prefill + prefix cache + heterogeneous budgets: refills
+        and prefix copies interleave with simulated chunks."""
+        model, params = model_and_params
+        budgets = [1, 9, 2, 7, 3, 10, 4]
+        ref, res = self._both(
+            model, params, prompts, budgets, num_slots=2, max_ctx=64,
+            max_new_tokens=MAX_NEW, chunk_tokens=5, prefill_chunk=8,
+            prefix_cache=True,
+        )
+        for i, (r, o) in enumerate(zip(ref, res)):
+            assert o["tokens"] == r["tokens"], f"request {i}"
+            assert len(o["tokens"]) == min(budgets[i], MAX_NEW + budgets[i])
+
+    def test_rauq_and_scores_match(self, model_and_params, prompts):
+        model, params = model_and_params
+        kw = dict(num_slots=3, max_ctx=64, max_new_tokens=MAX_NEW,
+                  chunk_tokens=4, collect_rauq=True)
+        ref, res = self._both(model, params, prompts[:4], **kw)
+        for r, o in zip(ref, res):
+            np.testing.assert_allclose(o["rauq"], r["rauq"], rtol=1e-6)
+            np.testing.assert_allclose(o["perplexity"], r["perplexity"])
+
+    def test_hidden_collection_matches(self, model_and_params, prompts):
+        model, params = model_and_params
+        kw = dict(num_slots=2, max_ctx=64, max_new_tokens=MAX_NEW,
+                  chunk_tokens=4, collect_hidden=-1)
+        ref, res = self._both(model, params, prompts[:5], **kw)
+        for r, o in zip(ref, res):
+            np.testing.assert_allclose(o["hidden"], r["hidden"])
+
+    def test_sampled_mode_well_formed(self, model_and_params, prompts):
+        """Sampled decode: token VALUES differ from any reference (fresh
+        RNG threading) but lengths are budget-exact and scores finite."""
+        model, params = model_and_params
+        eng = ContinuousBatchingEngine(
+            model, params, num_slots=3, max_ctx=64, max_new_tokens=MAX_NEW,
+            chunk_tokens=4, do_sample=True, temperature=0.9,
+            defer_fetch=True, key=jax.random.key(11),
+        )
+        for res in eng.generate_all(prompts[:5]):
+            assert len(res["tokens"]) == MAX_NEW
+            assert np.isfinite(res["log_probs"]).all()
+
+    def test_stream_burst_equals_results(self, model_and_params, prompts):
+        model, params = model_and_params
+        eng = ContinuousBatchingEngine(
+            model, params, num_slots=2, max_ctx=64, max_new_tokens=MAX_NEW,
+            chunk_tokens=4, defer_fetch=True,
+        )
+        ids = [eng.submit(p) for p in prompts]
+        got = {}
+        for rid, toks in eng.stream():
+            got.setdefault(rid, []).extend(toks)
+        for rid in ids:
+            assert got[rid] == eng.result(rid)["tokens"]
+
+    def test_requires_no_eos_and_no_draft(self, model_and_params):
+        model, params = model_and_params
+        with pytest.raises(ValueError, match="eos_id"):
+            ContinuousBatchingEngine(model, params, eos_id=3,
+                                     defer_fetch=True)
+
+    def test_zero_fetches_mid_drain(self, model_and_params, prompts,
+                                    monkeypatch):
+        """The open-loop drain must not fetch a single harvest until the
+        flush: every np.asarray on a packed buffer happens after the last
+        dispatch."""
+        model, params = model_and_params
+        eng = ContinuousBatchingEngine(
+            model, params, num_slots=2, max_ctx=64, max_new_tokens=MAX_NEW,
+            chunk_tokens=4, defer_fetch=True,
+        )
+        order = []
+        orig_dispatch = eng._dispatch_chunk
+        orig_flush = eng._flush_deferred
+
+        def spy_dispatch(*a, **k):
+            order.append("dispatch")
+            return orig_dispatch(*a, **k)
+
+        def spy_flush(pending):
+            order.append("flush")
+            return orig_flush(pending)
+
+        monkeypatch.setattr(eng, "_dispatch_chunk", spy_dispatch)
+        monkeypatch.setattr(eng, "_flush_deferred", spy_flush)
+        eng.generate_all(prompts)
+        assert order.index("flush") == len(order) - 1
+        assert order.count("dispatch") >= 2
+
+
 class TestLookaheadPipeline:
     """The drain loop dispatches chunk k+1 from the device-resident
     scheduling state before chunk k's harvest is processed. These tests pin

@@ -206,9 +206,11 @@ class TestServeUncertainties:
                             sb["normalized_entropy"])
             for sa, sb in zip(scores_a, scores_b)
         )
-        # results maps are drained after each call (no lifetime leak)
+        # results maps are drained after each call (no lifetime leak);
+        # interactive sampling runs MERGED (det pass + samples share the
+        # one engine), so there is no separate sampled engine.
         assert not server.det_engine._results
-        assert not server.samp_engine._results
+        assert server.samp_engine is None
         # one-shot wrapper parity on a different batch
         batch2 = prompts[:3]
         texts_c, scores_c = server.serve(batch2)
