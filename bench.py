@@ -315,9 +315,16 @@ def _decode_leg(int8: bool):
     # generations amortize the pass overhead to <10%.
     b, prompt_len, max_new = 16, 64, 256
     if int8:
+        from runia_core_tpu.models import fuse_quantized_llama_params
+
+        # Fused qkv/gateup int8 layout: 4 dequant-matmul launches per
+        # layer instead of 7 (the per-step launch count is the quantized
+        # decode's fixed floor; numerics bit-identical).
         model = LlamaLM(**_PROD_CFG, dtype=jnp.bfloat16, use_flash=True,
-                        quantized=True, quantized_kv=True)
-        params = quantize_llama_params(st["params"], on_device=True)
+                        quantized=True, quantized_kv=True, fused_qkv=True)
+        params = jax.jit(fuse_quantized_llama_params)(
+            quantize_llama_params(st["params"], on_device=True)
+        )
         leaves = jax.tree_util.tree_leaves(params)
         weight_bytes = sum(p.size * p.dtype.itemsize for p in leaves)
         kv_itemsize = 1
@@ -366,21 +373,17 @@ _7B_CFG = dict(vocab_size=32000, num_layers=32, num_heads=32,
                num_kv_heads=8, d_model=4096, hidden_dim=11008, max_len=2048)
 
 
-def measure_llm_7b_int8():
-    """Greedy batched decode on the largest-fitting int8 model. The
-    quantized param tree is built DIRECTLY at int8 (eval_shape + on-device
-    random fill) — materializing a bf16 7B intermediate first (13.5 GB)
-    plus its int8 copy would not fit the chip. Random weights carry the
-    exact production byte traffic, which is all a bandwidth-bound decode
-    measurement needs."""
+_7B_CACHE = {}
+
+
+def _init_7b_int8(model):
+    """Random int8 7B params, built directly at int8 on device (cached so
+    the decode and serving legs share one tree)."""
     import jax
     import jax.numpy as jnp
 
-    from runia_core_tpu.llm import JaxGenerator
-    from runia_core_tpu.models import LlamaLM
-
-    model = LlamaLM(**_7B_CFG, dtype=jnp.bfloat16, use_flash=True,
-                    quantized=True, quantized_kv=True)
+    if "params" in _7B_CACHE:
+        return _7B_CACHE["params"], _7B_CACHE["weight_bytes"]
     shapes = jax.eval_shape(
         model.init, jax.random.key(0), np.zeros((1, 8), np.int32)
     )
@@ -395,9 +398,6 @@ def measure_llm_7b_int8():
                 out.append(jax.random.randint(k, leaf.shape, -127, 128,
                                               jnp.int8))
             else:
-                # Scales/norms/embedding: small positive-ish floats keep 32
-                # layers of activations finite; bandwidth does not care.
-                # Stored bf16 (production layout), as _get_prod_llama does.
                 out.append(
                     (0.01 + 0.005 * jax.random.normal(k, leaf.shape)).astype(
                         jnp.bfloat16
@@ -406,8 +406,30 @@ def measure_llm_7b_int8():
         return jax.tree_util.tree_unflatten(treedef, out)
 
     params = fill(jax.random.key(42))
+    _7B_CACHE["params"] = params
+    _7B_CACHE["weight_bytes"] = sum(
+        p.size * p.dtype.itemsize for p in jax.tree_util.tree_leaves(params)
+    )
+    return params, _7B_CACHE["weight_bytes"]
+
+
+def measure_llm_7b_int8():
+    """Greedy batched decode on the largest-fitting int8 model. The
+    quantized param tree is built DIRECTLY at int8 (eval_shape + on-device
+    random fill) — materializing a bf16 7B intermediate first (13.5 GB)
+    plus its int8 copy would not fit the chip. Random weights carry the
+    exact production byte traffic, which is all a bandwidth-bound decode
+    measurement needs."""
+    import jax
+    import jax.numpy as jnp
+
+    from runia_core_tpu.llm import JaxGenerator
+    from runia_core_tpu.models import LlamaLM
+
+    model = LlamaLM(**_7B_CFG, dtype=jnp.bfloat16, use_flash=True,
+                    quantized=True, quantized_kv=True, fused_qkv=True)
+    params, weight_bytes = _init_7b_int8(model)
     p_leaves = jax.tree_util.tree_leaves(params)
-    weight_bytes = sum(p.size * p.dtype.itemsize for p in p_leaves)
 
     b, prompt_len, max_new = 8, 64, 128
     gen = JaxGenerator(model, params, max_new_tokens=max_new)
@@ -435,6 +457,77 @@ def measure_llm_7b_int8():
         "weight_gb": round(weight_bytes / 1e9, 2),
         "hbm_gbs": round(hbm_gbs, 1),
         "hbm_util": round(hbm_gbs * 1e9 / V5E_HBM_PEAK_BYTES, 4),
+    }
+
+
+def measure_llm_7b_int8_serving():
+    """Production-shape SERVING at the 7B-class int8 geometry — the
+    BASELINE.md north star (not just bare decode): 24 mixed requests
+    (prompts 128-448, budgets 24-56) through the batching engine with
+    int8 weights, int8 KV cache, chunked prefill through the KV8-aware
+    flash kernel, lane batching, and the open-loop scheduler. Reports
+    useful tok/s, occupancy, and the decode phase's HBM accounting."""
+    import jax
+    import jax.numpy as jnp
+
+    from runia_core_tpu.llm import ContinuousBatchingEngine
+    from runia_core_tpu.models import LlamaLM
+
+    model = LlamaLM(**_7B_CFG, dtype=jnp.bfloat16, use_flash=True,
+                    quantized=True, quantized_kv=True, fused_qkv=True)
+    params, weight_bytes = _init_7b_int8(model)
+    rng = np.random.RandomState(11)
+    n_req, n_slots = 24, 8
+    lengths = rng.randint(128, 449, n_req)
+    budgets = rng.randint(24, 57, n_req)
+    prompts = [list(rng.randint(1, 32000, int(n))) for n in lengths]
+    useful = int(budgets.sum())
+    chunk_tokens = int(os.environ.get("RUNIA_7B_CHUNK", 8))
+    eng = ContinuousBatchingEngine(
+        model, params, num_slots=n_slots, max_ctx=512,
+        max_new_tokens=64, chunk_tokens=chunk_tokens, prefill_chunk=128,
+        defer_fetch=True, prefill_lanes=4, admission="lpt",
+    )
+
+    def one_pass():
+        t0 = time.perf_counter()
+        for p_, b_ in zip(prompts, budgets):
+            eng.submit(p_, int(b_))
+        eng.run_until_drained()
+        eng.clear_results()
+        return useful / (time.perf_counter() - t0)
+
+    one_pass()  # compile warmup
+    s0 = dict(eng.stats())
+    tps = max(one_pass(), one_pass())
+    s1 = eng.stats()
+    d_chunks = (s1["decode_chunks"] - s0["decode_chunks"]) // 2
+    occupancy = 2 * useful / max(
+        1, (s1["decode_chunks"] - s0["decode_chunks"])
+        * chunk_tokens * n_slots
+    )
+    # Decode-phase HBM floor: each decode step reads the full int8
+    # weights + the slots' int8 KV; wall includes prefill, so this under-
+    # states the decode phase's true utilization (hence "floor").
+    cfg = _7B_CFG
+    head_dim = cfg["d_model"] // cfg["num_heads"]
+    avg_ctx = float(np.mean(lengths) + np.mean(budgets) / 2)
+    kv_read = (n_slots * cfg["num_layers"] * 2 * avg_ctx
+               * cfg["num_kv_heads"] * head_dim)
+    decode_bytes_per_s = tps / useful * d_chunks * chunk_tokens * (
+        weight_bytes + kv_read
+    )
+    return tps, None, {
+        "useful_tokens": useful,
+        "weight_gb": round(weight_bytes / 1e9, 2),
+        "decode_chunks_per_pass": d_chunks,
+        "prefill_chunks_per_pass": (s1["prefill_chunks"]
+                                    - s0["prefill_chunks"]) // 2,
+        "emit_occupancy": round(occupancy, 4),
+        "hbm_gbs_floor": round(decode_bytes_per_s / 1e9, 1),
+        "hbm_util_floor": round(
+            decode_bytes_per_s / V5E_HBM_PEAK_BYTES, 4
+        ),
     }
 
 
@@ -812,19 +905,120 @@ def measure_llm_spec_engine():
     }
 
 
+class _PairTok:
+    """Synthetic HF-style pair tokenizer for the NLI bench legs.
+
+    The serving texts are token-id lists (tokenizer=None server); this
+    shim packs each (premise, hypothesis) pair as
+    ``[CLS] p... [SEP] h... [SEP]`` with ids folded into the NLI vocab —
+    byte- and shape-accurate input for a random-weight entailment model
+    (the compute is what the leg measures; no downloads)."""
+
+    def __init__(self, vocab: int):
+        self.vocab = vocab
+
+    def __call__(self, premises, hypotheses, padding=True, truncation=True,
+                 max_length=128, return_tensors="np"):
+        half = (max_length - 3) // 2
+        rows = []
+        for p, h in zip(premises, hypotheses):
+            fold = lambda seq: [1 + int(t) % (self.vocab - 2) for t in seq]
+            rows.append([1] + fold(p)[:half] + [2] + fold(h)[:half] + [2])
+        t = max(len(r) for r in rows)
+        ids = np.zeros((len(rows), t), np.int64)
+        mask = np.zeros((len(rows), t), np.int64)
+        for i, r in enumerate(rows):
+            ids[i, : len(r)] = r
+            mask[i, : len(r)] = 1
+        return {"input_ids": ids, "attention_mask": mask}
+
+
+# microsoft/deberta-v2-xxlarge-mnli geometry (the reference's strongest
+# documented entailment model) and the large-mnli geometry used in-loop by
+# the serving leg. Random weights — byte-accurate compute, no downloads.
+_NLI_XXLARGE = dict(vocab_size=128100, num_labels=3, num_layers=48,
+                    num_heads=24, d_model=1536, intermediate_size=6144,
+                    max_position_embeddings=512, position_buckets=256,
+                    conv_kernel_size=3)
+_NLI_LARGE = dict(vocab_size=128100, num_labels=3, num_layers=24,
+                  num_heads=16, d_model=1024, intermediate_size=4096,
+                  max_position_embeddings=512, position_buckets=256,
+                  conv_kernel_size=3)
+
+
+def _init_nli(cfg):
+    """(model, bf16 params, n_params) for a random-weight DeBERTa NLI."""
+    import jax
+    import jax.numpy as jnp
+
+    from runia_core_tpu.models import DebertaV2Classifier
+
+    model = DebertaV2Classifier(**cfg, dtype=jnp.bfloat16)
+    params = jax.jit(model.init)(
+        jax.random.key(5), np.zeros((1, 16), np.int32),
+        np.ones((1, 16), np.int32),
+    )
+    params = jax.jit(
+        lambda p: jax.tree_util.tree_map(
+            lambda x: x.astype(jnp.bfloat16)
+            if x.dtype == jnp.float32 else x, p
+        )
+    )(params)
+    n = sum(int(np.prod(p.shape))
+            for p in jax.tree_util.tree_leaves(params))
+    return model, params, n
+
+
+def measure_deberta_nli():
+    """TPU entailment throughput at the deberta-v2-xxlarge-mnli geometry
+    (1.5B params): (16, 128) premise/hypothesis pairs through
+    ``wrap_jax_nli`` — the device path ``llm.scores.semantic_entropy``
+    dispatches to (reference scores.py:429-436 runs its NLI on the compute
+    device; this is its TPU number)."""
+    from runia_core_tpu.models import wrap_jax_nli
+
+    model, params, n_params = _init_nli(_NLI_XXLARGE)
+    tok = _PairTok(_NLI_XXLARGE["vocab_size"])
+    nli = wrap_jax_nli(model, params, tok, max_len=128,
+                       len_buckets=(128,), batch_bucket=16)
+    rng = np.random.RandomState(3)
+    b, t = 16, 128
+    prem = [list(rng.randint(1, 32000, 40)) for _ in range(b)]
+    hyp = [list(rng.randint(1, 32000, 40)) for _ in range(b)]
+
+    counter = {"i": 0}
+
+    def call():
+        counter["i"] += 1
+        return nli(prem, hyp)
+
+    pps = _timed_rate(call, b, iters=8)
+    # Analytic: 2*N FLOPs per token (disentangled attention's extra c2p/
+    # p2c dots are captured in XLA cost where available; this floor is the
+    # dense-matmul account).
+    flops_per_pair = 2 * n_params * t
+    achieved = pps * flops_per_pair
+    return pps, achieved / 1e12, {
+        "mfu": round(achieved / V5E_BF16_PEAK_FLOPS, 4),
+        "n_params_b": round(n_params / 1e9, 2),
+        "pair_tokens": t,
+    }
+
+
 def measure_llm_uncertainty_serving():
     """The product metric at production size: uncertainty-scored responses
-    per second. ``llm.serve_uncertainties`` over the 1.17B engine — a
-    greedy deterministic pass with in-loop RAUQ plus a sampled pass
-    (4 samples/prompt; prefix caching shares each prompt's prefill across
-    its duplicates) — returning perplexity, generation_entropy,
-    RAUQ(original/original) and normalized_entropy per response. This is
-    the end-to-end flow the reference serves one blocking HF-generate call
-    at a time (reference llm_uncertainty/scores.py:347-524)."""
+    per second, ALL SIX methods. ``UncertaintyServer`` over the 1.17B
+    engine in merged mode — each prompt's greedy pass (in-loop RAUQ) and
+    its 4 sampled duplicates drain together (per-request decoding modes,
+    prefix-cached prefill, open-loop scheduling) with in-loop hidden-state
+    streaming for eigen_score — plus on-TPU DeBERTa-large-geometry NLI for
+    semantic entropy. This is the flow the reference serves one blocking
+    HF-generate call at a time (reference llm_uncertainty/scores.py:
+    347-524)."""
     import jax.numpy as jnp
 
     from runia_core_tpu.llm import UncertaintyServer
-    from runia_core_tpu.models import LlamaLM
+    from runia_core_tpu.models import LlamaLM, wrap_jax_nli
 
     st = _get_prod_llama()
     model = LlamaLM(**_PROD_CFG, dtype=jnp.bfloat16)  # engine: no flash
@@ -835,13 +1029,30 @@ def measure_llm_uncertainty_serving():
         {"method_name": "RAUQ", "token_aggregation": "original",
          "head_aggregation": "original"},
         {"method_name": "normalized_entropy"},
+        {"method_name": "eigen_score", "layer_index": 15},
+        {"method_name": "semantic_entropy"},
     ]
+    nli_model, nli_params, _ = _init_nli(_NLI_LARGE)
+    nli = wrap_jax_nli(
+        nli_model, nli_params, _PairTok(_NLI_LARGE["vocab_size"]),
+        max_len=96, len_buckets=(96,), batch_bucket=16,
+    )
+    # Short prompts (24-64 tokens): the classic BUCKETED prefill admits
+    # whole admission waves in one batched (F, 64) program — better than
+    # chunked trickle at these lengths; the merged drain's det/sample
+    # duplicates don't need the prefix cache to amortize a 3 ms prefill.
     server = UncertaintyServer(
         model, st["params"], None, requests,
         num_samples=n_samples, max_new_tokens=max_new, temperature=0.9,
-        engine_kwargs=dict(num_slots=8, max_ctx=128, chunk_tokens=12,
-                           prefill_chunk=32),
+        entailment_model=nli, entailment_tokenizer=None,
+        engine_kwargs=dict(num_slots=int(os.environ.get(
+                               "RUNIA_UNC_SLOTS", 24)),
+                           max_ctx=128,
+                           chunk_tokens=int(os.environ.get(
+                               "RUNIA_UNC_CHUNK", 16)),
+                           prefill_chunk=None, prompt_bucket=64),
     )
+    assert server._merged  # one drain serves the det pass and the samples
 
     def prompt_batch(seed):
         # A fresh prompt set per pass: identical prompts would hit the
@@ -856,15 +1067,20 @@ def measure_llm_uncertainty_serving():
         texts, scores = server.serve(prompt_batch(seed))
         dt = time.perf_counter() - t0
         assert len(scores) == n_prompts
-        assert all(np.isfinite(s["perplexity"]) for s in scores)
+        for s in scores:
+            assert np.isfinite(s["perplexity"])
+            assert np.isfinite(s["RAUQ_original_original"])
+            assert np.isfinite(s["eigen_score"])
+            assert np.isfinite(s["semantic_entropy"])
         return dt
 
-    one_pass(11)  # compile warmup (det + sampled engine programs)
+    one_pass(11)  # compile warmup (engine programs + NLI shape)
     # Best of 2 (tunnel latency noise, see measure_llm_continuous).
     dt = min(one_pass(12), one_pass(13))
     return n_prompts / dt, None, {
         "n_prompts": n_prompts, "num_samples": n_samples,
         "max_new_tokens": max_new, "methods": len(requests),
+        "nli": "deberta-large-geometry on-TPU",
         "decoded_tokens_per_response": max_new * (1 + n_samples),
     }
 
@@ -952,11 +1168,13 @@ def run_suite():
     leg("llama1b_decode_greedy_16x256", "tok/s", measure_llm_decode)
     leg("llama1b_decode_int8kv8_16x256", "tok/s", measure_llm_decode_int8)
     leg("llama7b_int8_decode_8x128", "tok/s", measure_llm_7b_int8)
+    leg("llama7b_int8_serving_24req", "tok/s", measure_llm_7b_int8_serving)
     leg("llama1b_serving_96req", "tok/s", measure_llm_continuous)
     leg("llama1b_speculative_1x32", "tok/s", measure_llm_speculative_production)
     leg("llama1b_spec_engine_24req_prefix", "tok/s", measure_llm_spec_engine)
     leg("llama1b_uncertainty_serving_16x5", "responses/s",
         measure_llm_uncertainty_serving)
+    leg("deberta_xxl_nli_16x128", "pairs/s", measure_deberta_nli)
     return ips18, suite
 
 

@@ -60,6 +60,25 @@ from runia_core_tpu.models.transformer import init_cache
 __all__ = ["ContinuousBatchingEngine"]
 
 
+# Compiled-program sharing across engine instances: every device program
+# an engine builds is a pure function of hashable configuration (the flax
+# module, capacity scalars, decode flags), so two engines with the same
+# configuration — a fresh engine per batch, a test matrix, the
+# UncertaintyServer pair — reuse ONE jitted callable (and therefore one
+# XLA compile per shape, 30-60 s each over a tunneled TPU). Keys hold the
+# (frozen-dataclass) modules plus scalars; values hold jitted wrappers
+# whose executables live in jax's own cache regardless.
+_PROGRAM_CACHE: Dict[tuple, Any] = {}
+
+
+def _cached_program(key: tuple, builder):
+    fn = _PROGRAM_CACHE.get(key)
+    if fn is None:
+        fn = builder()
+        _PROGRAM_CACHE[key] = fn
+    return fn
+
+
 def _vocab_norm_entropy(log_soft: jnp.ndarray) -> jnp.ndarray:
     """Vocab-normalized distribution entropy over the last axis — the
     per-token term of ``llm.scores.generation_entropy``. The isneginf
@@ -610,6 +629,13 @@ class ContinuousBatchingEngine:
         are then spliced into each target slot (static unroll over F)."""
         if (F, p_pad) in self._prefill_cache:
             return self._prefill_cache[(F, p_pad)]
+        key = ("prefill_many", self.model, self.max_ctx,
+               self.collect_hidden, self.num_slots, F, p_pad)
+        fn = _cached_program(key, lambda: self._build_prefill_many(F, p_pad))
+        self._prefill_cache[(F, p_pad)] = fn
+        return fn
+
+    def _build_prefill_many(self, F: int, p_pad: int):
         model, max_ctx = self.model, self.max_ctx
         collect_hid = self.collect_hidden
         S = self.num_slots
@@ -658,7 +684,6 @@ class ContinuousBatchingEngine:
                 )
             return cache, step_logits, slot_state, hid_prev
 
-        self._prefill_cache[(F, p_pad)] = prefill
         return prefill
 
     def _prefill_chunk_prog(self):
@@ -675,6 +700,15 @@ class ContinuousBatchingEngine:
         """
         if self._prefill_chunk_fn is not None:
             return self._prefill_chunk_fn
+        draft = None if self._spec_disabled else self.draft_model
+        key = ("prefill_chunk", self.model, draft, self.collect_hidden,
+               self.num_slots)
+        self._prefill_chunk_fn = _cached_program(
+            key, self._build_prefill_chunk
+        )
+        return self._prefill_chunk_fn
+
+    def _build_prefill_chunk(self):
         model = self.model
         draft = None if self._spec_disabled else self.draft_model
         collect_hid = self.collect_hidden
@@ -740,7 +774,6 @@ class ContinuousBatchingEngine:
             step_logits = jnp.where(is_last, updated, step_logits)
             return cache, d_cache, step_logits, slot_state, hid_prev
 
-        self._prefill_chunk_fn = chunk_prefill
         return chunk_prefill
 
     def _prefill_chunk_many_prog(self, W: int):
@@ -754,6 +787,16 @@ class ContinuousBatchingEngine:
         fn = self._prefill_many_chunk_cache.get(W)
         if fn is not None:
             return fn
+        draft = None if self._spec_disabled else self.draft_model
+        key = ("prefill_lanes", self.model, draft, self.collect_hidden,
+               self.num_slots, W)
+        fn = _cached_program(
+            key, lambda: self._build_prefill_chunk_many(W)
+        )
+        self._prefill_many_chunk_cache[W] = fn
+        return fn
+
+    def _build_prefill_chunk_many(self, W: int):
         model = self.model
         draft = None if self._spec_disabled else self.draft_model
         collect_hid = self.collect_hidden
@@ -801,7 +844,6 @@ class ContinuousBatchingEngine:
                 hid_prev = hid_prev.at[tgt].set(hvec, mode="drop")
             return cache, d_cache, step_logits, slot_state, hid_prev
 
-        self._prefill_many_chunk_cache[W] = chunk_prefill_many
         return chunk_prefill_many
 
     def _seed_samp(self):
@@ -813,15 +855,21 @@ class ContinuousBatchingEngine:
             return self._seed_samp_fn
         temp = self.temperature
 
-        @partial(jax.jit, donate_argnums=(0,))
-        def seed(samp_logp, step_logits, slot):
-            row = jax.lax.dynamic_slice_in_dim(step_logits, slot, 1, axis=0)
-            return jax.lax.dynamic_update_slice(
-                samp_logp, jax.nn.log_softmax(row / temp, axis=-1), (slot, 0)
-            )
+        def build():
+            @partial(jax.jit, donate_argnums=(0,))
+            def seed(samp_logp, step_logits, slot):
+                row = jax.lax.dynamic_slice_in_dim(
+                    step_logits, slot, 1, axis=0
+                )
+                return jax.lax.dynamic_update_slice(
+                    samp_logp, jax.nn.log_softmax(row / temp, axis=-1),
+                    (slot, 0),
+                )
 
-        self._seed_samp_fn = seed
-        return seed
+            return seed
+
+        self._seed_samp_fn = _cached_program(("seed_samp", temp), build)
+        return self._seed_samp_fn
 
     def _copy_row(self):
         """Jitted: copy slot ``src``'s ENTIRE cache row onto slot ``dst``.
@@ -834,18 +882,21 @@ class ContinuousBatchingEngine:
         if self._copy_row_fn is not None:
             return self._copy_row_fn
 
-        @partial(jax.jit, donate_argnums=(0,))
-        def copy_row(cache, src, dst):
-            def cp(g):
-                row = jax.lax.dynamic_slice_in_dim(g, src, 1, axis=0)
-                return jax.lax.dynamic_update_slice(
-                    g, row, (dst,) + (0,) * (g.ndim - 1)
-                )
+        def build():
+            @partial(jax.jit, donate_argnums=(0,))
+            def copy_row(cache, src, dst):
+                def cp(g):
+                    row = jax.lax.dynamic_slice_in_dim(g, src, 1, axis=0)
+                    return jax.lax.dynamic_update_slice(
+                        g, row, (dst,) + (0,) * (g.ndim - 1)
+                    )
 
-            return jax.tree_util.tree_map(cp, cache)
+                return jax.tree_util.tree_map(cp, cache)
 
-        self._copy_row_fn = copy_row
-        return copy_row
+            return copy_row
+
+        self._copy_row_fn = _cached_program(("copy_row",), build)
+        return self._copy_row_fn
 
     def _best_prefix(self, prompt: list, ignore_avail: bool = False) -> tuple:
         """(slot, chunk-aligned shared-prefix length) of the best resident
@@ -896,6 +947,14 @@ class ContinuousBatchingEngine:
         """Jitted: K decode steps for all slots, per-slot clocks."""
         if self._chunk_fn is not None:
             return self._chunk_fn
+        key = ("chunk", self.model, self.eos_id, self.max_ctx,
+               self.chunk_tokens, self.do_sample, self.temperature,
+               self.top_k, self.top_p, self.collect_rauq,
+               self.collect_hidden, self.num_slots)
+        self._chunk_fn = _cached_program(key, self._build_chunk)
+        return self._chunk_fn
+
+    def _build_chunk(self):
         model, eos = self.model, self.eos_id
         max_ctx, K = self.max_ctx, self.chunk_tokens
         do_sample, temperature = self.do_sample, self.temperature
@@ -1017,7 +1076,6 @@ class ContinuousBatchingEngine:
             return (cache, step_logits, new_state, rng_key, packed, att_prev,
                     hid_prev, hid_last)
 
-        self._chunk_fn = chunk
         return chunk
 
     def _spec_chunk(self):
@@ -1039,6 +1097,13 @@ class ContinuousBatchingEngine:
         """
         if self._spec_chunk_fn is not None:
             return self._spec_chunk_fn
+        key = ("spec_chunk", self.model, self.draft_model, self.gamma,
+               self.eos_id, self.do_sample, self.temperature,
+               self.collect_rauq, self.chunk_tokens, self.num_slots)
+        self._spec_chunk_fn = _cached_program(key, self._build_spec_chunk)
+        return self._spec_chunk_fn
+
+    def _build_spec_chunk(self):
         spec_round = _make_spec_round(
             self.model, self.draft_model, self.gamma, self.eos_id,
             self.do_sample, self.temperature, self.collect_rauq,
@@ -1097,7 +1162,6 @@ class ContinuousBatchingEngine:
             return (t_cache, d_cache, step_logits, samp_logp, new_state,
                     rng_key, packed, att_prev)
 
-        self._spec_chunk_fn = chunk
         return chunk
 
     # -- host-side scheduling -------------------------------------------------
@@ -1853,6 +1917,19 @@ class ContinuousBatchingEngine:
         fn = self._fused_cache.get(key_)
         if fn is not None:
             return fn
+        global_key = ("fused", self.model, self.draft_model, self.eos_id,
+                      self.num_slots, self.prefill_chunk, self.chunk_tokens,
+                      self.do_sample, self.temperature, self.top_k,
+                      self.top_p, self.gamma) + key_
+        fn = _cached_program(
+            global_key, lambda: self._build_fused_drain(R, P_pad, M,
+                                                        prefill_lanes)
+        )
+        self._fused_cache[key_] = fn
+        return fn
+
+    def _build_fused_drain(self, R: int, P_pad: int, M: int,
+                           prefill_lanes: int):
         model, eos = self.model, self.eos_id
         S, C, K = self.num_slots, self.prefill_chunk, max(1, self.chunk_tokens)
         do_sample, temperature = self.do_sample, self.temperature
@@ -2133,7 +2210,6 @@ class ContinuousBatchingEngine:
                     st["samp_logp"], st["out_t"], st["out_l"], st["out_e"],
                     st["n_emit"], st["iters"])
 
-        self._fused_cache[key_] = drain
         return drain
 
     def generate_all_fused(

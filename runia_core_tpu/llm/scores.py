@@ -70,8 +70,23 @@ def eigen_score_from_embeddings(embeddings, alpha: float = 1e-3) -> float:
     the covariance log-determinant core of :func:`eigen_score`, split out so
     the serving engine (which streams each sample's final-token hidden
     vector directly, see ``ContinuousBatchingEngine(collect_hidden=...)``)
-    can score without reconstructing the HF hidden_states protocol."""
+    can score without reconstructing the HF hidden_states protocol.
+
+    With n samples the (d, d) covariance has rank <= n-1, so its spectrum
+    is {lambda_1..lambda_{n-1}} from the (n, n) Gram of the centered rows
+    padded with zeros — the dense formula's d^3 SVD (several seconds per
+    call at d=2048 on one host core, measured as the uncertainty-serving
+    leg's dominant cost) collapses to an O(n^2 d) Gram + an n-eigh.
+    Numerics match the reference SVD-of-covariance form (same eigenvalues
+    up to float noise; parity test-pinned)."""
     embedding_matrix = _np(embeddings).astype(float)
+    n, d = embedding_matrix.shape if embedding_matrix.ndim == 2 else (0, 0)
+    if embedding_matrix.ndim == 2 and 1 < n < d:
+        centered = embedding_matrix - embedding_matrix.mean(axis=0)
+        gram = centered @ centered.T / (n - 1)
+        lam = np.clip(np.linalg.eigvalsh(gram), 0.0, None)
+        total = np.sum(np.log(lam + alpha)) + (d - n) * np.log(alpha)
+        return float(total / d)
     cov_matrix = np.cov(embedding_matrix.T)
     _, singular_values, _ = np.linalg.svd(
         cov_matrix + alpha * np.eye(cov_matrix.shape[0])

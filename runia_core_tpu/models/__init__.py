@@ -19,6 +19,7 @@ from runia_core_tpu.models.llama import (
     convert_hf_gemma,
     convert_hf_llama,
     convert_hf_mixtral,
+    fuse_quantized_llama_params,
     quantize_llama_params,
 )
 from runia_core_tpu.models.quant_vision import (
@@ -60,6 +61,7 @@ __all__ = [
     "convert_hf_gemma",
     "convert_hf_llama",
     "convert_hf_mixtral",
+    "fuse_quantized_llama_params",
     "quantize_llama_params",
     "convert_torch_resnet",
     "convert_hf_vit",

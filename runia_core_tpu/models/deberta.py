@@ -440,9 +440,15 @@ def wrap_jax_nli(
     """
     buckets = sorted(set(int(b) for b in len_buckets) | {int(max_len)})
 
-    @jax.jit
+    # params ride as an ARGUMENT: a jit closing over the (multi-GB) tree
+    # captures it as lowering constants — 3+ GB baked into the program and
+    # a far slower compile (observed on the xxlarge-mnli geometry).
+    jit_forward = jax.jit(
+        lambda p, ids, mask, type_ids: model.apply(p, ids, mask, type_ids)
+    )
+
     def forward(ids, mask, type_ids):
-        return model.apply(params, ids, mask, type_ids)
+        return jit_forward(params, ids, mask, type_ids)
 
     def batch_labels(premises, hypotheses) -> np.ndarray:
         enc = tokenizer(

@@ -33,7 +33,8 @@ from flax import linen as nn
 from runia_core_tpu.ops.quant_matmul import quant_matmul, quant_matmul_supported
 
 __all__ = ["LlamaLM", "convert_hf_llama", "convert_hf_gemma",
-           "convert_hf_mixtral", "quantize_llama_params"]
+           "convert_hf_mixtral", "quantize_llama_params",
+           "fuse_quantized_llama_params"]
 
 
 class QDense(nn.Module):
@@ -75,6 +76,60 @@ class QDense(nn.Module):
             )
             out = out + bias.astype(self.dtype)
         return out
+
+
+class _QParams(nn.Module):
+    """Declare one QDense-layout parameter set (kernel_q, scale[, bias])
+    WITHOUT computing — the block fuses several projections into one
+    dequant matmul while the per-projection parameter tree (checkpoint /
+    converter layout, ``quantize_llama_params`` output) stays unchanged."""
+
+    in_dim: int
+    features: int
+    use_bias: bool = False
+
+    @nn.compact
+    def __call__(self):
+        kq = self.param(
+            "kernel_q", nn.initializers.zeros_init(),
+            (self.in_dim, self.features), jnp.int8,
+        )
+        scale = self.param(
+            "scale", nn.initializers.ones_init(), (self.features,),
+            jnp.float32,
+        )
+        bias = self.param(
+            "bias", nn.initializers.zeros_init(), (self.features,),
+            jnp.float32,
+        ) if self.use_bias else None
+        return kq, scale, bias
+
+
+def _fused_quant_matmul(x, parts, dtype):
+    """One int8 matmul over the column-concatenation of several QDense
+    parameter sets. The concatenated int8 kernel/scale are loop-invariant,
+    so XLA hoists them out of a decode scan and each step launches ONE
+    Pallas dequant matmul instead of one per projection — at 1B scale the
+    per-step launch count (7/layer) was the measured fixed floor of the
+    quantized decode (benchmarks/profile_int8_decode.py)."""
+    wq = jnp.concatenate([p[0] for p in parts], axis=1)
+    scale = jnp.concatenate([p[1] for p in parts])
+    xd = x.astype(dtype)
+    rows = int(np.prod(xd.shape[:-1]))
+    if jax.default_backend() == "tpu" and quant_matmul_supported(
+        rows, xd.shape[-1], wq.shape[1]
+    ):
+        out = quant_matmul(xd, wq, scale)
+    else:
+        out = xd @ (wq.astype(dtype) * scale.astype(dtype)[None, :])
+    if any(p[2] is not None for p in parts):
+        bias = jnp.concatenate([
+            p[2] if p[2] is not None else jnp.zeros((p[1].shape[0],),
+                                                    jnp.float32)
+            for p in parts
+        ])
+        out = out + bias.astype(dtype)
+    return out
 
 
 def _rope_cos_sin(positions: jnp.ndarray, head_dim: int, theta: float):
@@ -122,6 +177,7 @@ class _LlamaBlock(nn.Module):
     dtype: jnp.dtype = jnp.float32
     use_flash: bool = False
     quantized: bool = False
+    fused_qkv: bool = False  # pre-fused qkv/gateup int8 kernels
     attn_bias: bool = False  # q/k/v projection biases (Qwen2 family)
     mlp_act: str = "silu"  # "gelu_tanh" for the Gemma family's GeGLU
     num_experts: int = 0  # >0: Mixtral-style sparse-MoE FFN (top-k routing)
@@ -146,9 +202,24 @@ class _LlamaBlock(nn.Module):
                 f, use_bias=bias, dtype=self.dtype, name=name
             )
         ab = self.attn_bias
-        q = dense(self.num_heads * self.head_dim, "q", ab)(h)
-        k = dense(self.num_kv_heads * self.head_dim, "k", ab)(h)
-        v = dense(self.num_kv_heads * self.head_dim, "v", ab)(h)
+        nq = self.num_heads * self.head_dim
+        nkv = self.num_kv_heads * self.head_dim
+        if self.quantized and self.fused_qkv:
+            # Pre-fused QKV (fuse_quantized_llama_params): ONE stored int8
+            # kernel, one dequant-matmul launch. In-graph concatenation of
+            # per-projection kernels does NOT work: XLA materializes the
+            # concat inside the decode while-body every step (verified on
+            # the optimized HLO), re-paying the weight bytes it was meant
+            # to save.
+            qkv = _fused_quant_matmul(
+                h, [_QParams(self.d_model, nq + 2 * nkv, ab, name="qkv")()],
+                self.dtype,
+            )
+            q, k, v = jnp.split(qkv, [nq, nq + nkv], axis=-1)
+        else:
+            q = dense(nq, "q", ab)(h)
+            k = dense(nkv, "k", ab)(h)
+            v = dense(nkv, "v", ab)(h)
         q = q.reshape(b, t, self.num_heads, self.head_dim)
         k = k.reshape(b, t, self.num_kv_heads, self.head_dim)
         v = v.reshape(b, t, self.num_kv_heads, self.head_dim)
@@ -323,8 +394,15 @@ class _LlamaBlock(nn.Module):
         if self.num_experts:
             mlp = self._moe_ffn(h2)
         else:
-            gate = dense(self.hidden_dim, "gate")(h2)
-            up = dense(self.hidden_dim, "up")(h2)
+            if self.quantized and self.fused_qkv:
+                gu = _fused_quant_matmul(h2, [
+                    _QParams(self.d_model, 2 * self.hidden_dim,
+                             name="gateup")(),
+                ], self.dtype)
+                gate, up = jnp.split(gu, 2, axis=-1)
+            else:
+                gate = dense(self.hidden_dim, "gate")(h2)
+                up = dense(self.hidden_dim, "up")(h2)
             if self.mlp_act == "silu":
                 act = nn.silu(gate)
             else:  # "gelu_tanh" — the Gemma family's GeGLU
@@ -428,6 +506,12 @@ class LlamaLM(nn.Module):
     # bandwidth at long context. Dequantization fuses into the attention
     # reads; Q stays full precision.
     quantized_kv: bool = False
+    # Pre-fused qkv / gate|up int8 kernels (fuse_quantized_llama_params):
+    # one dequant-matmul launch where the per-projection layout pays three
+    # — the per-step Pallas launch count is the quantized decode's fixed
+    # floor. Params must carry "qkv"/"gateup" entries instead of
+    # q/k/v/gate/up. quantized=True only.
+    fused_qkv: bool = False
     # q/k/v projection biases — the Qwen2/Qwen2.5 family. o/gate/up/down
     # stay bias-free (as in those checkpoints). convert_hf_llama sets this
     # automatically when the checkpoint carries attention biases.
@@ -554,7 +638,8 @@ class LlamaLM(nn.Module):
             x, attn, new_kv = _LlamaBlock(
                 self.num_heads, self.num_kv_heads, self._head_dim(),
                 self.d_model, self.hidden_dim, self.rms_eps, self.dtype,
-                self.use_flash, self.quantized, self.attn_bias,
+                self.use_flash, self.quantized, self.fused_qkv,
+                self.attn_bias,
                 self.mlp_act, self.num_experts, self.num_experts_per_tok,
                 name=f"block_{i}",
             )(x, mask, cos, sin, layer_cache, cache_index,
@@ -869,6 +954,46 @@ def convert_hf_mixtral(hf_model, max_len: Optional[int] = None,
     if quantize:
         params = quantize_llama_params(params)
     return model, params
+
+
+def fuse_quantized_llama_params(params):
+    """Fuse a ``quantize_llama_params`` tree's per-projection q/k/v and
+    gate/up entries into single "qkv"/"gateup" entries for
+    ``LlamaLM(quantized=True, fused_qkv=True)``.
+
+    The fusion MUST happen in the stored parameters: concatenating
+    per-projection kernels inside the forward looks free but XLA
+    materializes the concat inside the decode while-body on every step
+    (verified on the optimized HLO), re-reading the weight bytes the
+    fusion was meant to save. Column order is q|k|v and gate|up (the
+    split order in ``_LlamaBlock``). o/down/lm_head stay single. The
+    transform is pure concatenation — no requantization; logits match the
+    unfused model up to matmul reduction-order noise (the wider fused dot
+    accumulates in a different order; test-pinned at rtol 2e-3).
+    """
+
+    def cat(subs, field):
+        return jnp.concatenate([s[field] for s in subs],
+                               axis=subs[0][field].ndim - 1)
+
+    out = {}
+    for name, sub in params["params"].items():
+        if not name.startswith("block_") or "q" not in sub:
+            out[name] = sub
+            continue
+        blk = dict(sub)
+        q, k, v = blk.pop("q"), blk.pop("k"), blk.pop("v")
+        qkv = {"kernel_q": cat([q, k, v], "kernel_q"),
+               "scale": cat([q, k, v], "scale")}
+        if "bias" in q:
+            qkv["bias"] = cat([q, k, v], "bias")
+        blk["qkv"] = qkv
+        if "gate" in blk:
+            g, u = blk.pop("gate"), blk.pop("up")
+            blk["gateup"] = {"kernel_q": cat([g, u], "kernel_q"),
+                             "scale": cat([g, u], "scale")}
+        out[name] = blk
+    return {"params": out}
 
 
 _QUANT_KERNELS = {"q", "k", "v", "o", "gate", "up", "down", "lm_head"}

@@ -407,6 +407,25 @@ class TestInt8Quantization:
         )
         assert q_bytes * 4 <= f_bytes + 1  # int8 vs f32 kernels
 
+    def test_fused_qkv_bit_identical_to_unfused(self, converted):
+        """fuse_quantized_llama_params concatenates stored kernels with no
+        requantization: same int8 values, same scales — logits match the
+        per-projection model to matmul reduction-order noise (the wider
+        fused dot accumulates in a different order)."""
+        from runia_core_tpu.models import fuse_quantized_llama_params
+
+        hf, _, _ = converted
+        mq, pq = convert_hf_llama(hf, quantize=True)
+        mf = mq.copy(fused_qkv=True)
+        pf = fuse_quantized_llama_params(pq)
+        assert "qkv" in pf["params"]["block_0"]
+        assert "q" not in pf["params"]["block_0"]
+        tokens = jnp.asarray(np.random.RandomState(4).randint(0, 97, (2, 9)))
+        want, *_ = mq.apply(pq, tokens)
+        got, *_ = mf.apply(pf, tokens)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=2e-3, atol=2e-5)
+
     def test_quantized_decode_runs(self, converted):
         from runia_core_tpu.llm.generate import JaxGenerator
 

@@ -158,6 +158,21 @@ class TestScores:
         _, sv, _ = np.linalg.svd(cov + 1e-3 * np.eye(cov.shape[0]))
         assert ours == pytest.approx(float(np.mean(np.log(sv))), rel=1e-5)
 
+    def test_eigen_gram_fast_path_matches_dense(self, rng):
+        """n << d embeddings take the O(n^2 d) Gram path; its score must
+        equal the reference SVD-of-covariance formula exactly (rank-
+        deficient spectrum padded with log(alpha))."""
+        from runia_core_tpu.llm.scores import eigen_score_from_embeddings
+
+        for n, d in [(4, 256), (2, 64), (3, 33)]:
+            x = rng.randn(n, d)
+            cov = np.cov(x.T)
+            _, sv, _ = np.linalg.svd(cov + 1e-3 * np.eye(d))
+            dense = float(np.mean(np.log(sv)))
+            assert eigen_score_from_embeddings(x) == pytest.approx(
+                dense, abs=1e-9
+            ), (n, d)
+
     def test_semantic_entropy_with_callable(self):
         # texts 0,1 equivalent; 2,3,4 distinct
         def equiv(a, b):

@@ -119,10 +119,13 @@ class TestDataParallelScorer:
         )
 
     def test_graft_dryrun(self):
+        # One mesh size: the driver calls with a single N, and the second
+        # in-process mesh size only re-jitted every leg (~60 s) for
+        # coverage the n=8 run already provides. The bare-process variant
+        # lives in test_graft_entry.py.
         import __graft_entry__ as g
 
         g.dryrun_multichip(8)
-        g.dryrun_multichip(4)
 
 
 class TestInitializeDistributed:

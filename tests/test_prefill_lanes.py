@@ -117,6 +117,27 @@ class TestPerRequestSampling:
             eng.submit([1, 2, 3], sample=True)
 
 
+class TestFusedLPT:
+    def test_fused_lpt_returns_caller_order(self, model_and_params,
+                                            prompts):
+        """admission='lpt' reorders the fused drain's on-device request
+        table by budget; results must come back in the caller's order and
+        match the fifo drain per request (greedy streams are independent
+        of admission order)."""
+        model, params = model_and_params
+        budgets = [2, 8, 1, 7, 3, 6, 4]
+        kw = dict(num_slots=2, max_ctx=64, max_new_tokens=MAX_NEW,
+                  chunk_tokens=4, prefill_chunk=8)
+        fifo = ContinuousBatchingEngine(model, params, **kw)
+        lpt = ContinuousBatchingEngine(model, params, admission="lpt",
+                                       **kw)
+        a = fifo.generate_all_fused(prompts, budgets, prefill_lanes=1)
+        b = lpt.generate_all_fused(prompts, budgets, prefill_lanes=1)
+        for i, (ra, rb) in enumerate(zip(a, b)):
+            assert rb["tokens"] == ra["tokens"], f"request {i}"
+            assert len(rb["tokens"]) == budgets[i]
+
+
 class TestMergedUncertaintyServer:
     def test_merged_matches_two_engine_scores(self, model_and_params,
                                               prompts):
