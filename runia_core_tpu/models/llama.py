@@ -59,7 +59,7 @@ class QDense(nn.Module):
         xd = x.astype(self.dtype)
         rows = int(np.prod(xd.shape[:-1]))
         if jax.default_backend() == "tpu" and quant_matmul_supported(
-            rows, xd.shape[-1], self.features
+            rows, xd.shape[-1], self.features, xd.dtype.itemsize
         ):
             # Decode-regime path: keep the weights int8 all the way to VMEM.
             # The XLA expression below is loop-invariant in the decode scan,
@@ -117,7 +117,7 @@ def _fused_quant_matmul(x, parts, dtype):
     xd = x.astype(dtype)
     rows = int(np.prod(xd.shape[:-1]))
     if jax.default_backend() == "tpu" and quant_matmul_supported(
-        rows, xd.shape[-1], wq.shape[1]
+        rows, xd.shape[-1], wq.shape[1], xd.dtype.itemsize
     ):
         out = quant_matmul(xd, wq, scale)
     else:

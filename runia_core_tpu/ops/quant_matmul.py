@@ -40,12 +40,14 @@ __all__ = ["quant_matmul", "quant_matmul_supported"]
 # headroom for scales, semaphores, and compiler scratch).
 _VMEM_BUDGET = 10 * 1024 * 1024
 
-# Keep the Pallas path for the small-row regime it was built for (decode /
-# speculative verify). Large-row prefill is MXU-bound and the one-off XLA
+# Keep the Pallas path for the small-to-medium-row regime (decode,
+# speculative verify, lane-batched chunked prefill — a (4, 128) lane chunk
+# is 512 rows). Truly large-row prefill is MXU-bound and the one-off XLA
 # dequant amortizes over thousands of rows, so the plain path stays optimal
 # there — and keeping rows in one VMEM-resident block keeps this kernel a
-# single-level pipeline over N.
-_MAX_ROWS = 256
+# single-level pipeline over N. The VMEM fit check is authoritative; this
+# cap just bounds the resident block's sublane extent.
+_MAX_ROWS = 1024
 
 
 def _kernel(x_ref, wq_ref, s_ref, o_ref):
@@ -77,17 +79,20 @@ def _pick_block_n(n: int, k: int, rows_p: int, x_bytes: int) -> int:
     return 0
 
 
-def quant_matmul_supported(rows: int, k: int, n: int) -> bool:
+def quant_matmul_supported(rows: int, k: int, n: int,
+                           x_bytes: int = 4) -> bool:
     """True if (rows, K) @ (K, N) fits this kernel's shape contract.
 
-    dtype-agnostic, so the x block is costed at its worst case (f32 bytes,
-    bf16 sublane padding); any dtype the kernel accepts fits at least as
-    comfortably as this bound."""
+    ``x_bytes`` is the activation itemsize (2 for the bf16 serving
+    config); the default costs the x block at its f32 worst case, so
+    callers that don't know their dtype get a conservative answer while
+    bf16 callers can admit the medium-row prefill shapes that matter
+    (e.g. a 512-row lane chunk against a 7B-class K=4096)."""
     rows_p = ((rows + 15) // 16) * 16
     return (
         rows <= _MAX_ROWS
         and k % 128 == 0
-        and _pick_block_n(n, k, rows_p, 4) != 0
+        and _pick_block_n(n, k, rows_p, x_bytes) != 0
     )
 
 

@@ -55,9 +55,13 @@ class TestQuantMatmulParity:
         _check(nprng, (16, 5), 256, 1280, jnp.bfloat16)
 
     def test_unsupported_shapes_refused(self):
-        assert not quant_matmul_supported(512, 2048, 5632)  # prefill rows
+        assert not quant_matmul_supported(2048, 2048, 5632)  # bulk prefill
         assert not quant_matmul_supported(16, 100, 512)  # ragged K
         assert not quant_matmul_supported(16, 2048, 100)  # ragged N
+        # f32 512-row block blows the VMEM budget; the bf16 serving config
+        # admits the same lane-chunk shape (x_bytes-aware check).
+        assert not quant_matmul_supported(1024, 4096, 4096, 4)
+        assert quant_matmul_supported(512, 4096, 4096, 2)
 
     def test_vmem_bound_shapes_refused(self):
         """The budget must count the RESIDENT x block, not just the weight
