@@ -351,6 +351,11 @@ def _decode_leg(int8: bool):
     avg_ctx = prompt_len + max_new / 2
     kv_read = (b * cfg["num_layers"] * 2 * avg_ctx
                * cfg["num_kv_heads"] * head_dim * kv_itemsize)
+    if int8:
+        # KV8 attention also reads the per-(position, kv-head) f32 dequant
+        # scales every step — 1/32 of the int8 cache bytes, real traffic.
+        kv_read += (b * cfg["num_layers"] * 2 * avg_ctx
+                    * cfg["num_kv_heads"] * 4)
     hbm_gbs = steps_per_s * (weight_bytes + kv_read) / 1e9
     return tps, None, {"hbm_gbs": round(hbm_gbs, 1),
                        "hbm_util": round(hbm_gbs * 1e9 / V5E_HBM_PEAK_BYTES, 4)}
@@ -448,8 +453,9 @@ def measure_llm_7b_int8():
     steps_per_s = tps / b
     head_dim = _7B_CFG["d_model"] // _7B_CFG["num_heads"]
     avg_ctx = prompt_len + max_new / 2
+    # int8 KV + its per-(position, kv-head) f32 dequant scales.
     kv_read = (b * _7B_CFG["num_layers"] * 2 * avg_ctx
-               * _7B_CFG["num_kv_heads"] * head_dim * 1)
+               * _7B_CFG["num_kv_heads"] * (head_dim * 1 + 4))
     hbm_gbs = steps_per_s * (weight_bytes + kv_read) / 1e9
     return tps, None, {
         "n_params_b": round(sum(int(np.prod(p.shape)) for p in p_leaves

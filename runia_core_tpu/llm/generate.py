@@ -69,6 +69,23 @@ def sample_logits(
     return jax.random.categorical(key, logits, axis=-1)
 
 
+# Compiled-program sharing across generator instances: every jitted
+# program below is a pure function of the (hashable, frozen-dataclass)
+# model plus decode-config scalars, so two JaxGenerators over the same
+# model share one jitted callable — and one XLA compile per shape. Tests
+# build fresh generators constantly; production rebuilds them per
+# checkpoint. Params always ride as call ARGUMENTS, never closures.
+_PROGRAM_CACHE: Dict[tuple, Any] = {}
+
+
+def _cached_program(key: tuple, builder):
+    fn = _PROGRAM_CACHE.get(key)
+    if fn is None:
+        fn = builder()
+        _PROGRAM_CACHE[key] = fn
+    return fn
+
+
 class JaxGenerator:
     """Stateful wrapper: CausalLM + params + decode configuration.
 
@@ -104,20 +121,33 @@ class JaxGenerator:
         # program as HLO constants — at production model sizes that is
         # gigabytes of literals duplicated per program, and JAX warns
         # ("large amount of constants were captured during lowering").
-        self._prefill = jax.jit(
-            lambda p_, tokens, cache: model.apply(p_, tokens, cache, jnp.int32(0))
+        self._prefill = _cached_program(
+            ("prefill", model),
+            lambda: jax.jit(
+                lambda p_, tokens, cache: model.apply(
+                    p_, tokens, cache, jnp.int32(0)
+                )
+            ),
         )
         self._prefill_fast = (
-            jax.jit(
-                lambda p_, tokens, cache: model.apply(
-                    p_, tokens, cache, jnp.int32(0), assume_prefill=True
-                )
+            _cached_program(
+                ("prefill_fast", model),
+                lambda: jax.jit(
+                    lambda p_, tokens, cache: model.apply(
+                        p_, tokens, cache, jnp.int32(0), assume_prefill=True
+                    )
+                ),
             )
             if self._flash_model
             else self._prefill
         )
-        self._step = jax.jit(
-            lambda p_, tokens, cache, idx: model.apply(p_, tokens, cache, idx)
+        self._step = _cached_program(
+            ("step", model),
+            lambda: jax.jit(
+                lambda p_, tokens, cache, idx: model.apply(
+                    p_, tokens, cache, idx
+                )
+            ),
         )
         self._decode_cache = {}
 
@@ -150,6 +180,12 @@ class JaxGenerator:
                      out_attn, out_hid, int(top_k), float(top_p))
         if key_shape in self._decode_cache:
             return self._decode_cache[key_shape]
+        global_key = ("scan", self.model, self.eos_id,
+                      self.use_scan) + key_shape
+        cached = _PROGRAM_CACHE.get(global_key)
+        if cached is not None:
+            self._decode_cache[key_shape] = cached
+            return cached
         model = self.model
         total = p + max_new
         eos = self.eos_id
@@ -226,6 +262,7 @@ class JaxGenerator:
             )
 
         self._decode_cache[key_shape] = run
+        _PROGRAM_CACHE[global_key] = run
         return run
 
     def generate_batch(
@@ -304,6 +341,9 @@ class JaxGenerator:
             output_attentions, output_scores, uniform,
             int(top_k), float(top_p),
         )
+        g_cfg = ("gbatch", model, eos) + cfg
+        if cfg not in self._decode_cache and g_cfg in _PROGRAM_CACHE:
+            self._decode_cache[cfg] = _PROGRAM_CACHE[g_cfg]
         if cfg not in self._decode_cache:
             flash_model = self._flash_model
 
@@ -386,6 +426,7 @@ class JaxGenerator:
                 return toks, score_seq, lps, prev_attn
 
             self._decode_cache[cfg] = run
+            _PROGRAM_CACHE[g_cfg] = run
         toks, score_seq, lps, prev_attn = jax.tree_util.tree_map(
             np.asarray,
             self._decode_cache[cfg](

@@ -467,19 +467,23 @@ class TestRandomizedConfigSweep:
                  prefix_cache=True, draft_model=draft, draft_params=dparams,
                  gamma=2),
         ]
+        # One random workload for every config: the single-prompt reference
+        # generates dominate this test's runtime, so computing them once
+        # keeps the property coverage (each config still drains the mixed
+        # shared-prefix/budget workload) at a third of the wall.
+        rng = np.random.RandomState(100)
+        shared = list(rng.randint(1, VOCAB, 9))
+        batch = []
+        for _ in range(6):
+            if rng.rand() < 0.4:
+                batch.append(shared + list(
+                    rng.randint(1, VOCAB, rng.randint(1, 8))))
+            else:
+                batch.append(list(
+                    rng.randint(1, VOCAB, rng.randint(2, 24))))
+        budgets = rng.randint(1, MAX_NEW + 1, len(batch))
+        ref = reference_outputs(model, params, batch, eos_id=None)
         for seed, cfg in enumerate(configs):
-            rng = np.random.RandomState(100 + seed)
-            shared = list(rng.randint(1, VOCAB, 9))
-            batch = []
-            for _ in range(6):
-                if rng.rand() < 0.4:
-                    batch.append(shared + list(
-                        rng.randint(1, VOCAB, rng.randint(1, 8))))
-                else:
-                    batch.append(list(
-                        rng.randint(1, VOCAB, rng.randint(2, 24))))
-            budgets = rng.randint(1, MAX_NEW + 1, len(batch))
-            ref = reference_outputs(model, params, batch, eos_id=None)
             eng = ContinuousBatchingEngine(
                 model, params, max_ctx=64, max_new_tokens=MAX_NEW, **cfg,
             )

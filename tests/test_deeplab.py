@@ -40,8 +40,10 @@ class TestDilatedBackbone:
             stage_sizes=(1, 1, 1, 1), block_cls=ResNetBlock, num_classes=0,
             num_filters=8, include_head=False,
         )
-        x = jnp.zeros((1, 64, 64, 3), jnp.float32)
-        for os_, want in [(None, 2), (16, 4), (8, 8)]:
+        # 32 px distinguishes all three strides (block4 at 1/2/4 px) at a
+        # quarter of the dilated-conv CPU cost of 64 px.
+        x = jnp.zeros((1, 32, 32, 3), jnp.float32)
+        for os_, want in [(None, 1), (16, 2), (8, 4)]:
             model = ResNet(output_stride=os_, **kw)
             v = _init(model, x.shape)
             _, taps = model.apply(v, x)

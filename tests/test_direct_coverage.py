@@ -110,9 +110,18 @@ class TestDefaultConfig:
 
 class TestResNet50:
     def test_bottleneck_forward_and_tap(self, rng):
-        from runia_core_tpu.models import ResNet50, build_tapped_forward
+        """Bottleneck expansion + tap layout on a depth-1 bottleneck stack
+        (the 4x-expansion property is per-block; the full (3,4,6,3) RN50
+        only multiplied CPU init time)."""
+        from runia_core_tpu.models import build_tapped_forward
+        from runia_core_tpu.models.resnet import (
+            BottleneckResNetBlock,
+            ResNet,
+        )
 
-        model = ResNet50(num_classes=3, cifar_stem=True)
+        model = ResNet(stage_sizes=(1, 1, 1, 1),
+                       block_cls=BottleneckResNetBlock,
+                       num_classes=3, cifar_stem=True)
         variables = model.init(jax.random.key(0), jnp.zeros((1, 32, 32, 3)))
         forward = build_tapped_forward(model, variables)
         logits, taps = forward(

@@ -15,27 +15,25 @@ import pytest
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
-LEGS = [
-    "one sharded train step OK",        # dp + tp
-    "ring attention (sp) OK",
-    "expert-parallel MoE (ep) OK",
-    "pipeline (pp) OK",
-    "Llama tensor-parallel (tp) OK",
-]
-
-
 @pytest.mark.slow
 @pytest.mark.parametrize("n_devices", [8])
 def test_dryrun_multichip_in_bare_process(n_devices):
+    """One leg suffices here: the regression is the ENV BOOTSTRAP (virtual
+    CPU mesh + platform pin before any device op), which every leg shares;
+    the full 8-leg sweep runs in-process in test_parallel.py and in the
+    driver itself. Running them all in a bare subprocess re-jitted every
+    leg for ~65 s of pure duplication."""
     env = dict(os.environ)
     # Simulate the driver: no test-harness CPU pinning, no device-count flag.
     env.pop("XLA_FLAGS", None)
     proc = subprocess.run(
         [sys.executable, "-c",
          f"import sys; sys.path.insert(0, {REPO!r}); "
-         f"import __graft_entry__ as g; g.dryrun_multichip({n_devices})"],
+         f"import __graft_entry__ as g; "
+         f"g.dryrun_multichip({n_devices}, legs=['dp_tp'])"],
         cwd=REPO, env=env, capture_output=True, text=True, timeout=900,
     )
     assert proc.returncode == 0, proc.stderr[-2000:]
-    for leg in LEGS:
-        assert leg in proc.stdout, (leg, proc.stdout, proc.stderr[-500:])
+    assert "one sharded train step OK" in proc.stdout, (
+        proc.stdout, proc.stderr[-500:]
+    )
