@@ -65,10 +65,17 @@ __all__ = ["ContinuousBatchingEngine"]
 # module, capacity scalars, decode flags), so two engines with the same
 # configuration — a fresh engine per batch, a test matrix, the
 # UncertaintyServer pair — reuse ONE jitted callable (and therefore one
-# XLA compile per shape, 30-60 s each over a tunneled TPU). Keys hold the
-# (frozen-dataclass) modules plus scalars; values hold jitted wrappers
-# whose executables live in jax's own cache regardless.
-_PROGRAM_CACHE: Dict[tuple, Any] = {}
+# XLA compile per shape, 30-60 s each over a tunneled TPU).
+#
+# LRU-BOUNDED like llm/generate.py's cache (see the note there): pinning
+# every program forever keeps its loaded XLA executable alive, and a long
+# test session accumulating hundreds of live CPU executables reproducibly
+# segfaulted XLA's next compile. Live engines hold their own references
+# (self._chunk_fn etc.), so eviction never invalidates an in-use program.
+from collections import OrderedDict as _OrderedDict
+
+_PROGRAM_CACHE: "_OrderedDict[tuple, Any]" = _OrderedDict()
+_PROGRAM_CACHE_MAX = 96
 
 
 def _cached_program(key: tuple, builder):
@@ -76,6 +83,9 @@ def _cached_program(key: tuple, builder):
     if fn is None:
         fn = builder()
         _PROGRAM_CACHE[key] = fn
+    _PROGRAM_CACHE.move_to_end(key)
+    while len(_PROGRAM_CACHE) > _PROGRAM_CACHE_MAX:
+        _PROGRAM_CACHE.popitem(last=False)
     return fn
 
 

@@ -75,15 +75,35 @@ def sample_logits(
 # model share one jitted callable — and one XLA compile per shape. Tests
 # build fresh generators constantly; production rebuilds them per
 # checkpoint. Params always ride as call ARGUMENTS, never closures.
-_PROGRAM_CACHE: Dict[tuple, Any] = {}
+#
+# The cache is LRU-BOUNDED: pinning every program for the process
+# lifetime keeps its loaded XLA executable alive, and a long test session
+# accumulating hundreds of live CPU executables reproducibly segfaulted
+# XLA's compiler on the NEXT compile (an unbounded-growth cliff the
+# per-instance caches never hit because dead instances freed theirs).
+# Live generator instances still hold their own references, so eviction
+# never invalidates an in-use program — it only drops the shared handle.
+from collections import OrderedDict
+
+_PROGRAM_CACHE: "OrderedDict[tuple, Any]" = OrderedDict()
+_PROGRAM_CACHE_MAX = 64
 
 
 def _cached_program(key: tuple, builder):
     fn = _PROGRAM_CACHE.get(key)
     if fn is None:
         fn = builder()
-        _PROGRAM_CACHE[key] = fn
+        _cache_put(key, fn)
+    else:
+        _PROGRAM_CACHE.move_to_end(key)
     return fn
+
+
+def _cache_put(key: tuple, fn) -> None:
+    _PROGRAM_CACHE[key] = fn
+    _PROGRAM_CACHE.move_to_end(key)
+    while len(_PROGRAM_CACHE) > _PROGRAM_CACHE_MAX:
+        _PROGRAM_CACHE.popitem(last=False)
 
 
 class JaxGenerator:
@@ -262,7 +282,7 @@ class JaxGenerator:
             )
 
         self._decode_cache[key_shape] = run
-        _PROGRAM_CACHE[global_key] = run
+        _cache_put(global_key, run)
         return run
 
     def generate_batch(
@@ -426,7 +446,7 @@ class JaxGenerator:
                 return toks, score_seq, lps, prev_attn
 
             self._decode_cache[cfg] = run
-            _PROGRAM_CACHE[g_cfg] = run
+            _cache_put(g_cfg, run)
         toks, score_seq, lps, prev_attn = jax.tree_util.tree_map(
             np.asarray,
             self._decode_cache[cfg](
