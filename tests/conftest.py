@@ -56,6 +56,22 @@ def _ensure_native_built() -> None:
 _ensure_native_built()
 
 
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_per_module():
+    """Free compiled XLA CPU executables at every module boundary.
+
+    The suite compiles ~1,000 programs across its modules; XLA's CPU JIT
+    keeps every live executable's code resident, and past a threshold the
+    NEXT compile segfaults inside backend_compile (observed three times at
+    different late-suite tests, each time at the first fresh compile after
+    ~500 accumulated tests; the same compiles succeed in fresh processes).
+    Clearing per module caps the live set at one module's worth. Shared
+    program-cache wrappers (llm.continuous / llm.generate) stay valid —
+    their next call simply recompiles."""
+    yield
+    jax.clear_caches()
+
+
 @pytest.fixture
 def rng():
     return np.random.RandomState(1)
